@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query: synthetic coastal tile corpus ->
+                decode -> tide filter -> annual composites ->
+                marching-squares waterline vectorization -> shoreline rows.
+queries()     — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()  — DuckDB-equivalent SQL per query (omitted for ops with no
+                SQL analog: raster->vector pipeline etc. -> rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +14,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dea_coastlines_spark.plans import driver_queries
+from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
+from dea_coastlines_spark.synth import corpus
+
+# Flagship corpus: small but multi-tile/multi-year so the full plan
+# (broadcast tide cutoffs, grouped-map composite, vectorize, halo clip)
+# executes end-to-end.
+_FLAGSHIP_SPEC = corpus.CorpusSpec(
+    tile_px=96, halo_px=6, tiles_x=3, tiles_y=2,
+    year0=2000, year1=2002, obs_per_year=5, cloud_frac=0.04, seed=7,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query; driver checks rows>0 and a stable schema."""
+    tiles = corpus.generate_spark(spark, _FLAGSHIP_SPEC)
+    sl = shoreline_pipeline(tiles, apply_tide_filter=True)
+    # hex-encode geometry for a stable, hashable driver-side schema
+    from pyspark.sql import functions as F
+
+    return sl.select(
+        "cell_id", "tile_x", "tile_y", "year",
+        F.hex(F.col("geometry")).alias("geometry_wkb_hex"),
+        "n_vertices", F.round("length_m", 3).alias("length_m"), "certainty",
+    ).orderBy("year", "cell_id", "length_m")
+
+
+def _q_shorelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector flagship as a queries() entry (rows-only check:
+    no SQL analog for marching squares)."""
+    return entry(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(driver_queries.QUERIES)
+    q["shorelines_annual"] = _q_shorelines
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(driver_queries.ORACLES)

@@ -1,0 +1,155 @@
+"""Annual composite stage: tiles -> per-(tile, year) median/std/count.
+
+Reference semantics: `tidal_composite` (coastlines/raster.py:340-405) —
+pixelwise median / std / valid-count over the year's observations, after
+the tide-range subset (`load_tidal_subset`, coastlines/raster.py:330-337).
+
+Spark plan (scale notes):
+  * caption parsing is JVM-side `from_json` -> tide filtering and the
+    per-tile tide-cutoff aggregation are pure DataFrame ops; Catalyst
+    prunes `bytes` out of the scan for the cutoff aggregation (only
+    caption columns are touched there).
+  * the pixel stack never leaves Python: ONE `applyInPandas` per
+    (tile_x, tile_y, year) group does decode -> stack -> nanmedian/std/
+    count -> float32-TIFF re-encode. Group size = obs_per_year tiles
+    (bounded memory: the dask-chunk analog, raster.py:549).
+  * `repartition` before the grouped map uses (tile_x, tile_y) so the
+    subsequent per-tile gapfill window reuses the shuffle partitioning.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+from ..codecs import image as img_codec
+from ..codecs import tiff
+
+CAPTION_SCHEMA = StructType(
+    [
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("year", IntegerType()),
+        StructField("obs", IntegerType()),
+        StructField("crs", StringType()),
+        StructField("transform", ArrayType(DoubleType())),
+        StructField("halo_px", IntegerType()),
+        StructField("tide_m", DoubleType()),
+    ]
+)
+
+COMPOSITE_SCHEMA = (
+    "tile_x int, tile_y int, year int, "
+    "mndwi_bytes binary, stdev_bytes binary, count_bytes binary, "
+    "w int, h int, transform string, halo_px int, n_obs int"
+)
+
+
+def with_caption(tiles: DataFrame) -> DataFrame:
+    """Parse the caption JSON into columns (JVM-side, no Python)."""
+    return tiles.withColumn("meta", F.from_json("caption", CAPTION_SCHEMA)).select(
+        "*",
+        F.col("meta.tile_x").alias("tile_x"),
+        F.col("meta.tile_y").alias("tile_y"),
+        F.col("meta.year").alias("year"),
+        F.col("meta.obs").alias("obs"),
+        F.col("meta.transform").alias("transform"),
+        F.col("meta.halo_px").alias("halo_px"),
+        F.col("meta.tide_m").alias("tide_m"),
+    ).drop("meta")
+
+
+def tide_filtered(tiles_meta: DataFrame) -> DataFrame:
+    """Keep observations inside the per-tile tide cutoff window.
+
+    Reference: `tide_cutoffs` centre +- 0.25*(max-min) over ALL years of a
+    tile (coastlines/raster.py:283-289), then subset + drop empty
+    timesteps (raster.py:330-337). Row-level tide makes this a pure
+    relational filter — it prunes rows BEFORE the expensive decode UDF
+    (the reference's own early-pruning optimization, SURVEY.md §4).
+    """
+    cutoffs = tiles_meta.groupBy("tile_x", "tile_y").agg(
+        ((F.min("tide_m") + F.max("tide_m")) / 2.0).alias("tide_centre"),
+        ((F.max("tide_m") - F.min("tide_m")) * 0.25).alias("tide_halfwin"),
+    )
+    return tiles_meta.join(F.broadcast(cutoffs), ["tile_x", "tile_y"]).filter(
+        (F.col("tide_m") >= F.col("tide_centre") - F.col("tide_halfwin"))
+        & (F.col("tide_m") <= F.col("tide_centre") + F.col("tide_halfwin"))
+    ).drop("tide_centre", "tide_halfwin")
+
+
+def _composite_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: one (tile, year) stack -> composite row."""
+    first = pdf.iloc[0]
+    stack = np.stack(
+        [img_codec.decode_tile(bytes(b), f) for b, f in zip(pdf["bytes"], pdf["fmt"])]
+    )
+    import warnings
+
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        med = np.nanmedian(stack, axis=0).astype(np.float32)
+        std = np.nanstd(stack, axis=0, ddof=1).astype(np.float32)
+    cnt = np.isfinite(stack).sum(axis=0).astype(np.float32)
+    return pd.DataFrame(
+        [
+            {
+                "tile_x": int(first["tile_x"]),
+                "tile_y": int(first["tile_y"]),
+                "year": int(first["year"]),
+                "mndwi_bytes": tiff.encode_f32(med),
+                "stdev_bytes": tiff.encode_f32(std),
+                "count_bytes": tiff.encode_f32(cnt),
+                "w": int(first["w"]),
+                "h": int(first["h"]),
+                "transform": json.dumps(list(first["transform"])),
+                "halo_px": int(first["halo_px"]),
+                "n_obs": len(pdf),
+            }
+        ]
+    )
+
+
+def annual_composites(tiles: DataFrame, apply_tide_filter: bool = True) -> DataFrame:
+    """tiles (input_hint schema) -> composites, one row per (tile, year)."""
+    meta = with_caption(tiles)
+    if apply_tide_filter:
+        meta = tide_filtered(meta)
+    return meta.select(
+        "tile_x", "tile_y", "year", "bytes", "fmt", "w", "h", "transform", "halo_px"
+    ).groupBy("tile_x", "tile_y", "year").applyInPandas(_composite_group, COMPOSITE_SCHEMA)
+
+
+def gapfill_composites(tiles: DataFrame, apply_tide_filter: bool = True) -> DataFrame:
+    """3-year rolling composites: the reference's gapfill stack
+    (export_annual_gapfill, coastlines/raster.py:408-501) re-expressed as
+    the shuffle-native form of a rangeBetween(-1, 1) frame — a 3-way
+    self-union keyed to (year-1, year, year+1) then one grouped map
+    (SURVEY.md §2.5). Each task holds <=3 years of one tile."""
+    meta = with_caption(tiles)
+    if apply_tide_filter:
+        meta = tide_filtered(meta)
+    narrow = meta.select(
+        "tile_x", "tile_y", "year", "bytes", "fmt", "w", "h", "transform", "halo_px"
+    )
+    shifted = None
+    for dy in (-1, 0, 1):
+        part = narrow.withColumn("target_year", (F.col("year") + F.lit(dy)).cast("int"))
+        shifted = part if shifted is None else shifted.unionByName(part)
+    # keep only target years that exist as real years (reference composites
+    # (prev, cur, next) only for produced years)
+    years = narrow.select("year").distinct().withColumnRenamed("year", "target_year")
+    shifted = shifted.join(F.broadcast(years), "target_year")
+    return (
+        shifted.drop("year")
+        .withColumnRenamed("target_year", "year")
+        .groupBy("tile_x", "tile_y", "year")
+        .applyInPandas(_composite_group, COMPOSITE_SCHEMA)
+    )

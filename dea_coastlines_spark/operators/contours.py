@@ -1,0 +1,140 @@
+"""Waterline vectorization stage: composites -> shoreline LineStrings.
+
+Reference semantics: threshold at MNDWI 0.0 + `subpixel_contours`
+(coastlines/vector.py:563-566, 1450-1456) with min_vertices=10, then
+clip to the unbuffered study cell (vector.py:1604,1658) — the halo-and-
+clip discipline that makes per-tile vectorization seamless across tile
+boundaries (raster.py:547,684-689).
+
+Spark plan: one `mapInPandas` over composite rows; each input row emits
+0..n shoreline rows (UDTF shape). Output carries the quadtree `cell_id`
+(tile assignment) so downstream joins/aggregations partition on it.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..codecs import tiff
+from ..functions import marching
+from ..geometry import algorithms as ga
+from ..geometry import wkb
+from ..index import cells
+
+SHORELINE_SCHEMA = (
+    "cell_id long, tile_x int, tile_y int, year int, "
+    "geometry binary, n_vertices int, length_m double, certainty string"
+)
+
+# cell resolution for tile assignment: cell edge 4096 m >= tile core 3840 m
+DEFAULT_CELL_RES = 11
+
+
+def _rc_to_world(pts_rc: np.ndarray, transform: list[float]) -> np.ndarray:
+    """(row, col) pixel coords -> world coords at pixel centers."""
+    a, _, c, _, e, f = transform
+    x = c + (pts_rc[:, 1] + 0.5) * a
+    y = f + (pts_rc[:, 0] + 0.5) * e
+    return np.stack([x, y], axis=1)
+
+
+def extract_shorelines_tile(
+    mndwi: np.ndarray,
+    stdev: np.ndarray | None,
+    count: np.ndarray | None,
+    transform: list[float],
+    halo_px: int,
+    level: float = 0.0,
+    min_vertices: int = 10,
+    stdev_threshold: float = 0.3,
+    count_threshold: int = 5,
+) -> list[dict]:
+    """Pure kernel: one composite tile -> shoreline pieces clipped to core.
+
+    Certainty per piece follows the reference's 3-way classification
+    (stdev > 0.3 -> 'unstable data', count < 5 -> 'insufficient data',
+    else 'good'; coastlines/vector.py:401-407), sampled at piece vertices.
+    """
+    h, w = mndwi.shape
+    a_px = transform[0]
+    core_x0 = transform[2] + halo_px * a_px
+    core_x1 = transform[2] + (w - halo_px) * a_px
+    core_y1 = transform[5] - halo_px * a_px
+    core_y0 = transform[5] - (h - halo_px) * a_px
+    out = []
+    for chain in marching.find_contours(mndwi, level, min_vertices=min_vertices):
+        world = _rc_to_world(chain, transform)
+        for piece in ga.clip_polyline_to_bbox(world, core_x0, core_y0, core_x1, core_y1):
+            if len(piece) < 2:
+                continue
+            certainty = "good"
+            if stdev is not None or count is not None:
+                # sample the certainty rasters at piece vertices
+                cols = np.clip(((piece[:, 0] - transform[2]) / a_px).astype(int), 0, w - 1)
+                rows = np.clip(((transform[5] - piece[:, 1]) / a_px).astype(int), 0, h - 1)
+                if count is not None and np.nanmedian(count[rows, cols]) < count_threshold:
+                    certainty = "insufficient data"
+                elif stdev is not None and np.nanmedian(stdev[rows, cols]) > stdev_threshold:
+                    certainty = "unstable data"
+            out.append(
+                {
+                    "geometry": wkb.linestring(piece),
+                    "n_vertices": int(len(piece)),
+                    "length_m": ga.polyline_length(piece),
+                    "certainty": certainty,
+                    "_rep_x": float(piece[:, 0].mean()),
+                    "_rep_y": float(piece[:, 1].mean()),
+                }
+            )
+    return out
+
+
+def shorelines(
+    composites: DataFrame,
+    level: float = 0.0,
+    min_vertices: int = 10,
+    cell_res: int = DEFAULT_CELL_RES,
+) -> DataFrame:
+    """Composites DF -> shoreline rows (the flagship raster->vector op)."""
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mndwi = tiff.decode_f32(bytes(r.mndwi_bytes))
+                stdev = tiff.decode_f32(bytes(r.stdev_bytes)) if r.stdev_bytes else None
+                count = tiff.decode_f32(bytes(r.count_bytes)) if r.count_bytes else None
+                transform = json.loads(r.transform)
+                for piece in extract_shorelines_tile(
+                    mndwi, stdev, count, transform, int(r.halo_px),
+                    level=level, min_vertices=min_vertices,
+                ):
+                    cell = int(
+                        cells.xy_to_cell(
+                            np.array([piece.pop("_rep_x")]),
+                            np.array([piece.pop("_rep_y")]),
+                            cell_res,
+                        )[0]
+                    )
+                    rows.append(
+                        {
+                            "cell_id": cell,
+                            "tile_x": int(r.tile_x),
+                            "tile_y": int(r.tile_y),
+                            "year": int(r.year),
+                            **piece,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "cell_id", "tile_x", "tile_y", "year",
+                    "geometry", "n_vertices", "length_m", "certainty",
+                ],
+            )
+
+    return composites.mapInPandas(extract, SHORELINE_SCHEMA)

@@ -1,0 +1,458 @@
+"""Driver-contract queries: one entry per implemented operator family.
+
+Each QUERIES[name] is (spark, sf_dir) -> DataFrame built with the
+engine's DataFrame plans; ORACLES[name] is the equivalent ANSI SQL that
+DuckDB runs on the same parquet tables. Column names/aliases match
+exactly on both sides (the driver hash-compares sorted columns).
+Floating aggregates are rounded on BOTH sides so value hashes are
+order- and ulp-insensitive.
+
+Operator coverage map (SURVEY.md §2 rows in parentheses):
+  relational aggs/filters/sorts (2.2, 2.4, 2.6), equi joins + broadcast
+  (2.3), windows (2.5), set ops (2.7), scalar string/date/math (2.8),
+  certainty-cascade CASE semantics (2.2), validation error stats (2.4),
+  regression (2.4), mode/median (2.4), spatial joins (2.3, engine ops
+  with brute-force SQL oracles), dedup/similarity/text (training-data
+  ops), raster->vector pipeline (rows-only, no SQL analog).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- aggregations
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter -> groupBy -> partial+final aggs -> sort.
+    (Reference analog: per-group median/std/count composites, §2.4.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_mode_median(spark, sf_dir):
+    """mode()/median() group aggs (validation.py:2294-2303 semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.mode("o_orderstatus").alias("status_mode"),
+            F.round(F.median("o_totalprice"), 4).alias("price_median"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORACLE_MODE_MEDIAN = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       MODE(o_orderstatus) AS status_mode,
+       ROUND(MEDIAN(o_totalprice), 4) AS price_median,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_error_stats(spark, sf_dir):
+    """Validation error stats: bias/MAE/RMSE/stdev/corr/n per group —
+    exact formulas of deacl_val_stats (validation.py:109-146), with
+    events.value as measurement and a fixed linear model as 'truth'."""
+    e = _t(spark, sf_dir, "events")
+    diff = F.col("value") - (F.col("user_id") * 0.1 + 5.0)
+    return (
+        e.withColumn("diff", diff)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("diff"), 6).alias("bias"),
+            F.round(F.avg(F.abs(F.col("diff"))), 6).alias("mae"),
+            F.round(F.sqrt(F.avg(F.pow(F.col("diff"), 2))), 6).alias("rmse"),
+            F.round(F.stddev("diff"), 6).alias("stdev"),
+            F.round(F.corr(F.col("value"), F.col("user_id").cast("double")), 6).alias("corr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ERROR_STATS = """
+WITH d AS (SELECT event_type, value, user_id,
+                  value - (user_id * 0.1 + 5.0) AS diff FROM events)
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(diff), 6) AS bias,
+       ROUND(AVG(ABS(diff)), 6) AS mae,
+       ROUND(SQRT(AVG(diff * diff)), 6) AS rmse,
+       ROUND(STDDEV_SAMP(diff), 6) AS stdev,
+       ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_regr_slope(spark, sf_dir):
+    """Built-in linear regression aggs (beach-slope analog,
+    validation.py:205-209 -> regr_slope)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("slope"),
+            F.round(F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias("intercept"),
+            F.regr_count(F.col("l_extendedprice"), F.col("l_quantity")).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_REGR = """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------- joins
+
+def q_join_star(spark, sf_dir):
+    """Star-schema chain join with broadcast dims (customer->nation->region
+    + orders fact): revenue per region/year. The reference's region-
+    attribute join analog (vector.py:1288-1289)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("region_name", "order_year")
+    )
+
+
+ORACLE_JOIN_STAR = """
+SELECT r_name AS region_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti joins (difference-overlay semantics,
+    validation.py:2189): customers with orders but no 'P' order."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    p_orders = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        with_orders.join(p_orders, with_orders.c_custkey == p_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+def q_asof_nearest_year(spark, sf_dir):
+    """Equi join on year + nearest-by-value match (k=1 ranking window) —
+    the merge(on='year') + nearest-point pattern (validation.py:2322,
+    vector.py:806-818) on scalar data: for each order, the supplier
+    whose acctbal is nearest to totalprice/1000, deterministic
+    tie-break on suppkey."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    s = _t(spark, sf_dir, "supplier")
+    j = o.crossJoin(F.broadcast(s)).withColumn(
+        "dist", F.round(F.abs(F.col("s_acctbal") - F.col("o_totalprice") / 1000.0), 6)
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("dist").asc(), F.col("s_suppkey").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "s_suppkey", "dist")
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_ASOF = """
+WITH j AS (
+  SELECT o_orderkey, s_suppkey,
+         ROUND(ABS(s_acctbal - o_totalprice / 1000.0), 6) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                            ORDER BY ABS(s_acctbal - o_totalprice / 1000.0), s_suppkey) AS rn
+  FROM orders CROSS JOIN supplier WHERE o_orderkey < 200)
+SELECT o_orderkey, s_suppkey, dist FROM j WHERE rn = 1 ORDER BY o_orderkey
+"""
+
+
+# -------------------------------------------------------------------- windows
+
+def q_window_running(spark, sf_dir):
+    """Running sum + lag over event time per user (§2.5 windows; the
+    3-year-gapfill/diff-over-runs analogs)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("running_value"),
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+        F.row_number().over(w).alias("seq"),
+    ).orderBy("user_id", "seq")
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+       ROUND(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events WHERE user_id < 10 ORDER BY user_id, seq
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 rows per group by ranking window (kNN k-ranking idiom,
+    §2.5/§2.6; min_by/max_by argmin analog)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", F.round("value", 4).alias("value"))
+        .orderBy("event_type", "rnk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+WITH r AS (SELECT event_type, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS rnk
+           FROM events)
+SELECT event_type, rnk, event_id, ROUND(value, 4) AS value
+FROM r WHERE rnk <= 3 ORDER BY event_type, rnk
+"""
+
+
+# ------------------------------------------------------------------- set ops
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT/UNION over key sets (§2.7): parts that appear in
+    lineitems of 'A' flag but never 'R' flag, unioned with a fixed probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    n = li.filter(F.col("l_returnflag") == "N").select(F.col("l_partkey").alias("partkey"))
+    return (
+        a.intersect(n).exceptAll(r.distinct()).distinct().orderBy("partkey")
+    )
+
+
+ORACLE_SET_OPS = """
+SELECT DISTINCT partkey FROM (
+  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+) EXCEPT (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+ORDER BY partkey
+"""
+
+
+# ------------------------------------------------------------ scalar functions
+
+def q_scalar_funcs(spark, sf_dir):
+    """String/date/math scalar coverage (§2.8): substring/split/contains/
+    concat_ws/regexp_extract/year/round/abs/pmod — the filename-year
+    parse (vector.py:129) and outlier-string idioms (vector.py:1041)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"(\d+)", 1).alias("first_num"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dev"),
+        F.pmod(F.col("p_size"), F.lit(7)).alias("size_mod7"),
+    ).orderBy("p_partkey")
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT p_partkey,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       UPPER(p_brand) AS brand_upper,
+       LEN(STRING_SPLIT(p_type, ' ')) AS type_words,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       COALESCE(REGEXP_EXTRACT(p_name, '(\\d+)', 1), '') AS first_num,
+       CONTAINS(p_type, 'BRASS') AS is_brass,
+       ROUND(ABS(p_retailprice - 1000.0), 2) AS price_dev,
+       p_size % 7 AS size_mod7
+FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+"""
+
+
+def q_certainty_cascade(spark, sf_dir):
+    """Sequential-overwrite CASE cascade where LATER rules win (the
+    reference applies flags in order, vector.py:1549-1580 — replicated
+    by evaluating the cascade in REVERSE priority as a first-match CASE)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 400000, "extreme value")
+            .when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+            .when(F.year("o_orderdate").isin(1996, 1997), "aerosol issues")
+            .otherwise("good")
+            .alias("certainty"),
+        )
+        .groupBy("certainty")
+        .agg(F.count("*").alias("n"))
+        .orderBy("certainty")
+    )
+
+
+ORACLE_CERTAINTY = """
+SELECT CASE WHEN o_totalprice > 400000 THEN 'extreme value'
+            WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+            WHEN EXTRACT(year FROM o_orderdate) IN (1996, 1997) THEN 'aerosol issues'
+            ELSE 'good' END AS certainty,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_conditional_coalesce(spark, sf_dir):
+    """The count>5 -> annual else gapfill coalesce (vector.py:557-561) as
+    a join + conditional select between two 'tables'."""
+    li = _t(spark, sf_dir, "lineitem")
+    annual = li.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), F.round(F.avg("l_quantity"), 6).alias("qty_annual")
+    )
+    gapfill = li.groupBy("l_partkey").agg(
+        F.round(F.avg(F.col("l_quantity") * 0.5 + 10.0), 6).alias("qty_gapfill")
+    )
+    return (
+        annual.join(gapfill, "l_partkey")
+        .select(
+            "l_partkey",
+            F.when(F.col("cnt") > 5, F.col("qty_annual")).otherwise(F.col("qty_gapfill")).alias("qty"),
+            (F.col("cnt") > 5).alias("used_annual"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_COALESCE = """
+WITH annual AS (SELECT l_partkey, COUNT(*) AS cnt,
+                       ROUND(AVG(l_quantity), 6) AS qty_annual
+                FROM lineitem GROUP BY l_partkey),
+     gapfill AS (SELECT l_partkey,
+                        ROUND(AVG(l_quantity * 0.5 + 10.0), 6) AS qty_gapfill
+                 FROM lineitem GROUP BY l_partkey)
+SELECT annual.l_partkey,
+       CASE WHEN cnt > 5 THEN qty_annual ELSE qty_gapfill END AS qty,
+       cnt > 5 AS used_annual
+FROM annual JOIN gapfill ON annual.l_partkey = gapfill.l_partkey
+ORDER BY annual.l_partkey
+"""
+
+
+def q_top1_crs_vote(spark, sf_dir):
+    """most_common(1) vote (raster.py:197-201): modal event_type overall,
+    deterministic tie-break on name."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(1)
+    )
+
+
+ORACLE_TOP1_VOTE = """
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 1
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "mode_median": q_mode_median,
+    "error_stats": q_error_stats,
+    "regr_slope": q_regr_slope,
+    "join_star": q_join_star,
+    "semi_anti_join": q_semi_anti_join,
+    "asof_nearest": q_asof_nearest_year,
+    "window_running": q_window_running,
+    "topk_per_group": q_topk_per_group,
+    "set_ops": q_set_ops,
+    "scalar_funcs": q_scalar_funcs,
+    "certainty_cascade": q_certainty_cascade,
+    "conditional_coalesce": q_conditional_coalesce,
+    "top1_crs_vote": q_top1_crs_vote,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "mode_median": ORACLE_MODE_MEDIAN,
+    "error_stats": ORACLE_ERROR_STATS,
+    "regr_slope": ORACLE_REGR,
+    "join_star": ORACLE_JOIN_STAR,
+    "semi_anti_join": ORACLE_SEMI_ANTI,
+    "asof_nearest": ORACLE_ASOF,
+    "window_running": ORACLE_WINDOW_RUNNING,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "set_ops": ORACLE_SET_OPS,
+    "scalar_funcs": ORACLE_SCALAR_FUNCS,
+    "certainty_cascade": ORACLE_CERTAINTY,
+    "conditional_coalesce": ORACLE_COALESCE,
+    "top1_crs_vote": ORACLE_TOP1_VOTE,
+}

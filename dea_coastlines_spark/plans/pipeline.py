@@ -1,0 +1,35 @@
+"""End-to-end shoreline pipeline plan (the flagship query).
+
+tiles (input_hint schema)
+  -> caption parse (JVM from_json)
+  -> tide-window row filter           (raster.py:330-337 semantics)
+  -> per-(tile, year) composite       (raster.py:379-384; one grouped map)
+  -> marching-squares vectorization   (vector.py:1450-1456; one mapInPandas)
+  -> shoreline rows (cell_id, year, WKB, certainty)
+
+Two Python stages total, everything between them is Catalyst-optimized
+DataFrame ops. At 100 TB the plan shape is: parquet/Iceberg scan with
+(cell, year) partition pruning -> broadcast join of tide cutoffs ->
+shuffle on (tile_x, tile_y, year) -> grouped map -> narrow mapInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators import composite as comp_op
+from ..operators import contours as cont_op
+
+
+def shoreline_pipeline(
+    tiles: DataFrame,
+    apply_tide_filter: bool = True,
+    gapfill: bool = False,
+    min_vertices: int = 10,
+) -> DataFrame:
+    comps = (
+        comp_op.gapfill_composites(tiles, apply_tide_filter)
+        if gapfill
+        else comp_op.annual_composites(tiles, apply_tide_filter)
+    )
+    return cont_op.shorelines(comps, min_vertices=min_vertices)

@@ -1,0 +1,148 @@
+"""End-to-end pipeline tests: synthetic corpus -> composites -> shorelines,
+with closed-form oracles (the analytic coastline). Mirrors the reference's
+dependency-ordered integration chain (tests/test_coastline.py) but asserts
+numeric parity, not exit codes (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from dea_coastlines_spark.codecs import image as img_codec
+from dea_coastlines_spark.codecs import tiff
+from dea_coastlines_spark.geometry import wkb
+from dea_coastlines_spark.operators import composite as comp_op
+from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
+from dea_coastlines_spark.synth import corpus
+
+SPEC = corpus.CorpusSpec(
+    tile_px=96, halo_px=6, tiles_x=3, tiles_y=2,
+    year0=2000, year1=2002, obs_per_year=5, cloud_frac=0.04, seed=7,
+)
+
+
+@pytest.fixture(scope="module")
+def tiles_df(spark):
+    df = spark.createDataFrame(corpus.generate_pandas(SPEC))
+    df.cache().count()
+    return df
+
+
+def test_corpus_row_invariant(tiles_df):
+    """Per-row invariant (BASELINE.json input_hint): decoded pixels
+    allclose + PSNR>=40dB + caption equality + phash match."""
+    rows = tiles_df.limit(10).collect()
+    for r in rows:
+        meta = json.loads(r.caption)
+        arr = img_codec.decode_tile(bytes(r.bytes), r.fmt)
+        ref, tide = corpus.make_tile(SPEC, meta["tile_x"], meta["tile_y"], meta["year"], meta["obs"])
+        assert arr.shape == (r.h, r.w)
+        assert np.array_equal(np.isnan(arr), np.isnan(ref))
+        assert np.allclose(arr[~np.isnan(arr)], ref[~np.isnan(ref)], atol=2e-4)
+        assert img_codec.psnr(ref, arr) >= 40.0
+        assert img_codec.phash64(arr) == r.phash
+        assert meta["tide_m"] == round(tide, 4)
+
+
+def test_spark_generator_matches_pandas(spark, tiles_df):
+    dist = corpus.generate_spark(spark, SPEC).toPandas().set_index("image_id").sort_index()
+    local = corpus.generate_pandas(SPEC).set_index("image_id").sort_index()
+    assert list(dist.index) == list(local.index)
+    assert all(bytes(a) == bytes(b) for a, b in zip(dist["bytes"], local["bytes"]))
+    assert dist["phash"].tolist() == local["phash"].tolist()
+    assert dist["caption"].tolist() == local["caption"].tolist()
+
+
+def test_composite_matches_numpy_oracle(tiles_df):
+    comps = comp_op.annual_composites(tiles_df, apply_tide_filter=False).toPandas()
+    assert len(comps) == SPEC.tiles_x * SPEC.tiles_y * len(SPEC.years)
+    row = comps[(comps.tile_x == 1) & (comps.tile_y == 0) & (comps.year == 2001)].iloc[0]
+    stack = np.stack([corpus.make_tile(SPEC, 1, 0, 2001, o)[0] for o in range(SPEC.obs_per_year)])
+    med = tiff.decode_f32(bytes(row.mndwi_bytes))
+    want = np.nanmedian(stack, axis=0)
+    # atol = PNG 16-bit quantization step (2/65534 ~= 3.1e-5)
+    assert np.allclose(
+        med[~np.isnan(want)], want[~np.isnan(want)], atol=2e-4, equal_nan=True
+    )
+    cnt = tiff.decode_f32(bytes(row.count_bytes))
+    assert np.array_equal(cnt, np.isfinite(stack).sum(axis=0).astype(np.float32))
+    assert row.n_obs == SPEC.obs_per_year
+
+
+def test_tide_filter_prunes_rows(tiles_df):
+    meta = comp_op.with_caption(tiles_df)
+    kept = comp_op.tide_filtered(meta)
+    n_all, n_kept = meta.count(), kept.count()
+    assert 0 < n_kept < n_all
+    # every kept obs is inside the per-tile window (oracle recompute)
+    pdf = kept.select("tile_x", "tile_y", "tide_m").toPandas()
+    allm = meta.select("tile_x", "tile_y", "tide_m").toPandas()
+    for (tx, ty), grp in allm.groupby(["tile_x", "tile_y"]):
+        lo = grp.tide_m.min(); hi = grp.tide_m.max()
+        centre, half = (lo + hi) / 2, (hi - lo) * 0.25
+        got = pdf[(pdf.tile_x == tx) & (pdf.tile_y == ty)].tide_m
+        assert ((got >= centre - half - 1e-9) & (got <= centre + half + 1e-9)).all()
+
+
+def test_shorelines_match_analytic_coast(tiles_df):
+    """Extracted waterline should sit within ~1 pixel of the analytic
+    median shoreline (noise sd 0.08 over tanh ramp; median of 2-3 obs)."""
+    sl = shoreline_pipeline(tiles_df, apply_tide_filter=True).toPandas()
+    assert len(sl) > 0
+    # min_vertices=10 applies to the extracted contour PRE-clip (reference:
+    # subpixel_contours drops short contours before the study-area clip,
+    # vector.py:1450-1456 then :1604) — clipped pieces may be shorter.
+    assert (sl.n_vertices >= 2).all()
+    # per year: all vertices near the analytic coast at median kept tide
+    meta = comp_op.tide_filtered(comp_op.with_caption(tiles_df)).select(
+        "year", "tide_m").toPandas()
+    for year, grp in sl.groupby("year"):
+        tide_med = float(meta[meta.year == year].tide_m.median())
+        verts = np.vstack([wkb.coords_of(bytes(g)) for g in grp.geometry])
+        expect = corpus.y_coast(SPEC, verts[:, 0], int(year), tide_med)
+        err = np.abs(verts[:, 1] - expect)
+        assert np.median(err) < SPEC.res_m  # subpixel-ish in median
+        assert np.percentile(err, 95) < 3 * SPEC.res_m
+
+
+def test_shorelines_seamless_across_tiles(tiles_df):
+    """Halo+clip discipline: contour pieces from adjacent tiles must meet
+    at tile boundaries (endpoints coincide) — the reference's buffer+clip
+    semantics (raster.py:684-689)."""
+    sl = shoreline_pipeline(tiles_df, apply_tide_filter=True).toPandas()
+    year = int(sl.year.iloc[0])
+    g = sl[sl.year == year]
+    # boundary x between tile 0 and 1
+    bx = SPEC.tile_core_bounds(0, 0)[2]
+    left_ends, right_ends = [], []
+    for _, r in g.iterrows():
+        c = wkb.coords_of(bytes(r.geometry))
+        for p in (c[0], c[-1]):
+            if abs(p[0] - bx) < 1e-6:
+                (left_ends if r.tile_x == 0 else right_ends).append(p)
+    assert left_ends and right_ends
+    left_ends = np.array(left_ends); right_ends = np.array(right_ends)
+    for p in left_ends:
+        d = np.hypot(right_ends[:, 0] - p[0], right_ends[:, 1] - p[1]).min()
+        assert d < 1e-3  # metres; endpoints coincide
+
+
+def test_gapfill_composites_window(tiles_df):
+    gf = comp_op.gapfill_composites(tiles_df, apply_tide_filter=False).toPandas()
+    assert len(gf) == SPEC.tiles_x * SPEC.tiles_y * len(SPEC.years)
+    # middle year uses 3x the obs of a single year
+    mid = gf[(gf.tile_x == 0) & (gf.tile_y == 0) & (gf.year == 2001)].iloc[0]
+    assert mid.n_obs == 3 * SPEC.obs_per_year
+    edge = gf[(gf.tile_x == 0) & (gf.tile_y == 0) & (gf.year == 2000)].iloc[0]
+    assert edge.n_obs == 2 * SPEC.obs_per_year
+    # oracle: 3-year nanmedian for the middle year
+    stack = np.stack([
+        corpus.make_tile(SPEC, 0, 0, y, o)[0]
+        for y in (2000, 2001, 2002) for o in range(SPEC.obs_per_year)
+    ])
+    want = np.nanmedian(stack, axis=0)
+    got = tiff.decode_f32(bytes(mid.mndwi_bytes))
+    ok = ~np.isnan(want)
+    assert np.allclose(got[ok], want[ok], atol=2e-4)
