@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "tiles_per_sec": ...}
+
+The tile pipeline is benched against a pre-written parquet tile corpus
+(synthesis is setup, untimed) so the measured number is the engine's
+spatial-join + waterline-vectorization throughput (BASELINE.json metric),
+not the data generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_tiles = os.environ.get("SPARK_GRAFT_BENCH_TILES", "1") != "0"
+
+    from dea_coastlines_spark.plans import driver_queries
+    from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
+    from dea_coastlines_spark.session import get_spark
+    from dea_coastlines_spark.synth import corpus
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    times: dict[str, float] = {}
+
+    # ---- relational headline queries on the driver's parquet tables
+    names = [
+        "pricing_summary", "join_star", "semi_anti_join", "window_running",
+        "topk_per_group", "set_ops", "error_stats", "regr_slope",
+        "mode_median", "certainty_cascade", "conditional_coalesce",
+        "asof_nearest", "scalar_funcs", "top1_crs_vote",
+    ]
+    for name in names:
+        fn = driver_queries.QUERIES[name]
+        fn(spark, sf_dir).count()  # warm (plan + scan caches)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    tiles_per_sec = None
+    if bench_tiles:
+        # ---- tile pipeline: synth -> parquet (setup), then timed run
+        spec = corpus.CorpusSpec(
+            tile_px=128, halo_px=8, tiles_x=8, tiles_y=2,
+            year0=2000, year1=2005, obs_per_year=5, cloud_frac=0.05, seed=11,
+        )
+        n_tiles = spec.tiles_x * spec.tiles_y * len(spec.years) * spec.obs_per_year
+        tmp = tempfile.mkdtemp(prefix="bench_tiles_")
+        try:
+            corpus.generate_spark(spark, spec).write.mode("overwrite").parquet(f"{tmp}/tiles")
+            tiles = spark.read.parquet(f"{tmp}/tiles")
+            t0 = time.perf_counter()
+            shoreline_pipeline(tiles, apply_tide_filter=True).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dt = time.perf_counter() - t0
+            times["shoreline_pipeline"] = round(dt, 3)
+            tiles_per_sec = round(n_tiles / dt, 2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "tiles_per_sec": tiles_per_sec,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
