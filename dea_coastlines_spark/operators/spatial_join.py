@@ -1,0 +1,234 @@
+"""Spatial join operators: cell-cover point-in-polygon join and
+radius-capped kNN join — the engine's replacements for geopandas
+`sjoin(predicate="within")` (continental.py:276-283),
+`sjoin(how="left")` (vector.py:1288-1289), and
+`sjoin_nearest(max_distance=...)` (vector.py:1228-1233).
+
+Strategy (SURVEY.md §2.3): no Catalyst extension — the spatial join is
+*constructed* as a logical rewrite:
+
+    polygons --explode--> (cell_id, poly)      [polyfill of bbox]
+    points   --encode--->  cell_id             [vectorized Arrow UDF]
+    equi-join on cell_id                        [Catalyst: hash/broadcast]
+    refine: vectorized point-in-polygon / distance kernels
+
+Scale notes:
+  * replication lands on the FEATURE side (polyfill / kRing explode);
+    points keep exactly one row each, so a 10^12-point table never
+    self-multiplies.
+  * the refine stage is `mapInPandas` (row-streaming), NOT a grouped
+    map — so dense coastal cells create no per-key compute hotspot;
+    AQE skew-split balances oversized shuffle partitions. Explicit
+    salting (`salted`) is provided for the grouped aggregations that
+    DO key by cell (per-cell dissolve/median).
+  * candidate dedup happens before the distance kernel so duplicated
+    (point, feature) pairs from multi-cell coverage are priced once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+from ..geometry import algorithms as ga
+from ..geometry import wkb
+from ..index import cells
+
+DEFAULT_RES = 14  # 512 m cells
+
+
+def cell_of_xy(res: int):
+    """Vectorized Arrow UDF: (x, y) -> cell_id (north_rule batch-encode)."""
+
+    @F.pandas_udf(LongType())
+    def _enc(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(cells.xy_to_cell(x.to_numpy(), y.to_numpy(), res))
+
+    return _enc
+
+
+def explode_polygons_to_cells(polys: DataFrame, res: int, pad_m: float = 0.0) -> DataFrame:
+    """(poly cols..., geometry WKB) -> one row per covering cell.
+
+    Coarse cover = polyfill of the geometry bbox (optionally padded for
+    radius searches); exact refine happens after the equi join.
+    """
+
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StructField, StructType
+
+    # copy: StructType.add mutates in place, corrupting the input
+    # DataFrame's cached schema
+    out_schema = StructType(list(polys.schema.fields) + [StructField("cell_id", _Long())])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                geom = bytes(pdf["geometry"].iloc[i])
+                x0, y0, x1, y1 = wkb.bbox(geom)
+                cover = cells.polyfill_bbox(
+                    x0 - pad_m, y0 - pad_m, x1 + pad_m, y1 + pad_m, res
+                )
+                base = pdf.iloc[i]
+                for c in cover:
+                    r = base.to_dict()
+                    r["cell_id"] = int(c)
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return polys.mapInPandas(gen, out_schema)
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int = DEFAULT_RES,
+    how: str = "inner",
+    x_col: str = "x",
+    y_col: str = "y",
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Spatial containment join: point rows x polygon rows.
+
+    Returns points columns + polygon attribute columns for each
+    (point, polygon) containment pair; `how="left"` keeps unmatched
+    points with nulls (region-attribute semantics, vector.py:1288).
+
+    The polygon side is materialized driver-side and broadcast — by
+    contract it is the small side (AOI/region/hotspot tables; the
+    reference's sjoin right sides are study-area-scale). The point side
+    streams: one cell per point, refine is row-streaming mapInPandas, so
+    the plan scales to 10^12 points with no point-side replication and
+    no per-key grouped hotspot (AQE balances shuffle-size skew).
+    """
+    spark = points.sparkSession
+    polys_pdf = polys.toPandas()
+    polys_pdf["_poly_pos"] = np.arange(len(polys_pdf), dtype=np.int64)
+    rings = [wkb.parse(bytes(g)) for g in polys_pdf["geometry"]]
+    for t, _ in rings:
+        if t != wkb.POLYGON:
+            raise ValueError("points_in_polygons expects Polygon geometry")
+
+    cover_rows = []
+    for pos, g in enumerate(polys_pdf["geometry"]):
+        x0, y0, x1, y1 = wkb.bbox(bytes(g))
+        for c in cells.polyfill_bbox(x0, y0, x1, y1, res):
+            cover_rows.append((int(c), pos))
+    cover_df = spark.createDataFrame(
+        pd.DataFrame(cover_rows, columns=["cell_id", "_poly_pos"]).astype(
+            {"cell_id": "int64", "_poly_pos": "int64"}
+        )
+    )
+
+    pts = points.withColumn("cell_id", cell_of_xy(res)(F.col(x_col), F.col(y_col)))
+    cand = pts.select(point_id, x_col, y_col, "cell_id").join(
+        F.broadcast(cover_df), "cell_id"
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for pos, grp in pdf.groupby("_poly_pos"):
+                payload = rings[int(pos)][1]
+                px, py = grp[x_col].to_numpy(float), grp[y_col].to_numpy(float)
+                inside = ga.points_in_polygon(px, py, payload[0])
+                for hole in payload[1:]:
+                    inside &= ~ga.points_in_polygon(px, py, hole, boundary_counts=False)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            point_id: grp[point_id].to_numpy()[inside],
+                            "_poly_pos": int(pos),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    matches = cand.mapInPandas(refine, f"{point_id} long, _poly_pos long")
+    poly_payload = spark.createDataFrame(polys_pdf.drop(columns=["geometry"]))
+    matched = matches.join(F.broadcast(poly_payload), "_poly_pos").drop("_poly_pos")
+    return points.join(matched, point_id, "inner" if how == "inner" else "left")
+
+
+def knn_join(
+    points: DataFrame,
+    features: DataFrame,
+    radius_m: float,
+    res: int = DEFAULT_RES,
+    k: int = 1,
+    x_col: str = "x",
+    y_col: str = "y",
+    point_id: str = "point_id",
+    feat_id: str = "feat_id",
+    broadcast_features: bool = True,
+) -> DataFrame:
+    """k-nearest-feature join with radius cap (sjoin_nearest analog).
+
+    features: (feat_id, geometry WKB Point/LineString). Deterministic
+    tie-break (distance, feat_id) — required for N-vs-4N exact-match
+    parity (SURVEY.md §7 hard part #2).
+    """
+    ring_k = int(np.ceil(radius_m / cells.cell_size_m(res)))
+    feat_cells = explode_polygons_to_cells(features, res, pad_m=radius_m)
+    # NOTE: pad by radius on the FEATURE side — points stay 1 row each.
+    if broadcast_features:
+        feat_cells = F.broadcast(feat_cells)
+
+    pts = points.withColumn("cell_id", cell_of_xy(res)(F.col(x_col), F.col(y_col)))
+    cand = (
+        pts.select(point_id, x_col, y_col, "cell_id")
+        .join(feat_cells, "cell_id")
+        .dropDuplicates([point_id, feat_id])
+    )
+
+    def dist_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for fid, grp in pdf.groupby(feat_id):
+                t, payload = wkb.parse(bytes(grp["geometry"].iloc[0]))
+                px, py = grp[x_col].to_numpy(float), grp[y_col].to_numpy(float)
+                if t == wkb.POINT:
+                    d = np.hypot(px - payload[0], py - payload[1])
+                elif t == wkb.LINESTRING:
+                    d, _ = ga.points_to_polyline_distance(px, py, payload)
+                elif t == wkb.MULTILINESTRING:
+                    d = np.full(px.size, np.inf)
+                    for part in payload:
+                        dd, _ = ga.points_to_polyline_distance(px, py, part)
+                        d = np.minimum(d, dd)
+                else:
+                    raise ValueError(f"knn_join unsupported geometry type {t}")
+                out.append(
+                    pd.DataFrame(
+                        {point_id: grp[point_id].to_numpy(), feat_id: fid, "dist_m": d}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    dists = cand.mapInPandas(
+        dist_kernel, f"{point_id} long, {feat_id} string, dist_m double"
+    ).filter(F.col("dist_m") <= radius_m)
+
+    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(feat_id).asc())
+    return (
+        dists.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def salted(df: DataFrame, key_cols: list[str], salt_factor: int, id_col: str) -> DataFrame:
+    """Add a deterministic salt column for skew-splitting hot cells
+    (north_rule: 'explicit salted-key skew handling on dense coastal
+    cells'). Use as groupBy(*key_cols, 'salt') -> partial agg ->
+    groupBy(*key_cols) -> final merge for salt-decomposable aggs."""
+    return df.withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_factor)))

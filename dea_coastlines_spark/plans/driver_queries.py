@@ -423,6 +423,134 @@ GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 1
 """
 
 
+# ------------------------------------------------------------- spatial joins
+# Points derived deterministically from `events` (x = value*40,
+# y = (user_id % 50)*400 -> plane ~[0, 22400] x [0, 19600]); the Spark side
+# runs the ENGINE's cell-cover / kNN operators, the oracle brute-forces the
+# same semantics in SQL. This gives the driver hash-verified evidence for
+# the north-rule spatial ops on its own tables.
+
+_PIP_RECTS = [
+    # (poly_id, xmin, ymin, xmax, ymax)
+    ("ra", 1000.0, 1000.0, 9000.0, 9000.0),
+    ("rb", 8000.0, 10000.0, 20000.0, 18000.0),
+    ("rc", 15000.0, 0.0, 22000.0, 6000.0),
+]
+
+_ANCHORS = [
+    ("a0", 2000.0, 2000.0), ("a1", 6000.0, 14000.0), ("a2", 11000.0, 5000.0),
+    ("a3", 16000.0, 16000.0), ("a4", 20000.0, 2000.0), ("a5", 1000.0, 18000.0),
+    ("a6", 9000.0, 9000.0), ("a7", 14000.0, 11000.0),
+]
+
+
+def _event_points(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("point_id"),
+        (F.col("value") * 40.0).alias("x"),
+        ((F.col("user_id") % 50) * 400.0).cast("double").alias("y"),
+    )
+
+
+def q_spatial_pip_join(spark, sf_dir):
+    """Cell-cover point-in-polygon join (sjoin(within) analog,
+    continental.py:276-283) via the engine operator; oracle = SQL range
+    predicates (rectangles make containment SQL-expressible)."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators import spatial_join as _sj
+
+    pts = _event_points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [r[0] for r in _PIP_RECTS],
+                "geometry": [
+                    _wkb.polygon(
+                        [[r[1], r[2]], [r[3], r[2]], [r[3], r[4]], [r[1], r[4]]]
+                    )
+                    for r in _PIP_RECTS
+                ],
+            }
+        )
+    )
+    joined = _sj.points_in_polygons(pts, polys, res=12, how="inner")
+    return (
+        joined.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sum("x"), 3).alias("sum_x"),
+            F.round(F.sum("y"), 3).alias("sum_y"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+ORACLE_SPATIAL_PIP = """
+WITH pts AS (SELECT event_id AS point_id, value * 40.0 AS x,
+                    CAST((user_id % 50) * 400.0 AS DOUBLE) AS y FROM events),
+     rects(poly_id, xmin, ymin, xmax, ymax) AS (VALUES
+       ('ra', 1000.0, 1000.0, 9000.0, 9000.0),
+       ('rb', 8000.0, 10000.0, 20000.0, 18000.0),
+       ('rc', 15000.0, 0.0, 22000.0, 6000.0))
+SELECT poly_id, COUNT(*) AS n_points,
+       ROUND(SUM(x), 3) AS sum_x, ROUND(SUM(y), 3) AS sum_y
+FROM pts JOIN rects
+  ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
+GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+def q_knn_anchor_join(spark, sf_dir):
+    """Radius-capped kNN join (sjoin_nearest analog, vector.py:1228-1233)
+    via the engine's kRing-bucketed operator; oracle = brute-force cross
+    join + ranking window."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators import spatial_join as _sj
+
+    pts = _event_points(spark, sf_dir)
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feat_id": [a[0] for a in _ANCHORS],
+                "geometry": [_wkb.point(a[1], a[2]) for a in _ANCHORS],
+            }
+        )
+    )
+    knn = _sj.knn_join(pts, feats, radius_m=5000.0, res=12, k=1)
+    return (
+        knn.groupBy("feat_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("dist_m"), 4).alias("avg_dist"),
+            F.round(F.max("dist_m"), 4).alias("max_dist"),
+        )
+        .orderBy("feat_id")
+    )
+
+
+ORACLE_KNN_ANCHOR = """
+WITH pts AS (SELECT event_id AS point_id, value * 40.0 AS x,
+                    CAST((user_id % 50) * 400.0 AS DOUBLE) AS y FROM events),
+     anchors(feat_id, ax, ay) AS (VALUES
+       ('a0', 2000.0, 2000.0), ('a1', 6000.0, 14000.0), ('a2', 11000.0, 5000.0),
+       ('a3', 16000.0, 16000.0), ('a4', 20000.0, 2000.0), ('a5', 1000.0, 18000.0),
+       ('a6', 9000.0, 9000.0), ('a7', 14000.0, 11000.0)),
+     d AS (SELECT point_id, feat_id, SQRT((x-ax)*(x-ax) + (y-ay)*(y-ay)) AS dist_m,
+                  ROW_NUMBER() OVER (PARTITION BY point_id
+                                     ORDER BY SQRT((x-ax)*(x-ax) + (y-ay)*(y-ay)), feat_id) AS rn
+           FROM pts CROSS JOIN anchors)
+SELECT feat_id, COUNT(*) AS n_points,
+       ROUND(AVG(dist_m), 4) AS avg_dist, ROUND(MAX(dist_m), 4) AS max_dist
+FROM d WHERE rn = 1 AND dist_m <= 5000.0
+GROUP BY feat_id ORDER BY feat_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -438,6 +566,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "certainty_cascade": q_certainty_cascade,
     "conditional_coalesce": q_conditional_coalesce,
     "top1_crs_vote": q_top1_crs_vote,
+    "spatial_pip_join": q_spatial_pip_join,
+    "knn_anchor_join": q_knn_anchor_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -455,4 +585,6 @@ ORACLES: dict[str, str] = {
     "certainty_cascade": ORACLE_CERTAINTY,
     "conditional_coalesce": ORACLE_COALESCE,
     "top1_crs_vote": ORACLE_TOP1_VOTE,
+    "spatial_pip_join": ORACLE_SPATIAL_PIP,
+    "knn_anchor_join": ORACLE_KNN_ANCHOR,
 }
