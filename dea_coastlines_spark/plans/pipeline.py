@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 
 from ..operators import composite as comp_op
 from ..operators import contours as cont_op
+from ..operators import masking as mask_op
 
 
 def shoreline_pipeline(
@@ -33,3 +34,18 @@ def shoreline_pipeline(
         else comp_op.annual_composites(tiles, apply_tide_filter)
     )
     return cont_op.shorelines(comps, min_vertices=min_vertices)
+
+
+def masked_shoreline_pipeline(
+    tiles: DataFrame,
+    apply_tide_filter: bool = True,
+    min_vertices: int = 10,
+) -> DataFrame:
+    """Full reference-parity path: annual + gapfill composites ->
+    contours_preprocess masking (vector.py:476-697) -> vectorization.
+    One extra shuffle vs the plain path: the per-tile grouped masking
+    (cross-year steps force grouping by tile)."""
+    annual = comp_op.annual_composites(tiles, apply_tide_filter)
+    gapfill_df = comp_op.gapfill_composites(tiles, apply_tide_filter)
+    masked = mask_op.masked_composites(annual, gapfill_df)
+    return cont_op.shorelines(masked, min_vertices=min_vertices)
