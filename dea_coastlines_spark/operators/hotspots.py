@@ -1,0 +1,116 @@
+"""Continental hotspots stage (coastlines/continental.py:262-331):
+moving-window coastal-change summary points.
+
+Reference flow per radius r in {10000, 5000, 1000}:
+  centers = points_on_line(shorelines[baseline], spacing=r/2)   :265-269
+  buffer(r) + sjoin(within) rate points                         :272-283
+  groupby(center).median() of annual distances                  :276-287
+  change_regress on the median dists -> rate/sig/se/outliers    :294-304
+  n = points in buffer; n < r/30 -> 'insufficient points'       :319-323
+  geohash uid precision 11                                      :326-331
+
+Spark shape: the buffer+sjoin is the engine's radius_join (distance <=
+r == containment in the disc buffer — no polygon materialization); the
+median is an exact groupBy(center, year) median over the long dist
+table (salt-decomposition does not apply to medians — SURVEY.md §7 hard
+part #3 — so the unsalted key is used and AQE handles shuffle skew);
+the regression is the same grouped-map UDAF as the rates stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import stats
+from ..index.geohash import geohash_encode
+from . import rates as rates_op
+from .spatial_join import radius_join
+
+HOTSPOT_SCHEMA = (
+    "hotspot_id long, x double, y double, uid string, "
+    "rate_time double, incpt_time double, sig_time double, se_time double, "
+    "outl_time string, n int, radius_m double"
+)
+
+
+def hotspots(
+    shorelines: DataFrame,
+    rate_points: DataFrame,
+    signed_dists: DataFrame,
+    baseline_year: int,
+    radius_m: float,
+) -> DataFrame:
+    """shorelines + rates points + long signed distances -> hotspot rows."""
+    centers = rates_op.baseline_points(
+        shorelines, baseline_year, spacing=radius_m / 2.0
+    ).select(
+        F.col("point_id").alias("hotspot_id"),
+        F.col("x").alias("hx"),
+        F.col("y").alias("hy"),
+    )
+
+    # disc containment join: rate points within radius of each center.
+    # feature side = centers (smaller than the 30 m point set).
+    from ..geometry import wkb as _wkb
+
+    centers_pdf = centers.toPandas()
+    centers_feat = centers.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "feat_id": centers_pdf["hotspot_id"].astype(str),
+                "geometry": [
+                    _wkb.point(x, y) for x, y in zip(centers_pdf.hx, centers_pdf.hy)
+                ],
+            }
+        )
+    )
+    pairs = radius_join(
+        rate_points.select("point_id", "x", "y"),
+        centers_feat,
+        radius_m=radius_m,
+    ).select("point_id", F.col("feat_id").cast("long").alias("hotspot_id"))
+
+    # per (hotspot, year): exact median of member-point signed distances
+    med = (
+        pairs.join(signed_dists.select("point_id", "year", "dist"), "point_id")
+        .groupBy("hotspot_id", "year")
+        .agg(F.median("dist").alias("med_dist"))
+    )
+    n_points = pairs.groupBy("hotspot_id").agg(
+        F.countDistinct("point_id").alias("n")
+    )
+
+    center_xy = centers.withColumnRenamed("hx", "x").withColumnRenamed("hy", "y")
+    grouped = med.join(F.broadcast(center_xy), "hotspot_id").join(
+        F.broadcast(n_points), "hotspot_id"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("year")
+        years = pdf["year"].to_numpy(np.int64)
+        dists = pdf["med_dist"].to_numpy(float)
+        reg = stats.change_regress(dists, years, years)
+        x, y = float(pdf["x"].iloc[0]), float(pdf["y"].iloc[0])
+        uid = geohash_encode(np.array([y * 1e-5]), np.array([x * 1e-5]), 11)[0]
+        return pd.DataFrame(
+            [
+                {
+                    "hotspot_id": int(pdf["hotspot_id"].iloc[0]),
+                    "x": x, "y": y, "uid": uid,
+                    "rate_time": reg["slope"], "incpt_time": reg["intercept"],
+                    "sig_time": reg["pvalue"], "se_time": reg["stderr"],
+                    "outl_time": reg["outliers"],
+                    "n": int(pdf["n"].iloc[0]),
+                    "radius_m": float("nan"),
+                }
+            ]
+        )
+
+    out = grouped.groupBy("hotspot_id").applyInPandas(kernel, HOTSPOT_SCHEMA)
+    return out.withColumn("radius_m", F.lit(radius_m)).withColumn(
+        "certainty",
+        F.when(F.col("n") < radius_m / 30.0, "insufficient points").otherwise("good"),
+    )

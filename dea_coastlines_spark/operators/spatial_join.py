@@ -176,7 +176,30 @@ def knn_join(
     tie-break (distance, feat_id) — required for N-vs-4N exact-match
     parity (SURVEY.md §7 hard part #2).
     """
-    ring_k = int(np.ceil(radius_m / cells.cell_size_m(res)))
+    dists = _distances_within(
+        points, features, radius_m, res, x_col, y_col, point_id, feat_id,
+        broadcast_features,
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(feat_id).asc())
+    return (
+        dists.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def _distances_within(
+    points: DataFrame,
+    features: DataFrame,
+    radius_m: float,
+    res: int,
+    x_col: str,
+    y_col: str,
+    point_id: str,
+    feat_id: str,
+    broadcast_features: bool,
+) -> DataFrame:
+    """(point, feature, dist_m) pairs with dist <= radius_m — shared
+    candidate-generation + refine for knn_join/radius_join."""
     feat_cells = explode_polygons_to_cells(features, res, pad_m=radius_m)
     # NOTE: pad by radius on the FEATURE side — points stay 1 row each.
     if broadcast_features:
@@ -215,14 +238,30 @@ def knn_join(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    dists = cand.mapInPandas(
+    return cand.mapInPandas(
         dist_kernel, f"{point_id} long, {feat_id} string, dist_m double"
     ).filter(F.col("dist_m") <= radius_m)
 
-    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(feat_id).asc())
-    return (
-        dists.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
+
+def radius_join(
+    points: DataFrame,
+    features: DataFrame,
+    radius_m: float,
+    res: int = DEFAULT_RES,
+    x_col: str = "x",
+    y_col: str = "y",
+    point_id: str = "point_id",
+    feat_id: str = "feat_id",
+    broadcast_features: bool = True,
+) -> DataFrame:
+    """All (point, feature) pairs within radius_m — the buffered-circle
+    containment join (sjoin(within) on point buffers,
+    continental.py:272-283) without materializing buffer polygons:
+    distance-to-point <= radius is exactly containment in the disc.
+    No ranking window — unlike knn_join, no per-point sort is needed."""
+    return _distances_within(
+        points, features, radius_m, res, x_col, y_col, point_id, feat_id,
+        broadcast_features,
     )
 
 

@@ -36,6 +36,31 @@ def shoreline_pipeline(
     return cont_op.shorelines(comps, min_vertices=min_vertices)
 
 
+def rates_pipeline(
+    tiles: DataFrame,
+    baseline_year: int,
+    spacing_m: float = 30.0,
+    apply_tide_filter: bool = True,
+    geomorphology: DataFrame | None = None,
+) -> DataFrame:
+    """Full rates-of-change plan: tiles -> composites -> shorelines ->
+    baseline points -> annual signed distances -> regression UDAF ->
+    certainty cascade (reference entry point 2, vector.py:1369-1680)."""
+    from ..operators import rates as rates_op
+
+    comps = comp_op.annual_composites(tiles, apply_tide_filter)
+    sl = cont_op.shorelines(comps)
+    pts = rates_op.baseline_points(sl, baseline_year, spacing_m)
+    nearest = rates_op.annual_nearest(pts, sl)
+    signed = rates_op.signed_distances(nearest, comps, baseline_year)
+    years = [r.year for r in sl.select("year").distinct().collect()]
+    rates = rates_op.rates_of_change(signed, initial_year=min(years))
+    return rates_op.with_certainty(
+        rates, n_years=len(years), baseline_year=baseline_year,
+        geomorphology=geomorphology,
+    )
+
+
 def masked_shoreline_pipeline(
     tiles: DataFrame,
     apply_tide_filter: bool = True,

@@ -1,0 +1,75 @@
+"""Hotspot stage tests (continental.py:262-331 semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dea_coastlines_spark.operators import composite as comp_op
+from dea_coastlines_spark.operators import contours as cont_op
+from dea_coastlines_spark.operators import hotspots as hs_op
+from dea_coastlines_spark.operators import rates as rates_op
+from dea_coastlines_spark.synth import corpus
+
+SPEC = corpus.CorpusSpec(
+    tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
+    year0=2000, year1=2005, obs_per_year=5,
+    cloud_frac=0.0, noise_sd=0.04, tide_amp_m=8.0,
+    erosion_m_per_year=-12.0, seed=21,
+)
+BASELINE = 2000
+
+
+@pytest.fixture(scope="module")
+def stage(spark):
+    tiles = spark.createDataFrame(corpus.generate_pandas(SPEC))
+    comps = comp_op.annual_composites(tiles, False)
+    sl = cont_op.shorelines(comps)
+    pts = rates_op.baseline_points(sl, BASELINE)
+    nearest = rates_op.annual_nearest(pts, sl)
+    signed = rates_op.signed_distances(nearest, comps, BASELINE)
+    sl.cache(); pts.cache(); signed.cache()
+    return sl, pts, signed
+
+
+def test_hotspots_aggregate_erosion(stage, spark):
+    sl, pts, signed = stage
+    hs = hs_op.hotspots(sl, pts, signed, BASELINE, radius_m=1000.0).toPandas()
+    assert len(hs) > 3
+    # hotspot rate ~ regional erosion average (-12 +- 50%)
+    good = hs[hs.certainty == "good"]
+    assert len(good) > 0
+    assert -25 < good.rate_time.median() < -4
+    assert good.n.min() >= 1000 / 30
+    assert hs.uid.str.len().eq(11).all()
+
+
+def test_hotspots_insufficient_points_flag(stage):
+    sl, pts, signed = stage
+    # huge radius -> few centers, many points each -> good; tiny radius ->
+    # few member points per center -> insufficient
+    hs_small = hs_op.hotspots(sl, pts, signed, BASELINE, radius_m=120.0).toPandas()
+    flagged = hs_small[hs_small.n < 120.0 / 30.0]
+    assert (flagged.certainty == "insufficient points").all()
+
+
+def test_hotspot_median_matches_oracle(stage):
+    """Exact-median check: recompute one hotspot's per-year medians and
+    regression with the numpy oracle."""
+    sl, pts, signed = stage
+    hs = hs_op.hotspots(sl, pts, signed, BASELINE, radius_m=1000.0).toPandas()
+    from dea_coastlines_spark.functions import stats as st
+
+    target = hs.iloc[0]
+    pts_pdf = pts.toPandas()
+    sd = signed.toPandas()
+    member = pts_pdf[
+        np.hypot(pts_pdf.x - target.x, pts_pdf.y - target.y) <= 1000.0
+    ].point_id
+    sub = sd[sd.point_id.isin(member)]
+    med = sub.groupby("year").dist.median()
+    reg = st.change_regress(med.to_numpy(), med.index.to_numpy(), med.index.to_numpy())
+    assert target.n == member.nunique()
+    assert abs(target.rate_time - reg["slope"]) < 1e-9 or (
+        np.isnan(target.rate_time) and np.isnan(reg["slope"])
+    )
