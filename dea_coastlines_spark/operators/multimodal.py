@@ -1,0 +1,106 @@
+"""Multimodal column operators: opaque `binary` payloads with typed
+metadata, processed in Arrow-batched kernels.
+
+Real implementations (this env has real codecs for png/tiff):
+  * decode_stats   — per-image pixel statistics
+  * resize         — block-mean downsample, re-encoded
+  * frame_sample   — every-kth-observation sampling ("video" = the
+                     per-(tile, year) observation stack) — pure
+                     relational, no decode
+Stubs (no codec libs in env; plumbing — schema, batching, partitioning —
+is real and tested):
+  * audio_features — raises NotImplementedError inside the kernel
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codecs import image as img_codec
+
+
+def decode_stats(tiles: DataFrame) -> DataFrame:
+    """Decode each image and emit pixel stats (mean/std/nodata fraction).
+    One Arrow batch in, one out; bytes never leave the executor."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = img_codec.decode_tile(bytes(r.bytes), r.fmt)
+                finite = np.isfinite(arr)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "px_mean": float(np.nanmean(arr)) if finite.any() else None,
+                        "px_std": float(np.nanstd(arr)) if finite.any() else None,
+                        "nodata_frac": float(1.0 - finite.mean()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["image_id", "px_mean", "px_std", "nodata_frac"])
+
+    return tiles.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, "image_id string, px_mean double, px_std double, nodata_frac double"
+    )
+
+
+def resize(tiles: DataFrame, factor: int = 2) -> DataFrame:
+    """Block-mean downsample by `factor`, re-encoded in the same format.
+    NaN-aware (a block is NaN only if fully NaN)."""
+
+    def kernel(batches):
+        import warnings
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = img_codec.decode_tile(bytes(r.bytes), r.fmt)
+                h, w = arr.shape
+                hh, ww = h // factor * factor, w // factor * factor
+                blocks = arr[:hh, :ww].reshape(hh // factor, factor, ww // factor, factor)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    small = np.nanmean(blocks, axis=(1, 3)).astype(np.float32)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": img_codec.encode_tile(small, r.fmt),
+                        "w": small.shape[1], "h": small.shape[0], "fmt": r.fmt,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return tiles.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def frame_sample(tiles_meta: DataFrame, every_k: int = 2) -> DataFrame:
+    """Sample every k-th observation per (tile, year) 'clip' — pure
+    relational (dense_rank over obs), no decode: pruning before decode is
+    the point at 100 TB."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("tile_x", "tile_y", "year").orderBy("obs")
+    return (
+        tiles_meta.withColumn("frame_idx", F.row_number().over(w) - 1)
+        .filter(F.col("frame_idx") % every_k == 0)
+    )
+
+
+def audio_features(blobs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """STUB: audio decode requires codec libraries absent from this
+    environment. The Spark plumbing (schema, Arrow batching) is real;
+    the kernel raises NotImplementedError on first batch."""
+
+    def kernel(batches):
+        for _pdf in batches:
+            raise NotImplementedError(
+                "audio codec stubbed: no audio library in this environment"
+            )
+        yield pd.DataFrame({"image_id": [], "rms": []})
+
+    return blobs.mapInPandas(kernel, "image_id string, rms double")

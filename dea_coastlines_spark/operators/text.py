@@ -1,0 +1,130 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting — all JVM-side expressions except the
+fingerprint (Arrow kernel), so the hot path stays in whole-stage codegen.
+
+Every scoring formula is deliberately expressible in ANSI SQL so the
+DuckDB oracle can replicate it exactly (driver correctness gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small deterministic stopword sets per language (padded-contains hits)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "und", "die", "ist", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "est", "dans"],
+    "es": ["el", "la", "los", "es", "una", "que"],
+}
+PUNCT = [".", ",", "!", "?", ";", ":"]
+
+
+def _hits(text_col, words) -> F.Column:
+    """Count of stopwords present (padded whole-word contains)."""
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    c = F.lit(0)
+    for w in words:
+        c = c + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    return c
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax stopword-hit language with deterministic tie-break
+    (alphabetical on lang code; 'und' = undetermined when no hits)."""
+    t = F.col(text_col)
+    cols = {lang: _hits(t, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*cols.values())
+    pred = F.when(best == 0, "und")
+    for lang in sorted(STOPWORDS):  # alphabetical priority on ties
+        pred = pred.when(cols[lang] == best, lang)
+    return df.withColumn("pred_lang", pred)
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + label: token count, mean token length,
+    punctuation ratio, stopword ratio (web-pipeline heuristics in the
+    C4/Gopher style, formulated SQL-identically)."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    punct_list = "".join(PUNCT)
+    n_punct = F.length(t) - F.length(F.translate(t, punct_list, ""))
+    n_stop = _hits(t, STOPWORDS["en"])
+    df = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(F.length(t), F.lit(1)), 6))
+        .withColumn("stop_hits", n_stop)
+        .withColumn(
+            "mean_tok_len",
+            F.round(F.length(F.regexp_replace(trimmed, r"\s+", "")) / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+    )
+    return df.withColumn(
+        "quality",
+        F.when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("punct_ratio") > 0.1, "too_punct")
+        .when(F.col("mean_tok_len") > 12, "gibberish")
+        .otherwise("ok"),
+    )
+
+
+def token_stats_by(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Aggregate token statistics per group (corpus profiling)."""
+    trimmed = F.trim(F.col(text_col))
+    n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprint: min rolling hash over each window
+    of token hashes -> compact int64 (robust to small edits; the
+    candidate key for fuzzy dedup). Arrow kernel (not SQL-expressible)."""
+
+    def kernel(batches):
+        _M = np.uint64(0xFFFFFFFFFFFFFFFF)
+        np.seterr(over="ignore")  # intentional uint64 wraparound hashing
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = (text or "").lower().split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.empty(len(toks), np.uint64)
+                for i, s in enumerate(toks):
+                    h = np.uint64(0xCBF29CE484222325)
+                    for b in s.encode("utf-8"):
+                        h = ((h ^ np.uint64(b)) * np.uint64(0x100000001B3)) & _M
+                    hs[i] = h
+                if len(hs) < window:
+                    mins = np.array([hs.min()], np.uint64)
+                else:
+                    mins = np.array(
+                        [hs[i : i + window].min() for i in range(len(hs) - window + 1)],
+                        np.uint64,
+                    )
+                fp = np.uint64(0xCBF29CE484222325)
+                for m in np.unique(mins):
+                    fp = ((fp ^ m) * np.uint64(0x100000001B3)) & _M
+                out.append(int(np.int64(fp)))
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
+
+    fps = df.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, fingerprint long")
+    return df.join(fps, id_col)

@@ -551,6 +551,228 @@ GROUP BY feat_id ORDER BY feat_id
 """
 
 
+# ------------------------------------------- dedup / text / similarity ops
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (md5 hash-groupBy) over documents."""
+    from ..operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").orderBy("dup_key")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MD5(CONCAT_WS(CHR(31), text)) AS dup_key,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_charset_jaccard(spark, sf_dir):
+    """Exact char-set Jaccard near-dup pairs within English docs —
+    engine operator vs DuckDB's built-in jaccard() (identical char-set
+    semantics)."""
+    from ..operators.dedup import charset_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 300)
+    )
+    return charset_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.82).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_CHARSET_JACCARD = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en' AND doc_id < 300)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(JACCARD(LOWER(a.text), LOWER(b.text)), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE JACCARD(LOWER(a.text), LOWER(b.text)) >= 0.82
+ORDER BY id_a, id_b
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring features + label per doc (C4/Gopher-style)."""
+    from ..operators.text import with_quality
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return with_quality(d).select(
+        "doc_id", "n_tokens", "punct_ratio", "stop_hits", "mean_tok_len", "quality"
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY = """
+WITH q AS (
+  SELECT doc_id, text, TRIM(text) AS trimmed,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens,
+         LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+             text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS n_punct,
+         (CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' the ') THEN 1 ELSE 0 END
+        + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' and ') THEN 1 ELSE 0 END
+        + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' of ') THEN 1 ELSE 0 END
+        + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' to ') THEN 1 ELSE 0 END
+        + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' is ') THEN 1 ELSE 0 END
+        + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' in ') THEN 1 ELSE 0 END) AS stop_hits
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, n_tokens,
+       ROUND(n_punct / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       stop_hits,
+       ROUND(LENGTH(REGEXP_REPLACE(trimmed, '\\s+', '', 'g')) / GREATEST(n_tokens, 1), 6) AS mean_tok_len,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN n_punct / GREATEST(LENGTH(text), 1) > 0.1 THEN 'too_punct'
+            WHEN LENGTH(REGEXP_REPLACE(trimmed, '\\s+', '', 'g')) / GREATEST(n_tokens, 1) > 12 THEN 'gibberish'
+            ELSE 'ok' END AS quality
+FROM q ORDER BY doc_id
+"""
+
+
+def _langid_sql() -> str:
+    """Generate the DuckDB mirror of with_language_id + accuracy rollup."""
+    from ..operators.text import STOPWORDS
+
+    hit_exprs = {}
+    for lang, ws in STOPWORDS.items():
+        terms = " + ".join(
+            f"CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' {w} ') THEN 1 ELSE 0 END"
+            for w in ws
+        )
+        hit_exprs[lang] = f"({terms})"
+    hits_cols = ", ".join(f"{e} AS {lang}_hits" for lang, e in hit_exprs.items())
+    greatest = "GREATEST(" + ", ".join(f"{lang}_hits" for lang in STOPWORDS) + ")"
+    whens = "\n".join(
+        f"WHEN {lang}_hits = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, lang, {hits_cols} FROM documents),
+     p AS (SELECT doc_id, lang, {greatest} AS best,
+                  de_hits, en_hits, es_hits, fr_hits FROM h),
+     c AS (SELECT doc_id, lang,
+                  CASE WHEN best = 0 THEN 'und' {whens} END AS pred_lang
+           FROM p)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM c GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def q_langid(spark, sf_dir):
+    """Language-ID confusion matrix: engine heuristic vs the labeled
+    `lang` column."""
+    from ..operators.text import with_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_language_id(d)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    from ..operators.text import token_stats_by
+
+    return token_stats_by(_t(spark, sf_dir, "documents"), "lang")
+
+
+ORACLE_TOKEN_STATS = """
+WITH q AS (SELECT lang,
+                  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens
+           FROM documents)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens, MAX(n_tokens) AS max_tokens
+FROM q GROUP BY lang ORDER BY lang
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 (JVM-side dot products) for 10 query
+    vectors over the embeddings table."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id,
+                    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+     s AS (SELECT query_id, vec_id AS item_id,
+                  ROUND(LIST_COSINE_SIMILARITY(qv, CAST(embedding AS DOUBLE[])), 6) AS cosine
+           FROM q CROSS JOIN embeddings WHERE vec_id != query_id),
+     r AS (SELECT query_id, item_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+           FROM s)
+SELECT query_id, rank, item_id, cosine FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    return embedding_neardup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+
+
+ORACLE_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+           FROM embeddings WHERE vec_id < 250)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 6) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# rows-only entries (no SQL analog): minhash LSH, simhash, fingerprint,
+# LSH ANN, multimodal decode/resize
+
+def q_minhash_pairs(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.6).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from ..operators.text import with_fingerprint
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from ..operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, dim=64, k=5).orderBy("query_id", "rank")
+
+
+def q_multimodal_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import decode_stats
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=2, tiles_y=1,
+                              year0=2000, year1=2001, obs_per_year=2, seed=5)
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    return decode_stats(tiles).withColumn(
+        "px_mean", F.round("px_mean", 6)
+    ).withColumn("px_std", F.round("px_std", 6)).orderBy("image_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -568,6 +790,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top1_crs_vote": q_top1_crs_vote,
     "spatial_pip_join": q_spatial_pip_join,
     "knn_anchor_join": q_knn_anchor_join,
+    "dedup_exact": q_dedup_exact,
+    "charset_jaccard": q_charset_jaccard,
+    "text_quality": q_text_quality,
+    "langid": q_langid,
+    "token_stats": q_token_stats,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "multimodal_decode_stats": q_multimodal_decode_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -587,4 +821,13 @@ ORACLES: dict[str, str] = {
     "top1_crs_vote": ORACLE_TOP1_VOTE,
     "spatial_pip_join": ORACLE_SPATIAL_PIP,
     "knn_anchor_join": ORACLE_KNN_ANCHOR,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "charset_jaccard": ORACLE_CHARSET_JACCARD,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "langid": _langid_sql(),
+    "token_stats": ORACLE_TOKEN_STATS,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "embedding_neardup": ORACLE_EMB_NEARDUP,
+    # minhash_pairs / simhash_pairs / doc_fingerprint / lsh_ann_topk /
+    # multimodal_decode_stats: no SQL analog -> rows-only driver check
 }

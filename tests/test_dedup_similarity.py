@@ -1,0 +1,197 @@
+"""Dedup + similarity operator tests with planted duplicates and
+brute-force oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dea_coastlines_spark.operators import dedup, multimodal, similarity, text
+
+BASE_DOCS = [
+    "the quick brown fox jumps over the lazy dog and runs away to the hills",
+    "a completely different document about spark engines and shuffle partitions",
+    "coastal erosion rates are computed from annual shoreline positions over time",
+    "numerical weather prediction uses spectral methods and data assimilation",
+    "sorting networks and merge joins dominate the cost of wide aggregations",
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = []
+    did = 0
+    for i, t in enumerate(BASE_DOCS * 4):
+        rows.append({"doc_id": did, "text": t + f" variant {i % 3}"}); did += 1
+    # exact duplicates
+    rows.append({"doc_id": did, "text": rows[0]["text"]}); did += 1
+    # near duplicate (one word changed)
+    rows.append({"doc_id": did, "text": rows[0]["text"].replace("lazy", "sleepy")}); did += 1
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    df.cache().count()
+    return df, pd.DataFrame(rows)
+
+
+def _jaccard(a, b, k=3):
+    sa, sb = set(dedup.char_shingles(a, k)), set(dedup.char_shingles(b, k))
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup_groups(spark, docs_df):
+    df, pdf = docs_df
+    out = dedup.exact_dedup(df, ["text"], "doc_id").toPandas()
+    dup_groups = out[out.group_size > 1]
+    assert len(dup_groups) >= 1
+    assert out.group_size.sum() == len(pdf)
+    # the planted exact dup pair shares a group with canonical = min id
+    t0 = pdf.iloc[0].text
+    g = out[out.group_size >= 2]
+    assert (g.canonical_id == 0).any()
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, docs_df):
+    df, pdf = docs_df
+    pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.6).toPandas()
+    # precision: every returned pair is truly >= threshold (exact verify)
+    for r in pairs.itertuples():
+        assert _jaccard(pdf.text[r.id_a], pdf.text[r.id_b]) >= 0.6
+        assert abs(_jaccard(pdf.text[r.id_a], pdf.text[r.id_b]) - r.jaccard) < 1e-12
+    # recall on strong pairs (jaccard >= 0.9): LSH with 16 bands of 4 rows
+    # catches these with prob ~1
+    strong = [
+        (a, b)
+        for a in range(len(pdf))
+        for b in range(a + 1, len(pdf))
+        if _jaccard(pdf.text[a], pdf.text[b]) >= 0.9
+    ]
+    assert strong, "fixture must contain strong pairs"
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    hit = sum(1 for p in strong if p in found)
+    assert hit / len(strong) >= 0.9
+
+
+def test_simhash_pairs_hamming_oracle(spark, docs_df):
+    df, pdf = docs_df
+    sigs = dedup.simhash_signatures(df, "text", "doc_id").toPandas()
+    pairs = dedup.simhash_pairs(df, "text", "doc_id", max_hamming=8).toPandas()
+    sig = dict(zip(sigs.doc_id, sigs.simhash))
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for r in pairs.itertuples():
+        assert ham(r.id_a, r.id_b) == r.hamming <= 8
+    # oracle: all true pairs with hamming <= 2 must be found (pigeonhole
+    # guarantees hamming <= 3 for 4 chunks; <=2 is comfortably inside)
+    want = {
+        (a, b)
+        for a in sig for b in sig if a < b and ham(a, b) <= 2
+    }
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert want <= got
+
+
+def test_simhash_exact_dups_zero_hamming(spark, docs_df):
+    df, pdf = docs_df
+    sigs = dedup.simhash_signatures(df, "text", "doc_id").toPandas().set_index("doc_id")
+    dup_id = len(pdf) - 2  # exact duplicate of doc 0
+    assert sigs.loc[0, "simhash"] == sigs.loc[dup_id, "simhash"]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(8)
+    n, d = 300, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat[10] = mat[0] + 0.01 * rng.standard_normal(d).astype(np.float32)  # near-dup
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": pdf.vec_id, "embedding": [list(map(float, v)) for v in pdf.embedding]})
+    )
+    df.cache().count()
+    return df, mat
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    df, mat = emb_df
+    queries = df.filter(F.col("vec_id") < 5)
+    got = similarity.brute_force_topk(df, queries, k=3).toPandas()
+    norms = np.linalg.norm(mat.astype(np.float64), axis=1)
+    cos = (mat.astype(np.float64) @ mat.astype(np.float64).T) / np.outer(norms, norms)
+    for q in range(5):
+        c = np.round(cos[q], 6)
+        c[q] = -np.inf
+        order = np.lexsort((np.arange(len(c)), -c))[:3]
+        want = [int(i) for i in order]
+        have = got[got.query_id == q].sort_values("rank").item_id.tolist()
+        assert have == want, f"query {q}: {have} vs {want}"
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    df, mat = emb_df
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(df, queries, k=5).toPandas()
+    # 4 planes x 8 tables: collision prob for cosine~0.5 neighbors is
+    # ~(2/3)^4 per table -> ~0.83 union recall on unclustered Gaussians
+    approx = similarity.lsh_topk(df, queries, dim=32, k=5, n_planes=4, n_tables=8).toPandas()
+    recall_hits = 0
+    for q in range(10):
+        e = set(exact[exact.query_id == q].item_id)
+        a = set(approx[approx.query_id == q].item_id)
+        recall_hits += len(e & a)
+    assert recall_hits / (10 * 5) >= 0.5  # multi-table LSH recall floor
+    # the planted near-dup must be found (cosine ~1 -> same buckets w.h.p.)
+    nd = approx[(approx.query_id == 0) & (approx["rank"] == 1)]
+    assert len(nd) == 1 and nd.item_id.iloc[0] == 10
+
+
+def test_embedding_neardup_finds_planted(spark, emb_df):
+    df, mat = emb_df
+    pairs = similarity.embedding_neardup_pairs(df, threshold=0.95).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 10)).any()
+
+
+def test_fingerprint_robust_to_small_edit(spark, docs_df):
+    df, pdf = docs_df
+    fps = text.with_fingerprint(df).select("doc_id", "fingerprint").toPandas().set_index("doc_id")
+    # identical docs -> identical fingerprints
+    assert fps.loc[0, "fingerprint"] == fps.loc[len(pdf) - 2, "fingerprint"]
+    # deterministic across runs
+    fps2 = text.with_fingerprint(df).select("doc_id", "fingerprint").toPandas().set_index("doc_id")
+    assert fps.fingerprint.tolist() == fps2.fingerprint.tolist()
+
+
+def test_multimodal_resize_halves_dims(spark):
+    from dea_coastlines_spark.synth import corpus
+
+    spec = corpus.CorpusSpec(tile_px=64, halo_px=0, tiles_x=1, tiles_y=1,
+                             year0=2000, year1=2000, obs_per_year=1, cloud_frac=0.0, seed=2)
+    tiles = spark.createDataFrame(corpus.generate_pandas(spec))
+    out = multimodal.resize(tiles, factor=2).toPandas()
+    assert (out.w == 32).all() and (out.h == 32).all()
+    from dea_coastlines_spark.codecs import image as ic
+
+    small = ic.decode_tile(bytes(out.bytes.iloc[0]), out.fmt.iloc[0])
+    big, _ = corpus.make_tile(spec, 0, 0, 2000, 0)
+    want = big.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    assert np.allclose(small, want, atol=3e-4)
+
+
+def test_multimodal_frame_sample(spark):
+    from dea_coastlines_spark.operators import composite as comp_op
+    from dea_coastlines_spark.synth import corpus
+
+    spec = corpus.CorpusSpec(tile_px=32, halo_px=0, tiles_x=1, tiles_y=1,
+                             year0=2000, year1=2000, obs_per_year=6, cloud_frac=0.0, seed=2)
+    tiles = comp_op.with_caption(spark.createDataFrame(corpus.generate_pandas(spec)))
+    out = multimodal.frame_sample(tiles, every_k=2).toPandas()
+    assert len(out) == 3 and out.frame_idx.tolist() == [0, 2, 4]
+
+
+def test_audio_stub_raises(spark):
+    pdf = pd.DataFrame({"image_id": ["a"], "bytes": [b"xx"]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="NotImplementedError|audio codec stubbed"):
+        multimodal.audio_features(df).collect()
