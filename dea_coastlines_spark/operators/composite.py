@@ -53,7 +53,10 @@ COMPOSITE_SCHEMA = (
 
 
 def with_caption(tiles: DataFrame) -> DataFrame:
-    """Parse the caption JSON into columns (JVM-side, no Python)."""
+    """Parse the caption JSON into columns (JVM-side, no Python).
+    Idempotent: a frame already carrying the parsed columns passes through."""
+    if "tile_x" in tiles.columns:
+        return tiles
     return tiles.withColumn("meta", F.from_json("caption", CAPTION_SCHEMA)).select(
         "*",
         F.col("meta.tile_x").alias("tile_x"),

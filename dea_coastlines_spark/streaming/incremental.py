@@ -1,0 +1,73 @@
+"""Incremental annual updates via Structured Streaming.
+
+The reference is pure batch (SURVEY.md §2.10); its real-world update
+mode is "recompute affected tiles when new acquisitions land"
+(README.md:27 'updated regularly as data continues to be acquired').
+This module models that as a file-source stream of new tile rows:
+
+    readStream(tiles dir) -> foreachBatch:
+        affected = distinct (tile, year) keys in the micro-batch
+        recompute composites for affected keys from the FULL tile store
+        overwrite those keys' outputs (idempotent upsert)
+
+foreachBatch + key-scoped dynamic overwrite is the Spark-native
+equivalent of Iceberg snapshot-append + partition recompute. Exactly-
+once per key follows from idempotent overwrite of (tile, year)
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import composite as comp_op
+from ..synth.corpus import TILES_SCHEMA
+
+
+def start_incremental_composites(
+    spark: SparkSession,
+    tiles_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    apply_tide_filter: bool = False,
+):
+    """Start an availableNow stream that keeps the composites table in
+    sync with the tiles directory. Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(TILES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(tiles_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        affected = (
+            comp_op.with_caption(batch_df)
+            .select("tile_x", "tile_y", "year")
+            .distinct()
+        )
+        # recompute affected keys from the full store (median is not
+        # incrementally mergeable -> key-scoped recompute, the same
+        # decision the reference's rerun-per-tile protocol encodes)
+        full = comp_op.with_caption(batch_df.sparkSession.read.parquet(tiles_dir))
+        todo = full.join(F.broadcast(affected), ["tile_x", "tile_y", "year"])
+        out = comp_op.annual_composites(todo, apply_tide_filter)
+        (
+            out.withColumn(
+                "pkey",
+                F.concat_ws("|", F.col("tile_x"), F.col("tile_y"), F.col("year")),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pkey")
+            .parquet(output_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
