@@ -137,3 +137,26 @@ def coords_of(buf: bytes) -> np.ndarray:
 def bbox(buf: bytes) -> tuple[float, float, float, float]:
     c = coords_of(buf)
     return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
+
+
+def to_geojson_dict(buf: bytes) -> dict:
+    """WKB -> GeoJSON geometry dict (export/parity sink, the engine's
+    analog of the reference's gdf.to_file GeoJSON sinks,
+    coastlines/vector.py:1613-1626)."""
+    t, payload = parse(buf)
+    if t == POINT:
+        return {"type": "Point", "coordinates": [float(payload[0]), float(payload[1])]}
+    if t == LINESTRING:
+        return {"type": "LineString", "coordinates": payload.tolist()}
+    if t == POLYGON:
+        return {"type": "Polygon", "coordinates": [r.tolist() for r in payload]}
+    if t == MULTIPOINT:
+        return {"type": "MultiPoint", "coordinates": [p.tolist() for p in payload]}
+    if t == MULTILINESTRING:
+        return {"type": "MultiLineString", "coordinates": [p.tolist() for p in payload]}
+    if t == MULTIPOLYGON:
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [[r.tolist() for r in rings] for rings in payload],
+        }
+    raise ValueError(f"unsupported type {t}")

@@ -1,0 +1,213 @@
+"""Sources/sinks: snapshot table (time travel, manifest pruning,
+partition overwrite, vacuum), tile source/sink with caption-derived
+partition columns, JVM cell-id expression parity, CSV scan, GeoJSON
+export round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dea_coastlines_spark.geometry import wkb
+from dea_coastlines_spark.index import cells
+from dea_coastlines_spark.index.cells_expr import cell_id_expr
+from dea_coastlines_spark.sources import (
+    SnapshotTable,
+    read_csv_survey,
+    read_tiles,
+    with_tile_meta,
+    write_geojson,
+    write_tiles,
+)
+from dea_coastlines_spark.synth import corpus
+
+
+@pytest.fixture()
+def sample_df(spark):
+    return spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "id long, year int, val string"
+    )
+
+
+def test_snapshot_create_read(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v = t.create(sample_df, partition_by=["year"])
+    assert v == 1
+    got = t.read()
+    assert got.count() == 30
+    assert set(got.columns) == {"id", "year", "val"}
+    # partition column round-trips with the right dtype
+    assert dict(got.dtypes)["year"] == "int"
+    assert sorted(r.year for r in got.select("year").distinct().collect()) == [0, 1, 2]
+
+
+def test_snapshot_append_and_time_travel(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    more = spark.createDataFrame([(100, 3, "new")], "id long, year int, val string")
+    v2 = t.append(more)
+    assert v2 == 2
+    assert t.read().count() == 31
+    assert t.read(snapshot=1).count() == 30  # time travel
+    log = t.snapshots()
+    assert [s["operation"] for s in log] == ["create", "append"]
+    assert log[1]["n_rows"] == 31
+
+
+def test_snapshot_manifest_pruning(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    stats = t.prune_stats(where={"year": 1})
+    assert stats["kept_files"] < stats["total_files"]
+    df = t.read(where={"year": 1})
+    assert df.count() == 10
+    assert all(r.year == 1 for r in df.collect())
+    # range + list forms
+    assert t.read(where={"year": (1, 2)}).count() == 20
+    assert t.read(where={"year": [0, 2]}).count() == 20
+    # pruning to nothing -> empty df with full schema
+    empty = t.read(where={"year": 99})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "year", "val"}
+    with pytest.raises(KeyError):
+        t.read(where={"val": "v1"})
+
+
+def test_snapshot_overwrite_partitions(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    # recompute year=1 with different values (incremental annual update)
+    repl = spark.createDataFrame(
+        [(1000 + i, 1, "recomputed") for i in range(4)], "id long, year int, val string"
+    )
+    t.overwrite_partitions(repl)
+    got = t.read()
+    assert got.count() == 24  # 20 untouched + 4 replacements
+    y1 = got.filter(F.col("year") == 1).collect()
+    assert len(y1) == 4 and all(r.val == "recomputed" for r in y1)
+    # old snapshot still intact
+    assert t.read(snapshot=1).count() == 30
+
+
+def test_snapshot_vacuum(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    repl = spark.createDataFrame([(1, 1, "x")], "id long, year int, val string")
+    t.overwrite_partitions(repl)
+    removed = t.vacuum(keep_last=1)
+    assert removed > 0
+    assert t.read().count() == 21  # current snapshot unaffected
+
+
+def test_cell_id_expr_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(-2.5e6, 2.5e6, 200)
+    ys = rng.uniform(-2.5e6, 2.5e6, 200)
+    for res in (4, 10, 14):
+        want = cells.xy_to_cell(xs, ys, res)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double"
+        )
+        got = df.select(cell_id_expr(F.col("x"), F.col("y"), res)).collect()
+        assert [r.cell_id for r in got] == want.tolist()
+
+
+@pytest.fixture(scope="module")
+def tile_spec():
+    return corpus.CorpusSpec(
+        tile_px=64, halo_px=4, tiles_x=2, tiles_y=2,
+        year0=2000, year1=2002, obs_per_year=2, seed=9,
+    )
+
+
+def test_tile_table_roundtrip_and_pruning(spark, tmp_path, tile_spec):
+    tiles = spark.createDataFrame(corpus.generate_pandas(tile_spec))
+    path = str(tmp_path / "tiles")
+    table = write_tiles(tiles, path)
+    n_expected = 2 * 2 * 3 * 2
+
+    got = read_tiles(spark, path)
+    assert got.count() == n_expected
+    # caption-derived partition columns present and correct
+    row = got.filter(F.col("image_id") == "t001_001_2001_00").collect()[0]
+    meta = json.loads(row.caption)
+    assert (row.tile_x, row.tile_y, row.year) == (1, 1, 2001)
+    assert meta["year"] == 2001
+
+    # year pruning reads fewer files than the full table
+    pruned = read_tiles(spark, path, years=2001)
+    assert pruned.count() == 2 * 2 * 2
+    stats = SnapshotTable(spark, path).prune_stats(where={"year": 2001})
+    assert stats["kept_files"] < stats["total_files"]
+    assert stats["kept_rows"] == 8
+
+    # bytes survive the round trip exactly (per-row invariant feed)
+    src = {r.image_id: bytes(r.bytes) for r in tiles.collect()}
+    for r in pruned.collect():
+        assert bytes(r.bytes) == src[r.image_id]
+
+
+def test_tile_table_incremental_year(spark, tmp_path, tile_spec):
+    tiles = spark.createDataFrame(corpus.generate_pandas(tile_spec))
+    path = str(tmp_path / "tiles")
+    write_tiles(tiles, path)
+    # a new year arrives (reference README.md:27 incremental updates)
+    spec2 = corpus.CorpusSpec(
+        tile_px=64, halo_px=4, tiles_x=2, tiles_y=2,
+        year0=2003, year1=2003, obs_per_year=2, seed=9,
+    )
+    new = spark.createDataFrame(corpus.generate_pandas(spec2))
+    write_tiles(new, path, mode="append")
+    assert read_tiles(spark, path, years=2003).count() == 8
+    assert read_tiles(spark, path).count() == 24 + 8
+    assert read_tiles(spark, path, snapshot=1).count() == 24
+
+
+def test_csv_survey_scan(spark, tmp_path):
+    p = tmp_path / "survey.csv"
+    p.write_text(
+        "site,date,distance,z,id\n"
+        "narrabeen,2001-05-04,12.5,0.7,t1\n"
+        "narrabeen,2002-06-01,14.0,0.8,t2\n"
+    )
+    df = read_csv_survey(spark, str(p))
+    rows = df.orderBy("id").collect()
+    assert rows[0].distance == 12.5
+    assert rows[0].date.year == 2001
+    assert dict(df.dtypes)["date"] == "timestamp"
+
+
+def test_geojson_export(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(wkb.point(1.0, 2.0))),
+            ("b", bytearray(wkb.linestring(np.array([[0.0, 0.0], [1.0, 1.0]])))),
+        ],
+        "name string, geometry binary",
+    )
+    out = str(tmp_path / "o.geojson")
+    n = write_geojson(df, out)
+    assert n == 2
+    gj = json.loads(open(out).read())
+    assert gj["type"] == "FeatureCollection"
+    feats = {f["properties"]["name"]: f for f in gj["features"]}
+    assert feats["a"]["geometry"] == {"type": "Point", "coordinates": [1.0, 2.0]}
+    assert feats["b"]["geometry"]["type"] == "LineString"
+
+
+def test_with_tile_meta_is_jvm_only(spark, tile_spec):
+    """The caption parse + cell assignment plan contains no Python
+    stages (BatchEvalPython/ArrowEvalPython/MapInPandas)."""
+    import contextlib
+    import io
+
+    tiles = spark.createDataFrame(corpus.generate_pandas(tile_spec))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        with_tile_meta(tiles).explain("formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan and "InPandas" not in plan
