@@ -54,6 +54,20 @@ def encode_gray(img: np.ndarray, bit_depth: int = 16, level: int = 6) -> bytes:
 
 def _unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters. scan is (h, 1+stride) uint8."""
+    ftypes = scan[:, 0]
+    # fast paths for what our own encoder emits (filters 0 / 2) — the
+    # hot decode path must stay vectorized, no per-scanline Python
+    if not ftypes.any():  # all None
+        return scan[:, 1:].copy()
+    if np.isin(ftypes, (0, 2)).all():  # None/Up only: Up chains are
+        # prefix sums (mod 256) reset at each filter-0 row
+        raw = scan[:, 1:].astype(np.int64)
+        seg = np.cumsum(ftypes == 0)
+        out = np.zeros_like(raw)
+        for s in np.unique(seg):
+            rows = seg == s
+            out[rows] = np.cumsum(raw[rows], axis=0)
+        return (out & 0xFF).astype(np.uint8)
     out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         ftype = scan[r, 0]

@@ -406,6 +406,35 @@ ORDER BY annual.l_partkey
 """
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation (north_rule: explicit
+    salted-key skew handling). l_returnflag has 3 values over ~600k
+    rows at sf0.1 — every key is 'hot', so the whole plan runs through
+    salt -> partial -> merge; the oracle is the plain GROUP BY, proving
+    the decomposition is exact."""
+    from ..operators.skew import salted_counts_sums
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_counts_sums(
+        li, ["l_returnflag"], "l_orderkey", ["l_quantity", "l_extendedprice"],
+        target_rows_per_task=5_000,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_SALTED_AGG = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_top1_crs_vote(spark, sf_dir):
     """most_common(1) vote (raster.py:197-201): modal event_type overall,
     deterministic tie-break on name."""
@@ -788,6 +817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "certainty_cascade": q_certainty_cascade,
     "conditional_coalesce": q_conditional_coalesce,
     "top1_crs_vote": q_top1_crs_vote,
+    "salted_agg": q_salted_agg,
     "spatial_pip_join": q_spatial_pip_join,
     "knn_anchor_join": q_knn_anchor_join,
     "dedup_exact": q_dedup_exact,
@@ -819,6 +849,7 @@ ORACLES: dict[str, str] = {
     "certainty_cascade": ORACLE_CERTAINTY,
     "conditional_coalesce": ORACLE_COALESCE,
     "top1_crs_vote": ORACLE_TOP1_VOTE,
+    "salted_agg": ORACLE_SALTED_AGG,
     "spatial_pip_join": ORACLE_SPATIAL_PIP,
     "knn_anchor_join": ORACLE_KNN_ANCHOR,
     "dedup_exact": ORACLE_DEDUP_EXACT,
