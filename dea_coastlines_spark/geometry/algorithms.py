@@ -224,3 +224,118 @@ def _clip_segment(a, b, xmin, ymin, xmax, ymax):
         np.array([x0 + t0 * dx, y0 + t0 * dy]),
         np.array([x0 + t1 * dx, y0 + t1 * dy]),
     )
+
+
+def _segment_ring_crossings(a: np.ndarray, b: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Parameters t in (0,1) where segment a->b crosses ring edges."""
+    e1 = ring[:-1]
+    e2 = ring[1:]
+    r = b - a
+    s = e2 - e1
+    denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+    qp = e1 - a
+    with np.errstate(all="ignore"):
+        t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
+        u = (qp[:, 0] * r[1] - qp[:, 1] * r[0]) / denom
+    ok = (denom != 0) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+    return t[ok]
+
+
+def clip_polyline_by_polygon(
+    line: np.ndarray,
+    shell: np.ndarray,
+    holes: list[np.ndarray] | None = None,
+    keep_inside: bool = True,
+) -> list[np.ndarray]:
+    """Clip a polyline by an arbitrary polygon (shell + holes), returning
+    the pieces inside (keep_inside=True, overlay-intersection semantics,
+    gpd.overlay(how='intersection') on line x polygon, vector.py:454) or
+    outside (keep_inside=False, overlay-difference semantics,
+    validation.py:2189). Crossing points are interpolated exactly;
+    sub-segments are classified by their midpoint."""
+    line = np.asarray(line, np.float64)
+    holes = list(holes or [])
+    rings = [np.asarray(shell, np.float64)] + [np.asarray(h, np.float64) for h in holes]
+    pieces: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+
+    def emit():
+        nonlocal cur
+        if len(cur) >= 2:
+            pieces.append(cur)
+        cur = []
+
+    for i in range(len(line) - 1):
+        a, b = line[i], line[i + 1]
+        ts = np.concatenate(
+            [np.array([0.0, 1.0])] + [_segment_ring_crossings(a, b, r) for r in rings]
+        )
+        ts = np.unique(ts)
+        mids = a + ((ts[:-1] + ts[1:]) / 2.0)[:, None] * (b - a)
+        ok = points_in_polygon(mids[:, 0], mids[:, 1], rings[0])
+        for h in rings[1:]:
+            ok &= ~points_in_polygon(mids[:, 0], mids[:, 1], h, boundary_counts=False)
+        if not keep_inside:
+            ok = ~ok
+        for j in range(len(ts) - 1):
+            if not ok[j]:
+                emit()
+                continue
+            p0 = a + ts[j] * (b - a)
+            p1 = a + ts[j + 1] * (b - a)
+            if cur and np.allclose(cur[-1], p0, atol=1e-9):
+                cur.append(p1)
+            else:
+                emit()
+                cur = [p0, p1]
+    emit()
+    return [np.asarray(p) for p in pieces]
+
+
+def polyline_polyline_intersections(l1: np.ndarray, l2: np.ndarray) -> np.ndarray:
+    """All intersection points of two polylines, (n, 2) — vectorized over
+    the full segment x segment grid (transect x shoreline,
+    validation.py:2327-2336)."""
+    l1 = np.asarray(l1, np.float64)
+    l2 = np.asarray(l2, np.float64)
+    p1 = np.repeat(l1[:-1], len(l2) - 1, axis=0)
+    p2 = np.repeat(l1[1:], len(l2) - 1, axis=0)
+    q1 = np.tile(l2[:-1], (len(l1) - 1, 1))
+    q2 = np.tile(l2[1:], (len(l1) - 1, 1))
+    pts = segments_intersect_point(p1, p2, q1, q2)
+    pts = pts[np.isfinite(pts[:, 0])]
+    if len(pts) > 1:
+        # dedup shared-vertex double hits
+        keep = np.ones(len(pts), bool)
+        for i in range(1, len(pts)):
+            if np.any(np.all(np.abs(pts[:i] - pts[i]) < 1e-9, axis=1)):
+                keep[i] = False
+        pts = pts[keep]
+    return pts
+
+
+def chainage_along(line: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Distance from line start to each point's projection on the line
+    (the validation chainage: where along the transect the shoreline
+    crossed)."""
+    line = np.asarray(line, np.float64)
+    pts = np.asarray(pts, np.float64).reshape(-1, 2)
+    a, b = line[:-1], line[1:]
+    d = b - a
+    seg_len2 = (d * d).sum(axis=1)
+    seg_len = np.sqrt(seg_len2)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    wx = pts[:, 0][:, None] - a[None, :, 0]
+    wy = pts[:, 1][:, None] - a[None, :, 1]
+    t = np.clip(
+        (wx * d[None, :, 0] + wy * d[None, :, 1])
+        / np.where(seg_len2 == 0, 1, seg_len2)[None, :],
+        0.0,
+        1.0,
+    )
+    projx = a[None, :, 0] + t * d[None, :, 0]
+    projy = a[None, :, 1] + t * d[None, :, 1]
+    dist = np.hypot(pts[:, 0][:, None] - projx, pts[:, 1][:, None] - projy)
+    k = dist.argmin(axis=1)
+    rows = np.arange(len(pts))
+    return cum[k] + t[rows, k] * seg_len[k]

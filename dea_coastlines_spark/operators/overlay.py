@@ -1,0 +1,216 @@
+"""Overlay joins: line x polygon intersection / difference / union —
+the engine's `gpd.overlay` replacements (SURVEY.md §2.3):
+
+  * how="intersection" — clip each year's contours by attribute
+    polygons, attributing the split segments
+    (`contour_certainty`, coastlines/vector.py:454)
+  * how="difference"   — remove coverage of "remove"-typed modification
+    polygons; unmatched lines pass through
+    (coastlines/validation.py:2189)
+  * how="union"        — both: inside pieces carry polygon attributes,
+    outside pieces carry nulls (coastlines/vector.py:1294-1299)
+
+Plan shape (same contract as points_in_polygons): the polygon side is
+the SMALL side (attribute/AOI tables) and is broadcast; the line side
+streams through a cell-cover equi join (bbox polyfill on both sides)
+followed by a row-streaming mapInPandas clip kernel that emits 0..n
+pieces per (line, polygon) candidate — flatMap/UDTF semantics. Lines
+whose bbox covers no polygon cell never enter the kernel (difference/
+union fast path: they pass through via a left-anti union).
+
+Polygon x polygon boolean overlay is deliberately NOT a vector op in
+this engine: the reference itself burns modification polygons into the
+raster (xr_rasterize, coastlines/vector.py:647-653) whenever the result
+feeds masking, and the engine follows that raster-burn path
+(operators/masking.py). Line-valued overlays are the ones the pipeline
+needs as vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geometry import algorithms as ga
+from ..geometry import wkb
+from ..index import cells
+from .spatial_join import DEFAULT_RES, explode_polygons_to_cells
+
+
+def _line_cells(lines: DataFrame, res: int) -> DataFrame:
+    """Attach covering cells of each line's bbox (coarse stage)."""
+    return explode_polygons_to_cells(lines, res)  # bbox-based: works for any WKB
+
+
+def overlay_lines_polygons(
+    lines: DataFrame,
+    polys: DataFrame,
+    how: str = "intersection",
+    res: int = DEFAULT_RES,
+    line_id: str = "line_id",
+    poly_id: str = "poly_id",
+) -> DataFrame:
+    """lines(line_id, geometry, attrs...) x polys(poly_id, geometry,
+    attrs...) -> split line pieces.
+
+    Output: line attrs + `geometry` (the piece) + `piece_len_m` +
+    polygon attrs (null for outside pieces under union/difference).
+    Deterministic output: pieces are emitted in (line_id, poly_id,
+    piece index) order with exact crossing interpolation, so N-vs-4N
+    runs produce identical rows.
+    """
+    if how not in ("intersection", "difference", "union"):
+        raise ValueError(how)
+    spark = lines.sparkSession
+
+    polys_pdf = polys.toPandas()
+    geoms: list[tuple[list[np.ndarray], ...]] = []
+    for g in polys_pdf["geometry"]:
+        t, payload = wkb.parse(bytes(g))
+        if t != wkb.POLYGON:
+            raise ValueError("overlay expects Polygon geometry on the right")
+        geoms.append((payload[0], payload[1:]))
+    poly_ids = polys_pdf[poly_id].tolist()
+
+    # candidate pairs via cell cover of both bboxes
+    cover_rows = []
+    for pos, g in enumerate(polys_pdf["geometry"]):
+        x0, y0, x1, y1 = wkb.bbox(bytes(g))
+        for c in cells.polyfill_bbox(x0, y0, x1, y1, res):
+            cover_rows.append((int(c), pos))
+    cover_df = spark.createDataFrame(
+        pd.DataFrame(cover_rows, columns=["cell_id", "_poly_pos"]).astype(
+            {"cell_id": "int64", "_poly_pos": "int64"}
+        )
+    )
+    line_cells = _line_cells(lines.select(line_id, "geometry"), res)
+    cand = (
+        line_cells.join(F.broadcast(cover_df), "cell_id")
+        .dropDuplicates([line_id, "_poly_pos"])
+        .drop("cell_id")
+    )
+
+    out_schema = (
+        f"{line_id} long, _poly_pos long, geometry binary, piece_len_m double"
+    )
+
+    def clip_kernel(batches):
+        keep_inside = how != "difference"
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            order = np.lexsort((pdf["_poly_pos"].to_numpy(), pdf[line_id].to_numpy()))
+            for i in order:
+                lid = pdf[line_id].iloc[i]
+                pos = int(pdf["_poly_pos"].iloc[i])
+                t, payload = wkb.parse(bytes(pdf["geometry"].iloc[i]))
+                parts = payload if t == wkb.MULTILINESTRING else [payload]
+                shell, holes = geoms[pos]
+                for part in parts:
+                    for piece in ga.clip_polyline_by_polygon(
+                        part, shell, list(holes), keep_inside=keep_inside
+                    ):
+                        rows.append(
+                            {
+                                line_id: lid,
+                                "_poly_pos": pos,
+                                "geometry": wkb.linestring(piece),
+                                "piece_len_m": ga.polyline_length(piece),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    pieces = cand.mapInPandas(clip_kernel, out_schema)
+    poly_attrs = spark.createDataFrame(
+        polys_pdf.drop(columns=["geometry"]).assign(
+            _poly_pos=np.arange(len(polys_pdf), dtype=np.int64)
+        )
+    )
+    line_attrs = lines.drop("geometry")
+
+    if how == "intersection":
+        return (
+            pieces.join(F.broadcast(poly_attrs), "_poly_pos")
+            .drop("_poly_pos")
+            .join(line_attrs, line_id)
+        )
+
+    if how == "difference":
+        # pieces are per-(line, poly) OUTSIDE fragments; a line piece
+        # survives the difference only where it is outside EVERY matched
+        # polygon. Re-clip iteratively driver-free: subtract by
+        # intersecting the outside fragments of successive polygons —
+        # equivalent and simpler: keep fragments of the line against the
+        # union, computed per line by sequential clipping in one kernel.
+        return _difference(lines, cand, geoms, line_id, out_schema, line_attrs)
+
+    # union = intersection pieces + difference remainder with null attrs
+    inter = (
+        pieces.join(F.broadcast(poly_attrs), "_poly_pos")
+        .drop("_poly_pos")
+        .join(line_attrs, line_id)
+    )
+    diff = _difference(lines, cand, geoms, line_id, out_schema, line_attrs)
+    for c in inter.columns:
+        if c not in diff.columns:
+            diff = diff.withColumn(c, F.lit(None))
+    return inter.unionByName(diff.select(inter.columns))
+
+
+def _difference(lines, cand, geoms, line_id, out_schema, line_attrs):
+    """Line minus union of its candidate polygons (left-anti pass-through
+    for lines with no candidates)."""
+    spark = lines.sparkSession
+
+    grouped_schema = f"{line_id} long, geometry binary, piece_len_m double"
+
+    def diff_kernel(key, pdf):
+        lid = key[0]
+        t, payload = wkb.parse(bytes(pdf["geometry"].iloc[0]))
+        parts = payload if t == wkb.MULTILINESTRING else [payload]
+        rows = []
+        for part in parts:
+            pieces = [np.asarray(part, np.float64)]
+            for pos in sorted(set(int(p) for p in pdf["_poly_pos"])):
+                shell, holes = geoms[pos]
+                nxt = []
+                for piece in pieces:
+                    nxt.extend(
+                        ga.clip_polyline_by_polygon(
+                            piece, shell, list(holes), keep_inside=False
+                        )
+                    )
+                pieces = nxt
+            for piece in pieces:
+                rows.append(
+                    {
+                        line_id: lid,
+                        "geometry": wkb.linestring(piece),
+                        "piece_len_m": ga.polyline_length(piece),
+                    }
+                )
+        return pd.DataFrame(rows, columns=[line_id, "geometry", "piece_len_m"])
+
+    matched = cand.groupBy(line_id).applyInPandas(diff_kernel, grouped_schema)
+
+    def passthrough(batches):
+        for pdf in batches:
+            lens = []
+            for g in pdf["geometry"]:
+                t, payload = wkb.parse(bytes(g))
+                parts = payload if t == wkb.MULTILINESTRING else [payload]
+                lens.append(sum(ga.polyline_length(p) for p in parts))
+            out = pdf[[line_id, "geometry"]].copy()
+            out["piece_len_m"] = lens
+            yield out
+
+    unmatched = (
+        lines.join(cand.select(line_id).distinct(), line_id, "left_anti")
+        .select(line_id, "geometry")
+        .mapInPandas(passthrough, grouped_schema)
+    )
+    return matched.unionByName(unmatched).join(line_attrs, line_id)

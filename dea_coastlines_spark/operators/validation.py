@@ -1,0 +1,145 @@
+"""Validation stage: survey transects x annual shorelines -> error
+stats — the engine's version of reference entry point 4
+(`python -m coastlines.validation`):
+
+    survey rows -> per-(year, id) aggregate          (validation.py:2294-2303)
+    -> equi join to shorelines on year               (validation.py:2322-2324)
+    -> transect ∩ shoreline intersection point       (validation.py:2327-2336)
+      (drop ambiguous multi-crossings, as the reference drops
+       MultiPoint intersections)
+    -> error_m = surveyed chainage − engine chainage (validation.py:2367)
+    -> bias / MAE / RMSE / stdev / corr / n          (validation.py:109-146)
+
+Transects are the small side (a survey has dozens of profiles) and are
+broadcast; shorelines stream. The intersection kernel is a vectorized
+segment-grid test per (transect, year-shoreline) pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geometry import algorithms as ga
+from ..geometry import wkb
+
+
+def transect_chainages(
+    transects: DataFrame,
+    shorelines: DataFrame,
+    transect_id: str = "id",
+) -> DataFrame:
+    """(transect x year) -> chainage of the shoreline crossing along the
+    transect. Transects: (id, geometry WKB LineString); shorelines:
+    (year, geometry WKB LineString/MultiLineString, ...).
+
+    Output: (id, year, chainage_m, n_crossings); rows with
+    n_crossings != 1 are kept but flagged — callers filter exactly like
+    the reference drops MultiPoint rows."""
+    spark = transects.sparkSession
+    t_pdf = transects.select(transect_id, "geometry").toPandas()
+    t_lines = [wkb.parse(bytes(g))[1] for g in t_pdf["geometry"]]
+    for g in t_pdf["geometry"]:
+        if wkb.geom_type(bytes(g)) != wkb.LINESTRING:
+            raise ValueError("transects must be LineStrings")
+    t_ids = t_pdf[transect_id].tolist()
+
+    out_schema = f"{transect_id} string, year int, chainage_m double, n_crossings int"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # accumulate crossings per (transect, year) across ALL
+            # shoreline rows in the batch (a year's shoreline may be
+            # split across tiles)
+            acc: dict[tuple, list[float]] = {}
+            for i in range(len(pdf)):
+                year = int(pdf["year"].iloc[i])
+                t, payload = wkb.parse(bytes(pdf["geometry"].iloc[i]))
+                parts = payload if t == wkb.MULTILINESTRING else [payload]
+                for tid, tline in zip(t_ids, t_lines):
+                    for part in parts:
+                        pts = ga.polyline_polyline_intersections(tline, part)
+                        if len(pts):
+                            ch = ga.chainage_along(tline, pts)
+                            acc.setdefault((tid, year), []).extend(ch.tolist())
+            if acc:
+                rows = []
+                for (tid, year), chs in sorted(acc.items()):
+                    chs = sorted(set(round(c, 9) for c in chs))
+                    rows.append(
+                        {
+                            transect_id: tid,
+                            "year": year,
+                            "chainage_m": chs[0],
+                            "n_crossings": len(chs),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    partial = shorelines.select("year", "geometry").mapInPandas(kernel, out_schema)
+    # merge per-batch partials: a (transect, year) may appear in several
+    # batches; total crossings = sum, chainage = min (deterministic)
+    return (
+        partial.groupBy(transect_id, "year")
+        .agg(
+            F.min("chainage_m").alias("chainage_m"),
+            F.sum("n_crossings").cast("int").alias("n_crossings"),
+        )
+    )
+
+
+def survey_yearly(survey: DataFrame, transect_id: str = "id") -> DataFrame:
+    """Per-(year, id) survey aggregate: median surveyed chainage + count
+    (validation.py:2294-2303: mode/median/count per group)."""
+    return (
+        survey.withColumn("year", F.year("date").cast("int"))
+        .groupBy(transect_id, "year")
+        .agg(
+            F.median("distance").alias("surveyed_m"),
+            F.count("*").alias("n_surveys"),
+        )
+    )
+
+
+def validation_errors(
+    survey: DataFrame,
+    transects: DataFrame,
+    shorelines: DataFrame,
+    transect_id: str = "id",
+) -> DataFrame:
+    """Join surveyed chainage to engine chainage per (transect, year);
+    error_m = engine − survey (validation.py:2367 semantics, positive =
+    engine shoreline further along the transect)."""
+    engine = transect_chainages(transects, shorelines, transect_id).filter(
+        F.col("n_crossings") == 1
+    )
+    surveyed = survey_yearly(survey, transect_id)
+    return (
+        surveyed.join(engine, [transect_id, "year"])
+        .select(
+            transect_id,
+            "year",
+            "surveyed_m",
+            "chainage_m",
+            (F.col("chainage_m") - F.col("surveyed_m")).alias("error_m"),
+            "n_surveys",
+        )
+    )
+
+
+def validation_stats(errors: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """deacl_val_stats (validation.py:109-146): n, bias, MAE, RMSE,
+    stdev, Pearson corr — all built-in JVM aggregates."""
+    g = errors.groupBy(*by) if by else errors.groupBy()
+    return g.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("error_m"), 6).alias("bias"),
+        F.round(F.avg(F.abs(F.col("error_m"))), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(F.pow(F.col("error_m"), 2))), 6).alias("rmse"),
+        F.round(F.stddev("error_m"), 6).alias("stdev"),
+        F.round(F.corr("surveyed_m", "chainage_m"), 6).alias("corr"),
+    )

@@ -580,6 +580,77 @@ GROUP BY feat_id ORDER BY feat_id
 """
 
 
+def q_overlay_clip(spark, sf_dir):
+    """Line x polygon overlay-intersection join (gpd.overlay analog,
+    vector.py:454) via the engine operator on horizontal segments
+    derived from events; oracle = interval-overlap arithmetic (exact
+    for axis-aligned rectangles)."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators.overlay import overlay_lines_polygons
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    lines = e.select(
+        F.col("event_id").alias("line_id"),
+        (F.col("value") * 40.0).alias("x0"),
+        ((F.col("user_id") % 50) * 400.0).cast("double").alias("y"),
+    )
+
+    def to_wkb(batches):
+        import numpy as np
+
+        for pdf in batches:
+            geoms = [
+                _wkb.linestring(np.array([[x, y], [x + 500.0, y]]))
+                for x, y in zip(pdf["x0"], pdf["y"])
+            ]
+            yield pd.DataFrame({"line_id": pdf["line_id"], "geometry": geoms})
+
+    lines_wkb = lines.mapInPandas(to_wkb, "line_id long, geometry binary")
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [r[0] for r in _PIP_RECTS],
+                "geometry": [
+                    _wkb.polygon(
+                        [[r[1], r[2]], [r[3], r[2]], [r[3], r[4]], [r[1], r[4]]]
+                    )
+                    for r in _PIP_RECTS
+                ],
+            }
+        )
+    )
+    out = overlay_lines_polygons(lines_wkb, polys, how="intersection", res=12)
+    return (
+        out.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_pieces"),
+            F.round(F.sum("piece_len_m"), 3).alias("clipped_len"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+ORACLE_OVERLAY_CLIP = """
+WITH lines AS (SELECT event_id AS line_id, value * 40.0 AS x0,
+                      value * 40.0 + 500.0 AS x1,
+                      CAST((user_id % 50) * 400.0 AS DOUBLE) AS y
+               FROM events WHERE event_id < 3000),
+     rects(poly_id, rxmin, rymin, rxmax, rymax) AS (VALUES
+       ('ra', 1000.0, 1000.0, 9000.0, 9000.0),
+       ('rb', 8000.0, 10000.0, 20000.0, 18000.0),
+       ('rc', 15000.0, 0.0, 22000.0, 6000.0)),
+     o AS (SELECT poly_id,
+                  LEAST(x1, rxmax) - GREATEST(x0, rxmin) AS olap
+           FROM lines JOIN rects
+             ON y >= rymin AND y <= rymax
+            AND LEAST(x1, rxmax) - GREATEST(x0, rxmin) > 0)
+SELECT poly_id, COUNT(*) AS n_pieces, ROUND(SUM(olap), 3) AS clipped_len
+FROM o GROUP BY poly_id ORDER BY poly_id
+"""
+
+
 # ------------------------------------------- dedup / text / similarity ops
 
 def q_dedup_exact(spark, sf_dir):
@@ -820,6 +891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "spatial_pip_join": q_spatial_pip_join,
     "knn_anchor_join": q_knn_anchor_join,
+    "overlay_clip": q_overlay_clip,
     "dedup_exact": q_dedup_exact,
     "charset_jaccard": q_charset_jaccard,
     "text_quality": q_text_quality,
@@ -852,6 +924,7 @@ ORACLES: dict[str, str] = {
     "salted_agg": ORACLE_SALTED_AGG,
     "spatial_pip_join": ORACLE_SPATIAL_PIP,
     "knn_anchor_join": ORACLE_KNN_ANCHOR,
+    "overlay_clip": ORACLE_OVERLAY_CLIP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "charset_jaccard": ORACLE_CHARSET_JACCARD,
     "text_quality": ORACLE_TEXT_QUALITY,
