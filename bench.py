@@ -40,7 +40,8 @@ def main() -> None:
         "pricing_summary", "join_star", "semi_anti_join", "window_running",
         "topk_per_group", "set_ops", "error_stats", "regr_slope",
         "mode_median", "certainty_cascade", "conditional_coalesce",
-        "asof_nearest", "scalar_funcs", "top1_crs_vote",
+        "asof_nearest", "scalar_funcs", "top1_crs_vote", "salted_agg",
+        "spatial_pip_join", "knn_anchor_join", "overlay_clip",
     ]
     for name in names:
         fn = driver_queries.QUERIES[name]

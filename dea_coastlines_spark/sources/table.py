@@ -42,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this writer's read and commit
+    (optimistic concurrency, the Iceberg commit-conflict analog)."""
+
+
 class SnapshotTable:
     """Handle to one snapshot-versioned parquet table."""
 
@@ -84,9 +89,15 @@ class SnapshotTable:
         return out
 
     def _commit(self, operation: str, files: list[dict], schema_json: str,
-                partition_by: list[str]) -> int:
+                partition_by: list[str], expected_version: int | None = None) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
-        v = self.current_version() + 1
+        cur = self.current_version()
+        if expected_version is not None and cur != expected_version:
+            raise CommitConflictError(
+                f"table at {self.path} moved to v{cur} (expected "
+                f"v{expected_version}); re-read and retry"
+            )
+        v = cur + 1
         meta = {
             "format": "dea-coastlines-spark/snapshot-table-v1",
             "version": v,
@@ -96,10 +107,17 @@ class SnapshotTable:
             "schema_json": schema_json,
             "files": files,
         }
-        tmp = f"{self.meta_dir}/.v{v}.metadata.json.tmp"
-        with open(tmp, "w") as f:
+        # O_EXCL makes the version file the commit lock: two writers
+        # racing to v{N} — one wins, the loser gets CommitConflictError
+        final = f"{self.meta_dir}/v{v}.metadata.json"
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"concurrent commit already produced v{v} at {self.path}"
+            ) from e
+        with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, f"{self.meta_dir}/v{v}.metadata.json")
         hint_tmp = f"{self.meta_dir}/.version-hint.tmp"
         with open(hint_tmp, "w") as f:
             f.write(str(v))
@@ -151,10 +169,12 @@ class SnapshotTable:
         return self._commit("create", files, df.schema.json(), partition_by)
 
     def append(self, df: DataFrame) -> int:
-        m = self._metadata()
+        base_v = self.current_version()
+        m = self._metadata(base_v)
         new = self._write_files(df, m["partition_by"])
         return self._commit(
-            "append", m["files"] + new, m["schema_json"], m["partition_by"]
+            "append", m["files"] + new, m["schema_json"], m["partition_by"],
+            expected_version=base_v,
         )
 
     def overwrite_partitions(self, df: DataFrame) -> int:
@@ -173,7 +193,8 @@ class SnapshotTable:
             if tuple(sorted(e["partition"].items())) not in replaced
         ]
         return self._commit(
-            "overwrite_partitions", kept + new, m["schema_json"], part_cols
+            "overwrite_partitions", kept + new, m["schema_json"], part_cols,
+            expected_version=m["version"],
         )
 
     # ---------------------------------------------------------------- read

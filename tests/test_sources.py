@@ -211,3 +211,28 @@ def test_with_tile_meta_is_jvm_only(spark, tile_spec):
         with_tile_meta(tiles).explain("formatted")
     plan = buf.getvalue()
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_commit_conflict_detection(spark, tmp_path, sample_df):
+    """Optimistic concurrency: a writer whose base snapshot moved must
+    fail with CommitConflictError, not silently clobber."""
+    from dea_coastlines_spark.sources.table import CommitConflictError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+
+    # writer A reads v1, stages files; writer B commits v2 first
+    base_v = t.current_version()
+    m = t._metadata(base_v)
+    staged = t._write_files(
+        spark.createDataFrame([(7, 7, "a")], "id long, year int, val string"),
+        ["year"],
+    )
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    t2.append(spark.createDataFrame([(8, 8, "b")], "id long, year int, val string"))
+
+    with pytest.raises(CommitConflictError):
+        t._commit("append", m["files"] + staged, m["schema_json"],
+                  m["partition_by"], expected_version=base_v)
+    # the winning commit is intact
+    assert t.read().count() == 31
