@@ -829,6 +829,126 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------- geospatial pipeline stage queries
+# rows-only (marching squares / regression-on-rasters have no SQL
+# analog); deterministic synthetic corpus + stable ordering so the
+# driver's row-count/schema check is reproducible run to run.
+
+def _beach_spec():
+    from ..synth.corpus import CorpusSpec
+
+    return CorpusSpec(
+        tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
+        year0=2000, year1=2004, obs_per_year=5,
+        cloud_frac=0.0, noise_sd=0.04, tide_amp_m=8.0, seed=21,
+    )
+
+
+def q_rates_of_change(spark, sf_dir):
+    """Full rates-of-change pipeline (reference entry point 2):
+    composites -> shorelines -> baseline points -> kNN distances ->
+    MAD+linregress UDAF -> certainty cascade."""
+    from ..plans.pipeline import rates_pipeline
+    from ..synth import corpus as _corpus
+
+    tiles = spark.createDataFrame(_corpus.generate_pandas(_beach_spec()))
+    out = rates_pipeline(tiles, baseline_year=2000, apply_tide_filter=False)
+    return out.select(
+        "point_id",
+        F.round("x", 2).alias("x"),
+        F.round("y", 2).alias("y"),
+        F.round("rate_time", 3).alias("rate_time"),
+        F.round("sig_time", 3).alias("sig_time"),
+        F.round("se_time", 3).alias("se_time"),
+        "outl_time",
+        "valid_obs",
+        F.round("sce", 3).alias("sce"),
+        F.round("nsm", 3).alias("nsm"),
+        "certainty",
+    ).orderBy("point_id")
+
+
+def q_hotspots(spark, sf_dir):
+    """Continental hotspot stage (entry point 3): buffer-disc
+    containment join + per-hotspot median + regression."""
+    from ..operators import composite as comp_op
+    from ..operators import contours as cont_op
+    from ..operators import hotspots as hs_op
+    from ..operators import rates as rates_op
+    from ..synth import corpus as _corpus
+
+    tiles = spark.createDataFrame(_corpus.generate_pandas(_beach_spec()))
+    comps = comp_op.annual_composites(tiles, False)
+    sl = cont_op.shorelines(comps)
+    pts = rates_op.baseline_points(sl, 2000)
+    signed = rates_op.signed_distances(
+        rates_op.annual_nearest(pts, sl), comps, 2000
+    )
+    hs = hs_op.hotspots(sl, pts, signed, 2000, radius_m=1000.0)
+    return hs.select(
+        "hotspot_id",
+        F.round("rate_time", 3).alias("rate_time"),
+        F.col("n").alias("n_points"),
+        "certainty",
+    ).orderBy("hotspot_id")
+
+
+def q_masked_shorelines(spark, sf_dir):
+    """Full contours_preprocess parity path: annual + gapfill composites
+    -> morphology/temporal masking -> vectorization."""
+    from ..plans.pipeline import masked_shoreline_pipeline
+    from ..synth import corpus as _corpus
+
+    tiles = spark.createDataFrame(_corpus.generate_pandas(_beach_spec()))
+    out = masked_shoreline_pipeline(tiles, apply_tide_filter=False)
+    return out.select(
+        "cell_id", "tile_x", "tile_y", "year",
+        F.hex(F.col("geometry")).alias("geometry_wkb_hex"),
+        "n_vertices", F.round("length_m", 3).alias("length_m"), "certainty",
+    ).orderBy("year", "cell_id", "length_m")
+
+
+def q_validation_stats(spark, sf_dir):
+    """Validation stage (entry point 4): survey agg -> year join ->
+    transect x shoreline chainage -> error stats per transect."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators.validation import validation_errors, validation_stats
+    from ..plans.pipeline import shoreline_pipeline
+    from ..synth import corpus as _corpus
+
+    spec = _beach_spec()
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    sl = shoreline_pipeline(tiles, apply_tide_filter=False)
+    import numpy as np
+
+    xs = [700.0, 2500.0, 4300.0]
+    y_lo = -2000.0
+    transects = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [f"t{i}" for i in range(len(xs))],
+                "geometry": [
+                    _wkb.linestring(np.array([[x, y_lo], [x, 2000.0]])) for x in xs
+                ],
+            }
+        )
+    )
+    rows = []
+    for i, x in enumerate(xs):
+        for year in spec.years:
+            truth = float(_corpus.y_coast(spec, np.array([x]), year, 0.0)[0]) - y_lo
+            rows.append((f"t{i}", f"{year}-06-15", truth))
+    survey = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "date", "distance"])
+    ).withColumn("date", F.to_timestamp("date"))
+    errs = validation_errors(survey, transects, sl)
+    return validation_stats(errs, by=["id"]).withColumn(
+        "mae_under_px", F.col("mae") < 30.0
+    ).orderBy("id")
+
+
 # rows-only entries (no SQL analog): minhash LSH, simhash, fingerprint,
 # LSH ANN, multimodal decode/resize
 
@@ -904,6 +1024,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_ann_topk": q_lsh_ann_topk,
     "multimodal_decode_stats": q_multimodal_decode_stats,
+    "rates_of_change": q_rates_of_change,
+    "hotspots": q_hotspots,
+    "masked_shorelines": q_masked_shorelines,
+    "validation_stats": q_validation_stats,
 }
 
 ORACLES: dict[str, str] = {
