@@ -21,8 +21,12 @@ Scale notes:
     AQE skew-split balances oversized shuffle partitions. Explicit
     salting (`salted`) is provided for the grouped aggregations that
     DO key by cell (per-cell dissolve/median).
-  * candidate dedup happens before the distance kernel so duplicated
-    (point, feature) pairs from multi-cell coverage are priced once.
+  * cell assignment on the point side is the Catalyst bit-interleave
+    expression (cells_expr) — zero Python crossings before the refine.
+  * k=1 kNN (the only k the reference uses) is a single-shuffle
+    min(struct(dist, feat_id)) aggregation over the refined pairs; the
+    candidate set itself is never shuffled. k>1 falls back to
+    dedup + ranking window.
 """
 
 from __future__ import annotations
@@ -37,12 +41,42 @@ from pyspark.sql.window import Window
 from ..geometry import algorithms as ga
 from ..geometry import wkb
 from ..index import cells
+from ..index.cells_expr import cell_id_expr
 
 DEFAULT_RES = 14  # 512 m cells
 
+# Session-wide arrow.maxRecordsPerBatch is tuned small (256) for fat
+# image rows; point-sized rows would pay one Python crossing per 256
+# rows. Kernels below re-batch their input iterator to this many rows
+# before computing — an operator-local override of the Arrow batch size.
+_KERNEL_BATCH_ROWS = 65536
+
+
+def _rebatched(batches, target_rows: int = _KERNEL_BATCH_ROWS):
+    """Coalesce an iterator of small Arrow-sized DataFrames into
+    ~target_rows chunks (vectorization-friendly without changing the
+    session batch size that the image stages rely on)."""
+    buf: list[pd.DataFrame] = []
+    n = 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        buf.append(pdf)
+        n += len(pdf)
+        if n >= target_rows:
+            yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, n = [], 0
+    if buf:
+        yield pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+
 
 def cell_of_xy(res: int):
-    """Vectorized Arrow UDF: (x, y) -> cell_id (north_rule batch-encode)."""
+    """Vectorized Arrow UDF: (x, y) -> cell_id (north_rule batch-encode).
+
+    Kept for parity testing and for callers that already sit inside a
+    Python stage; the JOIN paths below use the bit-identical Catalyst
+    expression `cell_id_expr` instead — cell assignment then runs in
+    whole-stage codegen with zero Python crossings."""
 
     @F.pandas_udf(LongType())
     def _enc(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -125,15 +159,13 @@ def points_in_polygons(
         )
     )
 
-    pts = points.withColumn("cell_id", cell_of_xy(res)(F.col(x_col), F.col(y_col)))
+    pts = points.withColumn("cell_id", cell_id_expr(F.col(x_col), F.col(y_col), res))
     cand = pts.select(point_id, x_col, y_col, "cell_id").join(
         F.broadcast(cover_df), "cell_id"
     )
 
     def refine(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        for pdf in _rebatched(batches):
             out = []
             for pos, grp in pdf.groupby("_poly_pos"):
                 payload = rings[int(pos)][1]
@@ -176,10 +208,26 @@ def knn_join(
     tie-break (distance, feat_id) — required for N-vs-4N exact-match
     parity (SURVEY.md §7 hard part #2).
     """
+    dedup = k > 1  # duplicate (point, feature) pairs can't affect a min
     dists = _distances_within(
         points, features, radius_m, res, x_col, y_col, point_id, feat_id,
-        broadcast_features,
+        broadcast_features, dedup_pairs=dedup,
     )
+    if k == 1:
+        # min(struct(dist, feat_id)) = deterministic argmin in ONE
+        # shuffle (struct ordering is lexicographic: distance first,
+        # then feat_id — the same tie-break as the ranking window).
+        # The k>1 path needs dedup + a per-point sort; k=1 (the only k
+        # the reference uses, vector.py:1228, 806-818) does not.
+        m = dists.groupBy(point_id).agg(
+            F.min(F.struct(F.col("dist_m"), F.col(feat_id))).alias("_m")
+        )
+        return m.select(
+            point_id,
+            F.col(f"_m.{feat_id}").alias(feat_id),
+            F.col("_m.dist_m").alias("dist_m"),
+            F.lit(1).alias("knn_rank"),
+        )
     w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(feat_id).asc())
     return (
         dists.withColumn("knn_rank", F.row_number().over(w))
@@ -197,25 +245,26 @@ def _distances_within(
     point_id: str,
     feat_id: str,
     broadcast_features: bool,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """(point, feature, dist_m) pairs with dist <= radius_m — shared
-    candidate-generation + refine for knn_join/radius_join."""
+    candidate-generation + refine for knn_join/radius_join.
+
+    dedup_pairs=False skips the duplicate-pair shuffle for callers whose
+    downstream aggregation is duplicate-insensitive (k=1 argmin); the
+    duplicated pairs then cost only their distance evaluation."""
     feat_cells = explode_polygons_to_cells(features, res, pad_m=radius_m)
     # NOTE: pad by radius on the FEATURE side — points stay 1 row each.
     if broadcast_features:
         feat_cells = F.broadcast(feat_cells)
 
-    pts = points.withColumn("cell_id", cell_of_xy(res)(F.col(x_col), F.col(y_col)))
-    cand = (
-        pts.select(point_id, x_col, y_col, "cell_id")
-        .join(feat_cells, "cell_id")
-        .dropDuplicates([point_id, feat_id])
-    )
+    pts = points.withColumn("cell_id", cell_id_expr(F.col(x_col), F.col(y_col), res))
+    cand = pts.select(point_id, x_col, y_col, "cell_id").join(feat_cells, "cell_id")
+    if dedup_pairs:
+        cand = cand.dropDuplicates([point_id, feat_id])
 
     def dist_kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        for pdf in _rebatched(batches):
             out = []
             for fid, grp in pdf.groupby(feat_id):
                 t, payload = wkb.parse(bytes(grp["geometry"].iloc[0]))

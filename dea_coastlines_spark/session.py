@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # small-file splits: narrow Python-kernel stages (distance
+        # refine, decode) inherit scan partitioning — a single 20 MB
+        # file must not serialize a 32-core kernel stage. At cluster
+        # scale inputs have thousands of splits and this is a no-op.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
