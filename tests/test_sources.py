@@ -236,3 +236,17 @@ def test_commit_conflict_detection(spark, tmp_path, sample_df):
                   m["partition_by"], expected_version=base_v)
     # the winning commit is intact
     assert t.read().count() == 31
+
+
+def test_load_config(tmp_path):
+    from dea_coastlines_spark.config import DEFAULTS, load_config
+
+    assert load_config()["min_vertices"] == 10
+    p = tmp_path / "run.json"
+    p.write_text('{"min_vertices": 5, "extra": "x"}')
+    cfg = load_config(str(p), overrides={"cell_res": 9})
+    assert cfg["min_vertices"] == 5 and cfg["extra"] == "x" and cfg["cell_res"] == 9
+    assert DEFAULTS["min_vertices"] == 10  # defaults not mutated
+    py = tmp_path / "run.yaml"
+    py.write_text("min_vertices: 7\n")
+    assert load_config(str(py))["min_vertices"] == 7
