@@ -146,3 +146,27 @@ def test_gapfill_composites_window(tiles_df):
     got = tiff.decode_f32(bytes(mid.mndwi_bytes))
     ok = ~np.isnan(want)
     assert np.allclose(got[ok], want[ok], atol=2e-4)
+
+
+def test_parallelism_invariance_exact_match(spark, tiles_df):
+    """North-rule hard requirement: N vs 4N runs must produce EXACTLY
+    the same rows (SURVEY.md §7 hard part #2). Same plan executed under
+    very different shuffle fan-outs -> byte-identical sorted output."""
+
+    def run(parts: int):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            rows = shoreline_pipeline(tiles_df, apply_tide_filter=True).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        return sorted(
+            (r.cell_id, r.tile_x, r.tile_y, r.year, bytes(r.geometry).hex(),
+             r.n_vertices, round(r.length_m, 9), r.certainty)
+            for r in rows
+        )
+
+    a = run(3)
+    b = run(29)
+    assert a == b
+    assert len(a) > 0
