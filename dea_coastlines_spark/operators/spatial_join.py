@@ -126,6 +126,7 @@ def points_in_polygons(
     x_col: str = "x",
     y_col: str = "y",
     point_id: str = "point_id",
+    broadcast_polys: bool = True,
 ) -> DataFrame:
     """Spatial containment join: point rows x polygon rows.
 
@@ -133,13 +134,22 @@ def points_in_polygons(
     (point, polygon) containment pair; `how="left"` keeps unmatched
     points with nulls (region-attribute semantics, vector.py:1288).
 
-    The polygon side is materialized driver-side and broadcast — by
-    contract it is the small side (AOI/region/hotspot tables; the
-    reference's sjoin right sides are study-area-scale). The point side
-    streams: one cell per point, refine is row-streaming mapInPandas, so
-    the plan scales to 10^12 points with no point-side replication and
-    no per-key grouped hotspot (AQE balances shuffle-size skew).
+    With broadcast_polys=True (default) the polygon side is
+    materialized driver-side and broadcast — by contract it is the
+    small side (AOI/region/hotspot tables; the reference's sjoin right
+    sides are study-area-scale). broadcast_polys=False is the
+    big-polygon-table path: the cell cover is built distributed
+    (geometry replicated per covering cell), the join is a shuffled
+    equi join (AQE skew-split applies), and the refine parses WKB
+    inside the kernel. Either way the point side streams: one cell per
+    point, refine is row-streaming mapInPandas, so the plan scales to
+    10^12 points with no point-side replication and no per-key grouped
+    hotspot.
     """
+    if not broadcast_polys:
+        return _points_in_polygons_dist(
+            points, polys, res, how, x_col, y_col, point_id
+        )
     spark = points.sparkSession
     polys_pdf = polys.toPandas()
     polys_pdf["_poly_pos"] = np.arange(len(polys_pdf), dtype=np.int64)
@@ -187,6 +197,55 @@ def points_in_polygons(
     matches = cand.mapInPandas(refine, f"{point_id} long, _poly_pos long")
     poly_payload = spark.createDataFrame(polys_pdf.drop(columns=["geometry"]))
     matched = matches.join(F.broadcast(poly_payload), "_poly_pos").drop("_poly_pos")
+    return points.join(matched, point_id, "inner" if how == "inner" else "left")
+
+
+def _points_in_polygons_dist(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int,
+    how: str,
+    x_col: str,
+    y_col: str,
+    point_id: str,
+) -> DataFrame:
+    """Fully distributed containment join: no driver-side polygon
+    materialization, no broadcast. All polygon attribute columns ride
+    through the refine kernel unchanged; geometry is parsed inside the
+    kernel, once per distinct polygon per chunk."""
+    attr_cols = [c for c in polys.columns if c != "geometry"]
+    poly_cells = explode_polygons_to_cells(polys, res)
+
+    pts = points.withColumn("cell_id", cell_id_expr(F.col(x_col), F.col(y_col), res))
+    cand = pts.select(point_id, x_col, y_col, "cell_id").join(poly_cells, "cell_id")
+
+    out_fields = f"{point_id} long, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in polys.schema.fields
+        if f.name != "geometry"
+    )
+
+    def refine(batches):
+        for pdf in _rebatched(batches):
+            out = []
+            # group by geometry bytes: one parse + one vectorized PIP
+            # per distinct polygon present in the chunk
+            for geom, grp in pdf.groupby("geometry", sort=False):
+                t, payload = wkb.parse(bytes(geom))
+                if t != wkb.POLYGON:
+                    raise ValueError("points_in_polygons expects Polygon geometry")
+                px = grp[x_col].to_numpy(float)
+                py = grp[y_col].to_numpy(float)
+                inside = ga.points_in_polygon(px, py, payload[0])
+                for hole in payload[1:]:
+                    inside &= ~ga.points_in_polygon(px, py, hole, boundary_counts=False)
+                if inside.any():
+                    keep = grp.loc[inside, [point_id] + attr_cols]
+                    out.append(keep)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    matched = cand.mapInPandas(refine, out_fields)
     return points.join(matched, point_id, "inner" if how == "inner" else "left")
 
 

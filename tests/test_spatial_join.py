@@ -177,3 +177,46 @@ def test_knn_k2(spark):
     pts = spark.createDataFrame(pd.DataFrame({"point_id": [0], "x": [0.0], "y": [0.0]}))
     got = sj.knn_join(pts, feats, radius_m=1000.0, res=12, k=2).toPandas()
     assert got.sort_values("knn_rank").feat_id.tolist() == ["a", "b"]
+
+
+def test_points_in_polygons_distributed_matches_broadcast(spark):
+    """The big-polygon-table path (no driver materialization, shuffled
+    equi join) must produce exactly the broadcast path's rows."""
+    import pandas as pd
+
+    from dea_coastlines_spark.geometry import wkb as _wkb
+
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(4000),
+                "x": rng.uniform(0, 20000, 4000),
+                "y": rng.uniform(0, 20000, 4000),
+            }
+        )
+    )
+    rects = [(f"p{i}", 1000.0 * i, 500.0 * i, 1000.0 * i + 4000, 500.0 * i + 6000)
+             for i in range(12)]
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [r[0] for r in rects],
+                "geometry": [
+                    _wkb.polygon(
+                        np.array([[r[1], r[2]], [r[3], r[2]], [r[3], r[4]], [r[1], r[4]]])
+                    )
+                    for r in rects
+                ],
+            }
+        )
+    )
+    a = sj.points_in_polygons(pts, polys, res=12, how="inner")
+    b = sj.points_in_polygons(pts, polys, res=12, how="inner", broadcast_polys=False)
+    ka = sorted((r.point_id, r.poly_id) for r in a.collect())
+    kb = sorted((r.point_id, r.poly_id) for r in b.collect())
+    assert ka == kb and len(ka) > 100
+    # left join parity too
+    al = sj.points_in_polygons(pts, polys, res=12, how="left").count()
+    bl = sj.points_in_polygons(pts, polys, res=12, how="left", broadcast_polys=False).count()
+    assert al == bl
