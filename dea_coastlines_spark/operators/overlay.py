@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..geometry import algorithms as ga
 from ..geometry import wkb
 from ..index import cells
-from .spatial_join import DEFAULT_RES, explode_polygons_to_cells
+from .spatial_join import DEFAULT_RES, _rebatched, explode_polygons_to_cells
 
 
 def _line_cells(lines: DataFrame, res: int) -> DataFrame:
@@ -98,9 +98,7 @@ def overlay_lines_polygons(
 
     def clip_kernel(batches):
         keep_inside = how != "difference"
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        for pdf in _rebatched(batches, 8192):
             rows = []
             order = np.lexsort((pdf["_poly_pos"].to_numpy(), pdf[line_id].to_numpy()))
             for i in order:

@@ -220,3 +220,36 @@ def test_points_in_polygons_distributed_matches_broadcast(spark):
     al = sj.points_in_polygons(pts, polys, res=12, how="left").count()
     bl = sj.points_in_polygons(pts, polys, res=12, how="left", broadcast_polys=False).count()
     assert al == bl
+
+
+def test_knn_join_non_broadcast_matches_broadcast(spark):
+    import pandas as pd
+
+    from dea_coastlines_spark.geometry import wkb as _wkb
+
+    rng = np.random.default_rng(5)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(2000),
+                "x": rng.uniform(0, 20000, 2000),
+                "y": rng.uniform(0, 20000, 2000),
+            }
+        )
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feat_id": [f"f{i}" for i in range(6)],
+                "geometry": [
+                    _wkb.point(3000.0 * i + 500, 2500.0 * i + 700) for i in range(6)
+                ],
+            }
+        )
+    )
+    a = sj.knn_join(pts, feats, radius_m=4000.0, res=12, k=1)
+    b = sj.knn_join(pts, feats, radius_m=4000.0, res=12, k=1,
+                    broadcast_features=False)
+    ka = sorted((r.point_id, r.feat_id, round(r.dist_m, 9)) for r in a.collect())
+    kb = sorted((r.point_id, r.feat_id, round(r.dist_m, 9)) for r in b.collect())
+    assert ka == kb and len(ka) > 100
