@@ -71,3 +71,52 @@ def start_incremental_composites(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_incremental_shorelines(
+    spark: SparkSession,
+    tiles_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    apply_tide_filter: bool = True,
+):
+    """Keep an annual-shoreline snapshot table in sync with a growing
+    tile directory: each micro-batch recomputes shorelines ONLY for the
+    (tile, year) keys its new files touch, then upserts those partitions
+    into the snapshot table (overwrite_partitions) — Iceberg-style
+    append + key-scoped recompute (SURVEY.md §2.10), end to end.
+
+    Tide note: the cutoff window is a min/max over a tile's full series,
+    so the recompute pulls ALL years of an affected tile (the same
+    cell-completeness rule the checkpointed batch job uses)."""
+    from ..plans.pipeline import shoreline_pipeline
+    from ..sources.table import SnapshotTable
+
+    stream = (
+        spark.readStream.schema(TILES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(tiles_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        affected_tiles = (
+            comp_op.with_caption(batch_df).select("tile_x", "tile_y").distinct()
+        )
+        full = comp_op.with_caption(sess.read.parquet(tiles_dir))
+        todo = full.join(F.broadcast(affected_tiles), ["tile_x", "tile_y"])
+        sl = shoreline_pipeline(todo, apply_tide_filter=apply_tide_filter)
+        table = SnapshotTable(sess, table_path)
+        if table.current_version() == 0:
+            table.create(sl, partition_by=["tile_x", "tile_y"])
+        else:
+            table.overwrite_partitions(sl)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
