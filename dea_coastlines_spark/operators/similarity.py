@@ -179,3 +179,110 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 10,
+    sample_rows: int = 20_000,
+    seed: int = 0,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """k-means coarse quantizer trained driver-side on a bounded sample
+    (the standard IVF recipe: the quantizer is tiny and global, the
+    assignment is distributed). Deterministic: seeded init, fixed
+    iteration count, ties to lowest centroid id."""
+    pdf = (
+        embeddings.select(vec_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(n_iter):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _assign_clusters(df, centroids, nprobe, id_col, vec_col, out_id):
+    """(id, vec) -> exploded (id, cluster) rows for the nprobe nearest
+    centroids (nprobe=1 for the indexed side, >1 for queries)."""
+    cent = centroids  # captured
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "cluster": top.ravel().astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{out_id} long, cluster int"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k (the third scale path next to brute force and LSH):
+    items live in their nearest coarse cluster; each query probes its
+    `nprobe` nearest clusters; exact cosine rerank inside the probed
+    cells. Candidate volume ~ nprobe/n_clusters of brute force."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_clusters, vec_col=vec_col)
+    items = _assign_clusters(embeddings, centroids, 1, id_col, vec_col, "item_id")
+    probes = _assign_clusters(queries, centroids, nprobe, id_col, vec_col, "query_id")
+    cands = (
+        probes.join(items, "cluster")
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id")
+        .distinct()
+    )
+    base = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("item_vec"),
+        F.col("_norm").alias("item_norm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    scored = cands.join(base, "item_id").join(F.broadcast(q), "query_id").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("q_vec"), F.col("item_vec")) / (F.col("q_norm") * F.col("item_norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cosine")
+    )

@@ -981,6 +981,16 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=5).orderBy("query_id", "rank")
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     from ..operators.multimodal import decode_stats
     from ..synth import corpus as _corpus
@@ -1023,6 +1033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_decode_stats": q_multimodal_decode_stats,
     "rates_of_change": q_rates_of_change,
     "hotspots": q_hotspots,

@@ -195,3 +195,20 @@ def test_audio_stub_raises(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="NotImplementedError|audio codec stubbed"):
         multimodal.audio_features(df).collect()
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from dea_coastlines_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.item_id) for r in exact}
+    approx_set = {(r.query_id, r.item_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # nprobe/half the clusters -> decent recall
+    # deterministic: same call twice -> identical rows
+    again = {(r.query_id, r.rank, r.item_id) for r in
+             ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
+    assert again == {(r.query_id, r.rank, r.item_id) for r in approx}
