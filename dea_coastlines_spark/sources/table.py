@@ -132,6 +132,12 @@ class SnapshotTable:
         only when a commit references them."""
         stage_id = uuid.uuid4().hex[:12]
         stage_dir = f"{self.data_dir}/stage-{stage_id}"
+        if partition_by:
+            # cluster rows so each partition directory gets ONE file:
+            # avoids small-files explosion AND guarantees co-location of
+            # a partition key's rows (enables the shuffle-free grouped
+            # paths, e.g. contours.shorelines_colocated)
+            df = df.repartition(*[F.col(c) for c in partition_by])
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -159,6 +165,7 @@ class SnapshotTable:
                         "path": rel,
                         "partition": part,
                         "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "bytes": os.path.getsize(full),
                     }
                 )
         return entries

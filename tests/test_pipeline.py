@@ -170,3 +170,55 @@ def test_parallelism_invariance_exact_match(spark, tiles_df):
     b = run(29)
     assert a == b
     assert len(a) > 0
+
+
+def test_fused_equals_staged(spark, tiles_df):
+    """shorelines_fused (one grouped stage, no TIFF round trip) must be
+    byte-identical to annual_composites |> shorelines."""
+    from dea_coastlines_spark.operators.contours import shorelines_fused
+
+    staged = shoreline_pipeline(tiles_df, apply_tide_filter=True)
+    fused = shorelines_fused(tiles_df, apply_tide_filter=True)
+
+    def key(rows):
+        return sorted(
+            (r.cell_id, r.tile_x, r.tile_y, r.year, bytes(r.geometry).hex(),
+             r.n_vertices, round(r.length_m, 9), r.certainty)
+            for r in rows
+        )
+
+    assert key(fused.collect()) == key(staged.collect())
+
+
+def test_colocated_equals_staged(spark, tiles_df, tmp_path):
+    """shorelines_colocated (zero shuffle of image bytes) must equal the
+    staged pipeline on a write_tiles table, and its plan must contain
+    no Exchange on the image-bytes branch."""
+    import contextlib
+    import io
+    import re
+
+    from dea_coastlines_spark.operators.contours import shorelines_colocated
+    from dea_coastlines_spark.sources import write_tiles
+
+    path = str(tmp_path / "tiles")
+    write_tiles(tiles_df, path)
+    col = shorelines_colocated(spark, path, apply_tide_filter=True)
+    staged = shoreline_pipeline(tiles_df, apply_tide_filter=True)
+
+    def key(rows):
+        return sorted(
+            (r.tile_x, r.tile_y, r.year, bytes(r.geometry).hex(), r.certainty)
+            for r in rows
+        )
+
+    assert key(col.collect()) == key(staged.collect())
+
+    # plan: the only Exchange feeds the tiny tide-cutoff aggregate; the
+    # bytes branch (scan -> broadcast join -> MapInPandas) has none.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shorelines_colocated(spark, path, apply_tide_filter=False).explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" not in plan  # grouped WITHIN partitions
+    assert len(re.findall(r"\) Exchange", plan)) == 0
