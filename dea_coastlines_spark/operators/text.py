@@ -128,3 +128,21 @@ def with_fingerprint(
 
     fps = df.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, fingerprint long")
     return df.join(fps, id_col)
+
+
+# GPT-2-style pretokenizer, simplified to the RE2-compatible subset
+# (no lookahead) so the DuckDB oracle can run the IDENTICAL pattern:
+# contractions, optional-space letter runs, digit runs, punctuation
+# runs, residual whitespace.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc (both JVM-side; the
+    regex count is whole-stage-codegen, no Python)."""
+    trimmed = F.trim(F.col(text_col))
+    ws = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+    return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)

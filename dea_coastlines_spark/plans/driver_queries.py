@@ -787,6 +787,28 @@ FROM q GROUP BY lang ORDER BY lang
 """
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts (JVM regexp_count vs
+    DuckDB regexp_extract_all on the identical RE2-safe pattern)."""
+    from ..operators.text import with_token_counts
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return with_token_counts(d).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe"
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens_ws,
+       LEN(REGEXP_EXTRACT_ALL(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+       )) AS n_tokens_bpe
+FROM documents WHERE doc_id < 500 ORDER BY doc_id
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 (JVM-side dot products) for 10 query
     vectors over the embeddings table."""
@@ -1027,6 +1049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "langid": q_langid,
     "token_stats": q_token_stats,
+    "token_counts": q_token_counts,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "minhash_pairs": q_minhash_pairs,
@@ -1065,6 +1088,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "langid": _langid_sql(),
     "token_stats": ORACLE_TOKEN_STATS,
+    "token_counts": ORACLE_TOKEN_COUNTS,
     "ann_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     # minhash_pairs / simhash_pairs / doc_fingerprint / lsh_ann_topk /
