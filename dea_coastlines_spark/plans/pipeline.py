@@ -53,7 +53,13 @@ def rates_pipeline(
     pts = rates_op.baseline_points(sl, baseline_year, spacing_m)
     nearest = rates_op.annual_nearest(pts, sl)
     signed = rates_op.signed_distances(nearest, comps, baseline_year)
-    years = [r.year for r in sl.select("year").distinct().collect()]
+    # year list from the caption-only tile scan (column-pruned, no
+    # pixels touched) — deriving it from `sl` would execute the whole
+    # raster->vector stage a second time just to enumerate years
+    years = [
+        r.year
+        for r in comp_op.with_caption(tiles).select("year").distinct().collect()
+    ]
     rates = rates_op.rates_of_change(signed, initial_year=min(years))
     return rates_op.with_certainty(
         rates, n_years=len(years), baseline_year=baseline_year,
