@@ -900,12 +900,12 @@ def q_hotspots(spark, sf_dir):
     from ..synth import corpus as _corpus
 
     tiles = spark.createDataFrame(_corpus.generate_pandas(_beach_spec()))
-    comps = comp_op.annual_composites(tiles, False)
-    sl = cont_op.shorelines(comps)
-    pts = rates_op.baseline_points(sl, 2000)
+    comps = comp_op.annual_composites(tiles, False).persist()
+    sl = cont_op.shorelines(comps).persist()
+    pts = rates_op.baseline_points(sl, 2000).persist()
     signed = rates_op.signed_distances(
         rates_op.annual_nearest(pts, sl), comps, 2000
-    )
+    ).persist()
     hs = hs_op.hotspots(sl, pts, signed, 2000, radius_m=1000.0)
     return hs.select(
         "hotspot_id",

@@ -46,10 +46,20 @@ def rates_pipeline(
     """Full rates-of-change plan: tiles -> composites -> shorelines ->
     baseline points -> annual signed distances -> regression UDAF ->
     certainty cascade (reference entry point 2, vector.py:1369-1680)."""
+    from pyspark import StorageLevel
+
     from ..operators import rates as rates_op
 
-    comps = comp_op.annual_composites(tiles, apply_tide_filter)
-    sl = cont_op.shorelines(comps)
+    # comps feeds both vectorization and raster sampling; sl feeds both
+    # baseline points and per-year nearest. Without persist, every
+    # downstream branch re-executes the full decode+composite stage —
+    # at corpus scale that is the whole job several times over. (The
+    # reference materializes composites to GeoTIFF between its CLIs for
+    # exactly this reason; CheckpointedPipeline is the durable variant.)
+    comps = comp_op.annual_composites(tiles, apply_tide_filter).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sl = cont_op.shorelines(comps).persist(StorageLevel.MEMORY_AND_DISK)
     pts = rates_op.baseline_points(sl, baseline_year, spacing_m)
     nearest = rates_op.annual_nearest(pts, sl)
     signed = rates_op.signed_distances(nearest, comps, baseline_year)
