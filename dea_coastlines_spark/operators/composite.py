@@ -167,10 +167,18 @@ def gapfill_composites(tiles: DataFrame, apply_tide_filter: bool = True) -> Data
     narrow = meta.select(
         "tile_x", "tile_y", "year", "bytes", "fmt", "w", "h", "transform", "halo_px"
     )
-    shifted = None
-    for dy in (-1, 0, 1):
-        part = narrow.withColumn("target_year", (F.col("year") + F.lit(dy)).cast("int"))
-        shifted = part if shifted is None else shifted.unionByName(part)
+    # one scan, three shuffle keys per row (vs a 3-way self-union which
+    # would read the source three times): explode is JVM-side
+    shifted = narrow.withColumn(
+        "target_year",
+        F.explode(
+            F.array(
+                (F.col("year") - 1).cast("int"),
+                F.col("year").cast("int"),
+                (F.col("year") + 1).cast("int"),
+            )
+        ),
+    )
     # keep only target years that exist as real years (reference composites
     # (prev, cur, next) only for produced years)
     years = narrow.select("year").distinct().withColumnRenamed("year", "target_year")
