@@ -114,3 +114,36 @@ def hotspots(
         "certainty",
         F.when(F.col("n") < radius_m / 30.0, "insufficient points").otherwise("good"),
     )
+
+
+def with_wms_fields(df: DataFrame) -> DataFrame:
+    """Display fields for the WMS/TerriaJS visualisation
+    (wms_fields, continental.py:29-54): abs rate, 1.96*se confidence,
+    grew/retreated flags, significance, good-certainty flag."""
+    return df.select(
+        "*",
+        F.abs(F.col("rate_time")).alias("wms_abs"),
+        (F.col("se_time") * 1.96).alias("wms_conf"),
+        (F.col("rate_time") < 0).alias("wms_grew"),
+        (F.col("rate_time") > 0).alias("wms_retr"),
+        (F.col("sig_time") <= 0.01).alias("wms_sig"),
+        (F.col("certainty") == "good").alias("wms_good"),
+    )
+
+
+def continental_hotspots(
+    shorelines: DataFrame,
+    rate_points: DataFrame,
+    signed_dists: DataFrame,
+    baseline_year: int,
+    radii_m: tuple = (10000.0, 5000.0, 1000.0),
+) -> DataFrame:
+    """The reference's per-radius hotspot loop (continental.py:262):
+    one unioned table with a radius_m column, WMS fields attached."""
+    out = None
+    for r in radii_m:
+        h = with_wms_fields(
+            hotspots(shorelines, rate_points, signed_dists, baseline_year, r)
+        )
+        out = h if out is None else out.unionByName(h)
+    return out

@@ -73,3 +73,14 @@ def test_hotspot_median_matches_oracle(stage):
     assert abs(target.rate_time - reg["slope"]) < 1e-9 or (
         np.isnan(target.rate_time) and np.isnan(reg["slope"])
     )
+
+
+def test_continental_hotspots_wms(stage, spark):
+    hs = hs_op.continental_hotspots(*stage, BASELINE, radii_m=(1000.0, 500.0))
+    pdf = hs.toPandas()
+    assert set(pdf.radius_m.unique()) == {1000.0, 500.0}
+    for c in ("wms_abs", "wms_conf", "wms_grew", "wms_retr", "wms_sig", "wms_good"):
+        assert c in pdf.columns
+    assert (pdf.wms_abs >= 0).all()
+    assert ((pdf.wms_grew) == (pdf.rate_time < 0)).all()
+    assert np.allclose(pdf.wms_conf, pdf.se_time * 1.96, equal_nan=True)
