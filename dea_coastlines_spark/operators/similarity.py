@@ -188,13 +188,16 @@ def train_ivf_centroids(
     sample_rows: int = 20_000,
     seed: int = 0,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """k-means coarse quantizer trained driver-side on a bounded sample
     (the standard IVF recipe: the quantizer is tiny and global, the
-    assignment is distributed). Deterministic: seeded init, fixed
-    iteration count, ties to lowest centroid id."""
+    assignment is distributed). Deterministic: the sample is the
+    sample_rows lowest ids (TakeOrdered, not a partition-order limit),
+    seeded init, fixed iteration count."""
     pdf = (
-        embeddings.select(vec_col)
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
         .limit(sample_rows)
         .toPandas()
     )
@@ -254,7 +257,9 @@ def ivf_topk(
     `nprobe` nearest clusters; exact cosine rerank inside the probed
     cells. Candidate volume ~ nprobe/n_clusters of brute force."""
     if centroids is None:
-        centroids = train_ivf_centroids(embeddings, n_clusters, vec_col=vec_col)
+        centroids = train_ivf_centroids(
+            embeddings, n_clusters, vec_col=vec_col, id_col=id_col
+        )
     items = _assign_clusters(embeddings, centroids, 1, id_col, vec_col, "item_id")
     probes = _assign_clusters(queries, centroids, nprobe, id_col, vec_col, "query_id")
     cands = (
