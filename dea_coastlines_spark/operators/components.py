@@ -1,0 +1,203 @@
+"""Distributed cross-tile connected components.
+
+The reference's labeling is strictly per-tile; cross-boundary
+correctness is bought with a 5 km halo and clip
+(coastlines/raster.py:547,684-689) — which silently mislabels any
+component larger than the halo (SURVEY.md §7 hard part #1). This
+operator removes that limit:
+
+  1. per-tile labeling (pure-numpy union-find, functions/label.py)
+     inside one grouped kernel; each (tile, local label) becomes a node
+     keyed `node_id = hash(tile_x, tile_y, label)`;
+  2. seam extraction: for each tile edge shared with a neighbor, emit
+     (global pixel coordinate -> node_id) for mask pixels on the seam
+     rows/cols; a self-join on the pixel coordinate between the two
+     sides yields equivalence EDGES (two local labels that touch);
+     8-connectivity across the seam is captured by also joining each
+     seam pixel against its diagonal neighbors on the other side;
+  3. iterative min-label propagation over the edge table until
+     fixpoint (bounded by the component graph's diameter in tiles):
+     the Spark-native connected-components loop — each round is one
+     groupBy-min + join, all JVM-side.
+
+Node/edge volume is O(boundary pixels), microscopic next to the pixel
+data, and never collected to the driver.
+
+Input tiles must share a pixel grid (true by construction for the tile
+corpus: transforms are grid-aligned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import label as label_fn
+
+NODE = F.xxhash64  # (tile_x, tile_y, label) -> stable 64-bit node id
+
+
+def tile_components(
+    tiles_mask: DataFrame,
+    mask_col: str = "mask_bytes",
+    connectivity: int = 2,
+) -> DataFrame:
+    """Per-tile labeling + seam pixels, one grouped kernel.
+
+    tiles_mask rows: (tile_x int, tile_y int, w int, h int,
+    mask_bytes binary = row-major uint8 CORE mask — no halo).
+    Returns a seam/label table:
+        tile_x, tile_y, label (local, >0), n_px,
+        seam: array of (gx, gy, label) for pixels on the 1-px border.
+    Emitted as two DataFrames via a union-friendly long format:
+        kind = 'node' rows carry (label, n_px);
+        kind = 'seam' rows carry (gx, gy, label).
+    """
+    out_schema = (
+        "tile_x int, tile_y int, kind string, label int, n_px long, "
+        "gx long, gy long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                w, h = int(r.w), int(r.h)
+                mask = (
+                    np.frombuffer(bytes(getattr(r, mask_col)), np.uint8).reshape(h, w)
+                    > 0
+                )
+                labels, n = label_fn.label(mask, connectivity)
+                if n == 0:
+                    continue
+                sizes = label_fn.region_sizes(labels, n)
+                for lab in range(1, n + 1):
+                    rows.append((r.tile_x, r.tile_y, "node", lab,
+                                 int(sizes[lab]), 0, 0))
+                # seam pixels: global pixel coords; row 0 = top = max gy
+                gx0 = int(r.tile_x) * w
+                gy0 = int(r.tile_y) * h
+                edges = [
+                    (labels[0, :], gx0 + np.arange(w), np.full(w, gy0 + h - 1)),
+                    (labels[-1, :], gx0 + np.arange(w), np.full(w, gy0)),
+                    (labels[:, 0], np.full(h, gx0), gy0 + h - 1 - np.arange(h)),
+                    (labels[:, -1], np.full(h, gx0 + w - 1), gy0 + h - 1 - np.arange(h)),
+                ]
+                for labs, gxs, gys in edges:
+                    on = labs > 0
+                    for lab, gx, gy in zip(labs[on], gxs[on], gys[on]):
+                        rows.append((r.tile_x, r.tile_y, "seam", int(lab),
+                                     0, int(gx), int(gy)))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["tile_x", "tile_y", "kind", "label",
+                             "n_px", "gx", "gy"],
+                )
+
+    return tiles_mask.mapInPandas(kernel, out_schema)
+
+
+def _seam_edges(seams: DataFrame, connectivity: int = 2) -> DataFrame:
+    """Equivalence edges between node ids of ADJACENT tiles whose seam
+    pixels touch (8-connectivity: same pixel column/row ±1 across the
+    1-px gap between neighboring cores)."""
+    a = seams.select(
+        F.col("node_id").alias("na"),
+        F.col("gx").alias("ax"), F.col("gy").alias("ay"),
+        F.col("tile_x").alias("atx"), F.col("tile_y").alias("aty"),
+    )
+    b = seams.select(
+        F.col("node_id").alias("nb"),
+        F.col("gx").alias("bx"), F.col("gy").alias("by"),
+        F.col("tile_x").alias("btx"), F.col("tile_y").alias("bty"),
+    )
+    # one equi-join per neighbor offset keeps this a hash join on
+    # (gx+dx, gy+dy) rather than a cross join with a range predicate;
+    # connectivity=1 drops the diagonal offsets
+    offsets = [
+        (dx, dy)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if connectivity == 2 or abs(dx) + abs(dy) <= 1
+    ]
+    edges = None
+    for dx, dy in offsets:
+        e = a.join(
+            b,
+            (F.col("ax") + dx == F.col("bx"))
+            & (F.col("ay") + dy == F.col("by"))
+            & ((F.col("atx") != F.col("btx")) | (F.col("aty") != F.col("bty"))),
+        ).select("na", "nb")
+        edges = e if edges is None else edges.unionByName(e)
+    return edges.filter(F.col("na") != F.col("nb")).distinct()
+
+
+def global_components(
+    tiles_mask: DataFrame,
+    mask_col: str = "mask_bytes",
+    connectivity: int = 2,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(tile_x, tile_y, label) -> global component id + global size.
+
+    Component id = min node_id over the component (deterministic).
+    """
+    parts = tile_components(tiles_mask, mask_col, connectivity)
+    parts = parts.withColumn(
+        "node_id", NODE(F.col("tile_x"), F.col("tile_y"), F.col("label"))
+    )
+    parts = parts.persist()
+    nodes = parts.filter(F.col("kind") == "node").select(
+        "tile_x", "tile_y", "label", "n_px", "node_id"
+    )
+    seams = parts.filter(F.col("kind") == "seam").select(
+        "tile_x", "tile_y", "gx", "gy", "node_id"
+    )
+    edges = _seam_edges(seams, connectivity)
+    # undirected
+    edges = edges.unionByName(
+        edges.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
+    ).distinct().persist()
+
+    # min-label propagation to fixpoint
+    comp = nodes.select("node_id", F.col("node_id").alias("comp"))
+    for _ in range(max_iter):
+        # candidate: min over own comp and neighbors' comps
+        neigh = (
+            edges.join(comp, F.col("na") == F.col("node_id"))
+            .select(F.col("nb").alias("node_id"), "comp")
+        )
+        new = (
+            comp.select("node_id", "comp").unionByName(neigh)
+            .groupBy("node_id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "node_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new.persist()
+        if changed == 0:
+            break
+
+    out = (
+        nodes.join(comp, "node_id")
+        .groupBy("comp")
+        .agg(
+            F.sum("n_px").alias("component_px"),
+            F.collect_list(F.struct("tile_x", "tile_y", "label", "n_px")).alias("_members"),
+        )
+        .select(F.col("comp").alias("component_id"), "component_px", F.explode("_members").alias("m"))
+        .select(
+            "component_id", "component_px",
+            F.col("m.tile_x").alias("tile_x"), F.col("m.tile_y").alias("tile_y"),
+            F.col("m.label").alias("label"), F.col("m.n_px").alias("n_px"),
+        )
+    )
+    return out
