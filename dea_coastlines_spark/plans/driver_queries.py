@@ -930,6 +930,34 @@ def q_masked_shorelines(spark, sf_dir):
     ).orderBy("year", "cell_id", "length_m")
 
 
+def q_global_components(spark, sf_dir):
+    """Distributed cross-tile connected components (beyond-reference:
+    removes the halo-size limit) on a deterministic multi-tile mask."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.components import global_components
+
+    W = H = 32
+    world = np.zeros((96, 96), bool)
+    world[46:50, 5:90] = True
+    world[10:60, 46:49] = True
+    world[5:8, 5:8] = True
+    world[70:74, 70:74] = True
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            block = world[(2 - ty) * H:(3 - ty) * H, tx * W:(tx + 1) * W]
+            rows.append({"tile_x": tx, "tile_y": ty, "w": W, "h": H,
+                         "mask_bytes": block.astype(np.uint8).tobytes()})
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows), "tile_x int, tile_y int, w int, h int, mask_bytes binary"
+    )
+    return global_components(tiles).orderBy(
+        "component_id", "tile_x", "tile_y", "label"
+    )
+
+
 def q_validation_stats(spark, sf_dir):
     """Validation stage (entry point 4): survey agg -> year join ->
     transect x shoreline chainage -> error stats per transect."""
@@ -1062,6 +1090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hotspots": q_hotspots,
     "masked_shorelines": q_masked_shorelines,
     "validation_stats": q_validation_stats,
+    "global_components": q_global_components,
 }
 
 ORACLES: dict[str, str] = {
