@@ -60,9 +60,11 @@ def tile_components(
         "gx long, gy long"
     )
 
+    cols = ["tile_x", "tile_y", "kind", "label", "n_px", "gx", "gy"]
+
     def kernel(batches):
         for pdf in batches:
-            rows = []
+            parts = []
             for r in pdf.itertuples():
                 w, h = int(r.w), int(r.h)
                 mask = (
@@ -73,29 +75,47 @@ def tile_components(
                 if n == 0:
                     continue
                 sizes = label_fn.region_sizes(labels, n)
-                for lab in range(1, n + 1):
-                    rows.append((r.tile_x, r.tile_y, "node", lab,
-                                 int(sizes[lab]), 0, 0))
-                # seam pixels: global pixel coords; row 0 = top = max gy
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "tile_x": r.tile_x, "tile_y": r.tile_y,
+                            "kind": "node",
+                            "label": np.arange(1, n + 1, dtype=np.int32),
+                            "n_px": sizes[1:].astype(np.int64),
+                            "gx": 0, "gy": 0,
+                        }
+                    )
+                )
+                # seam pixels, fully vectorized: global coords, row 0 = top
                 gx0 = int(r.tile_x) * w
                 gy0 = int(r.tile_y) * h
-                edges = [
-                    (labels[0, :], gx0 + np.arange(w), np.full(w, gy0 + h - 1)),
-                    (labels[-1, :], gx0 + np.arange(w), np.full(w, gy0)),
-                    (labels[:, 0], np.full(h, gx0), gy0 + h - 1 - np.arange(h)),
-                    (labels[:, -1], np.full(h, gx0 + w - 1), gy0 + h - 1 - np.arange(h)),
-                ]
-                for labs, gxs, gys in edges:
-                    on = labs > 0
-                    for lab, gx, gy in zip(labs[on], gxs[on], gys[on]):
-                        rows.append((r.tile_x, r.tile_y, "seam", int(lab),
-                                     0, int(gx), int(gy)))
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=["tile_x", "tile_y", "kind", "label",
-                             "n_px", "gx", "gy"],
+                labs = np.concatenate(
+                    [labels[0, :], labels[-1, :], labels[:, 0], labels[:, -1]]
                 )
+                gxs = np.concatenate(
+                    [gx0 + np.arange(w), gx0 + np.arange(w),
+                     np.full(h, gx0), np.full(h, gx0 + w - 1)]
+                )
+                gys = np.concatenate(
+                    [np.full(w, gy0 + h - 1), np.full(w, gy0),
+                     gy0 + h - 1 - np.arange(h), gy0 + h - 1 - np.arange(h)]
+                )
+                on = labs > 0
+                if on.any():
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "tile_x": r.tile_x, "tile_y": r.tile_y,
+                                "kind": "seam",
+                                "label": labs[on].astype(np.int32),
+                                "n_px": 0,
+                                "gx": gxs[on].astype(np.int64),
+                                "gy": gys[on].astype(np.int64),
+                            }
+                        )
+                    )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)[cols]
 
     return tiles_mask.mapInPandas(kernel, out_schema)
 
