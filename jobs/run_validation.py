@@ -1,0 +1,75 @@
+"""spark-submit entrypoint: survey CSV + transects + shorelines table ->
+validation error stats (reference entry point 4,
+`python -m coastlines.validation`).
+
+Transects come from a GeoJSON file of LineStrings (small, driver-read);
+the survey CSV uses the schema'd scan (validation.py:2269 analog).
+
+    spark-submit --py-files dist/dea_coastlines_spark.zip \
+        jobs/run_validation.py --shorelines-table S \
+        --survey-csv survey.csv --transects-geojson transects.json \
+        --output stats.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--shorelines-table", required=True)
+    p.add_argument("--survey-csv", required=True)
+    p.add_argument("--transects-geojson", required=True)
+    p.add_argument("--output", required=True, help="JSON stats file")
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("dea-coastlines-spark:validation")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import numpy as np
+    import pandas as pd
+
+    from dea_coastlines_spark.geometry import wkb
+    from dea_coastlines_spark.operators.validation import (
+        validation_errors,
+        validation_stats,
+    )
+    from dea_coastlines_spark.sources import read_csv_survey
+    from dea_coastlines_spark.sources.table import SnapshotTable
+
+    survey = read_csv_survey(spark, args.survey_csv)
+    gj = json.load(open(args.transects_geojson))
+    feats = gj["features"] if gj.get("type") == "FeatureCollection" else [gj]
+    transects = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [f["properties"]["id"] for f in feats],
+                "geometry": [
+                    wkb.linestring(np.asarray(f["geometry"]["coordinates"], float))
+                    for f in feats
+                ],
+            }
+        )
+    )
+    shorelines = SnapshotTable(spark, args.shorelines_table).read()
+    errs = validation_errors(survey, transects, shorelines)
+    overall = validation_stats(errs).collect()[0].asDict()
+    per_transect = [r.asDict() for r in validation_stats(errs, by=["id"]).collect()]
+    out = {"job": "validation", "overall": overall, "per_transect": per_transect}
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2, default=str)
+    print(json.dumps({"job": "validation", **{k: overall[k] for k in ("n", "bias", "mae", "rmse")}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Dependency-ordered CLI chain (the reference's integration-test
+shape, tests/test_coastline.py: raster -> vector -> continental ->
+validation) — run in-process against the active local session; the
+spark-submit packaging itself is covered by test_spark_submit."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dea_coastlines_spark.sources import write_tiles
+from dea_coastlines_spark.synth import corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "jobs"))
+
+import run_continental  # noqa: E402
+import run_rates  # noqa: E402
+import run_shorelines  # noqa: E402
+import run_validation  # noqa: E402
+
+SPEC = corpus.CorpusSpec(
+    tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
+    year0=2000, year1=2002, obs_per_year=5,
+    cloud_frac=0.0, noise_sd=0.04, tide_amp_m=8.0, seed=21,
+)
+
+
+@pytest.fixture(scope="module")
+def chain_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("chain")
+    tiles = spark.createDataFrame(corpus.generate_pandas(SPEC))
+    write_tiles(tiles, str(base / "tiles"))
+    return base
+
+
+def test_job_chain(spark, chain_dirs, capsys):
+    base = chain_dirs
+
+    # 1. raster->vector (shorelines)
+    assert run_shorelines.main([
+        "--tiles-table", str(base / "tiles"),
+        "--output", str(base / "sl"),
+        "--no-tide-filter",
+    ]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_shorelines"] > 0
+
+    # 2. rates
+    assert run_rates.main([
+        "--tiles-table", str(base / "tiles"),
+        "--output", str(base / "rates"),
+        "--baseline-year", "2000", "--no-tide-filter",
+    ]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_points"] > 0
+
+    # 3. continental hotspots
+    assert run_continental.main([
+        "--tiles-table", str(base / "tiles"),
+        "--output", str(base / "hs"),
+        "--baseline-year", "2000", "--radii", "1000",
+        "--no-tide-filter",
+    ]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["n_hotspots"] > 0
+
+    # 4. validation against the closed-form coast
+    xs = [700.0, 2500.0, 4300.0]
+    y_lo = -2000.0
+    feats = []
+    rows = []
+    for i, x in enumerate(xs):
+        feats.append({
+            "type": "Feature",
+            "properties": {"id": f"t{i}"},
+            "geometry": {"type": "LineString",
+                         "coordinates": [[x, y_lo], [x, 2000.0]]},
+        })
+        for year in SPEC.years:
+            truth = float(corpus.y_coast(SPEC, np.array([x]), year, 0.0)[0]) - y_lo
+            rows.append((f"site,{i}", f"{year}-06-15", truth))
+    (base / "transects.json").write_text(
+        json.dumps({"type": "FeatureCollection", "features": feats})
+    )
+    pd.DataFrame(
+        [(f"t{i}", d, v, 0.0, f"t{i}") for (s, d, v), i in
+         zip(rows, [i for i in range(len(xs)) for _ in SPEC.years])],
+        columns=["site", "date", "distance", "z", "id"],
+    ).to_csv(base / "survey.csv", index=False)
+
+    assert run_validation.main([
+        "--shorelines-table", str(base / "sl"),
+        "--survey-csv", str(base / "survey.csv"),
+        "--transects-geojson", str(base / "transects.json"),
+        "--output", str(base / "stats.json"),
+    ]) == 0
+    stats = json.load(open(base / "stats.json"))
+    # ambiguous multi-crossing (transect, year) pairs are dropped, like
+    # the reference drops MultiPoint intersections — majority must match
+    assert stats["overall"]["n"] >= 5
+    assert stats["overall"]["mae"] < SPEC.res_m  # within one pixel
