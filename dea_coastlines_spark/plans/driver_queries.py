@@ -1023,6 +1023,53 @@ def q_doc_fingerprint(spark, sf_dir):
     return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+# DuckDB CAN express the winnowing fingerprint exactly: HUGEINT (128-bit)
+# arithmetic holds the intermediate fnv1a products (< 2^104), list
+# lambdas do the per-token byte fold, window mins, and the final combine
+# over sorted distinct mins (numpy.unique == list_sort(list_distinct)).
+# Corpus text is ASCII (verified), so ord(char) == utf-8 byte.
+ORACLE_DOC_FINGERPRINT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 100
+), hashed AS (
+  SELECT doc_id,
+    list_transform(toks, t ->
+      list_reduce(
+        list_prepend(14695981039346656037::HUGEINT,
+                     list_transform(split(t, ''), c -> ord(c)::HUGEINT)),
+        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                  & 18446744073709551615::HUGEINT
+      )) AS hs
+  FROM toks
+), mins AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN NULL
+         WHEN len(hs) < 8 THEN [list_min(hs)]
+         ELSE list_transform(generate_series(1, len(hs) - 7),
+                             i -> list_min(hs[i:i+7]))
+    END AS m
+  FROM hashed
+), fps AS (
+  SELECT doc_id,
+    CASE WHEN m IS NULL THEN 0::HUGEINT
+         ELSE list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+                        list_sort(list_distinct(m))),
+           (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                     & 18446744073709551615::HUGEINT)
+    END AS u
+  FROM mins
+)
+SELECT doc_id,
+  (CASE WHEN u >= 9223372036854775808::HUGEINT
+        THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
+    AS fingerprint
+FROM fps ORDER BY doc_id
+"""
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from ..operators.similarity import lsh_topk
 
@@ -1120,6 +1167,7 @@ ORACLES: dict[str, str] = {
     "token_counts": ORACLE_TOKEN_COUNTS,
     "ann_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
-    # minhash_pairs / simhash_pairs / doc_fingerprint / lsh_ann_topk /
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    # minhash_pairs / simhash_pairs / lsh_ann_topk /
     # multimodal_decode_stats: no SQL analog -> rows-only driver check
 }

@@ -55,6 +55,10 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
+    # Only stop the session on exit if this job created it: when main()
+    # is called in-process (tests, notebooks) getOrCreate() returns the
+    # caller's session, and stopping it would kill their SparkContext.
+    owns_session = SparkSession.getActiveSession() is None
     spark = (
         SparkSession.builder.appName("dea-coastlines-spark:shorelines")
         .config("spark.sql.adaptive.enabled", "true")
@@ -123,7 +127,8 @@ def main(argv=None) -> int:
         "tiles_per_sec": round(n_tiles / dt, 2) if dt > 0 else None,
         "parallelism": spark.sparkContext.defaultParallelism,
     }))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
