@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -999,8 +1000,138 @@ def q_validation_stats(spark, sf_dir):
     ).orderBy("id")
 
 
-# rows-only entries (no SQL analog): minhash LSH, simhash, fingerprint,
-# LSH ANN, multimodal decode/resize
+# ---- exact SQL oracles for the hash-based dedup operators -----------
+# The FNV-1a / splitmix64 / SimHash math is deterministic uint64
+# arithmetic, which DuckDB can reproduce bit-for-bit with UHUGEINT
+# (128-bit unsigned: products of two <2^64 factors never overflow) plus
+# list lambdas. Corpus text is ASCII, so ord(char) == utf-8 byte.
+
+_U64MASK = "18446744073709551615::UHUGEINT"
+
+# FNV-1a 64 fold over the utf-8 bytes of a token/shingle `s`
+_FNV_SQL = (
+    "list_reduce(list_prepend(14695981039346656037::UHUGEINT, "
+    "list_transform(split(s, ''), c -> ord(c)::UHUGEINT)), "
+    f"(hh, b) -> (xor(hh, b) * 1099511628211::UHUGEINT) & {_U64MASK})"
+)
+
+
+def _splitmix_sql(z0: str) -> str:
+    """splitmix64 expanded inline over a SQL fragment z0 (wraparound via
+    explicit & mask; constants match operators.dedup._splitmix)."""
+    z1 = f"(({z0}) + 11400714819323198485::UHUGEINT) & {_U64MASK}"
+    z2 = f"(xor(({z1}), ({z1}) >> 30) * 13787848793156543929::UHUGEINT) & {_U64MASK}"
+    z3 = f"(xor(({z2}), ({z2}) >> 27) * 10723151780598845931::UHUGEINT) & {_U64MASK}"
+    return f"xor(({z3}), ({z3}) >> 31)"
+
+
+def _minhash_sql(threshold: float = 0.6) -> str:
+    """DuckDB replica of minhash_lsh_pairs: same shingles, same 64
+    permutation-free hashes, same 16x4 banding (bucket equality == band
+    slice equality; Spark's xxhash64 only compresses the same string),
+    same exact-Jaccard verify."""
+    from ..operators import dedup as _d
+
+    seeds = _d._splitmix(
+        np.arange(1, 65, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    seeds_sql = "[" + ",".join(f"{int(v)}::UHUGEINT" for v in seeds) + "]"
+    sentinel = "[" + ",".join(["9223372036854775807"] * 64) + "]"
+    sm = _splitmix_sql("xor(h, sd)")
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), shingles AS (
+  SELECT doc_id,
+    CASE WHEN t IS NULL OR length(t) = 0 THEN []::VARCHAR[]
+         WHEN length(t) < 3 THEN [t]
+         ELSE list_distinct(list_transform(generate_series(1, length(t) - 2),
+                                           i -> substr(t, i, 3)))
+    END AS sh
+  FROM docs
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_FNV_SQL}) AS hs
+  FROM shingles
+), sigs AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN {sentinel}
+    ELSE list_transform({seeds_sql}, sd ->
+      (list_min(list_transform(hs, h -> {sm})) >> 1)::BIGINT)
+    END AS sig
+  FROM hashed
+), banded AS (
+  SELECT doc_id, band,
+         array_to_string(sig[4*band+1 : 4*band+4], ',') AS bkey
+  FROM sigs, unnest(generate_series(0, 15)) AS u(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+    CASE WHEN (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) = 0
+         THEN 0.0
+         ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+    END AS jaccard
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """DuckDB replica of simhash_pairs: FNV-1a token hashes -> 64-bit
+    majority-sign signature -> 16-bit-chunk pigeonhole candidates ->
+    hamming verify."""
+    chunk_eq = " OR ".join(
+        f"((a.u >> {16 * c}) & 65535) = ((b.u >> {16 * c}) & 65535)"
+        for c in range(4)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(toks, s -> {_FNV_SQL}) AS hs
+  FROM toks
+), sigs AS (
+  -- NB: list_sum over (U)HUGEINT goes through DOUBLE; sum HUGEINT bit
+  -- terms only after list_sum of the small 0/1 counts (exact in double)
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN 0::HUGEINT
+    ELSE list_reduce(list_prepend(0::HUGEINT,
+      list_transform(generate_series(0, 63), bb ->
+        CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> bb::UHUGEINT) & 1::UHUGEINT)::INT))
+                  > len(hs)
+             THEN (1::UHUGEINT << bb::UHUGEINT)::HUGEINT
+             ELSE 0::HUGEINT END)),
+      (acc, x) -> acc + x)
+    END AS u
+  FROM hashed
+), sigs2 AS (
+  SELECT doc_id, u,
+    (CASE WHEN u >= 9223372036854775808::HUGEINT
+          THEN u - 18446744073709551616::HUGEINT
+          ELSE u END)::BIGINT AS s
+  FROM sigs
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.s, b.s))::INT AS hamming,
+         ({chunk_eq}) AS cand
+  FROM sigs2 a JOIN sigs2 b ON a.doc_id < b.doc_id
+) WHERE cand AND hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+# rows-only entries (no SQL analog): LSH ANN, multimodal decode/resize
 
 def q_minhash_pairs(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
@@ -1168,6 +1299,9 @@ ORACLES: dict[str, str] = {
     "ann_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
-    # minhash_pairs / simhash_pairs / lsh_ann_topk /
-    # multimodal_decode_stats: no SQL analog -> rows-only driver check
+    "minhash_pairs": _minhash_sql(),
+    "simhash_pairs": _simhash_sql(),
+    # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
+    # multimodal_decode_stats (image decode): no SQL analog ->
+    # rows-only driver check
 }
