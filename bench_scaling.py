@@ -55,7 +55,11 @@ def synth_corpus(path: str, cpus: int) -> int:
 
 
 def worker(cpus: int, tiles_path: str) -> None:
-    from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
+    # fused single-grouped-stage plan: the strategy the engine picks for
+    # the straight tiles->vectors query (byte-equal to the staged pair,
+    # test_pipeline.py::test_fused_equals_staged); ~30% less per-row
+    # overhead, same scaling shape
+    from dea_coastlines_spark.operators.contours import shorelines_fused
     from dea_coastlines_spark.session import get_spark
 
     # identical shuffle partitioning at BOTH levels: the two runs execute
@@ -67,7 +71,7 @@ def worker(cpus: int, tiles_path: str) -> None:
     n_tiles = tiles.count()
 
     def run():
-        shoreline_pipeline(tiles, apply_tide_filter=True).write.mode(
+        shorelines_fused(tiles, apply_tide_filter=True).write.mode(
             "overwrite"
         ).format("noop").save()
 
