@@ -188,6 +188,48 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, simhash long")
 
 
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Pairs of rows whose 64-bit signatures differ in <= max_hamming
+    bits: 16-bit-chunk pigeonhole candidates (a pair differing in fewer
+    bits than n_chunks must agree on at least one chunk), JVM-side
+    bit_count(xor) verify. Entirely whole-stage-codegen — zero Python.
+
+    At web scale the chunk join shuffles each row n_chunks times on a
+    16-bit key: ~65k buckets per chunk bounds any single task, and AQE
+    skew-join splits pathological buckets (all-equal signatures)."""
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    chunks = sigs.select(
+        id_col, sig_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(sig_col, c * bits).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, sig_col, F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
+    left = chunks.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "chunk", "key")
+    right = chunks.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "chunk", "key")
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -195,28 +237,20 @@ def simhash_pairs(
     16-bit-chunk pigeonhole (<=3 differing bits cannot hit all 4 chunks);
     verify with JVM-side bit_count(xor)."""
     sigs = simhash_signatures(df, text_col, id_col)
-    chunks = sigs.select(
-        id_col, "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
-    left = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "key")
-    right = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key")
-    return (
-        left.join(right, ["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return hamming_pairs(sigs, "simhash", id_col, max_hamming)
+
+
+def phash_neardup_pairs(
+    tiles: DataFrame, max_hamming: int = 6, id_col: str = "image_id"
+) -> DataFrame:
+    """Image near-duplicate pairs via the 64-bit perceptual hash the
+    tiles table already carries (input_hint `phash`; codecs.image.
+    phash64 = 8x8 block-mean + median threshold). Same pigeonhole plan
+    as simhash_pairs — the image analog of text SimHash dedup, and the
+    first-pass near-dup filter for a 10^12-image training corpus: no
+    decode, no Python, one chunk-keyed shuffle over (id, phash)."""
+    return hamming_pairs(
+        tiles.select(id_col, "phash"), "phash", id_col, max_hamming
     )
 
 

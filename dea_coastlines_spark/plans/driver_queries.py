@@ -1219,6 +1219,20 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Image near-dup pairs by perceptual-hash hamming distance over the
+    synthetic tile corpus (rows-only: DuckDB cannot decode the image
+    payload that produced the phash column)."""
+    from ..operators.dedup import phash_neardup_pairs
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    return phash_neardup_pairs(tiles, max_hamming=6).orderBy("id_a", "id_b")
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     from ..operators.multimodal import decode_stats
     from ..synth import corpus as _corpus
@@ -1260,6 +1274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "phash_neardup": q_phash_neardup,
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,

@@ -212,3 +212,53 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     again = {(r.query_id, r.rank, r.item_id) for r in
              ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
     assert again == {(r.query_id, r.rank, r.item_id) for r in approx}
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Engine's pigeonhole phash join == brute-force O(n^2) hamming scan
+    on a corpus whose near-dup pairs all share a 16-bit chunk."""
+    import itertools
+
+    from dea_coastlines_spark.synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    pdf = _corpus.generate_pandas(spec)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.phash_neardup_pairs(
+            spark.createDataFrame(pdf), max_hamming=6
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    def chunks(p):
+        u = int(p) & 0xFFFFFFFFFFFFFFFF
+        return {(c, (u >> (16 * c)) & 0xFFFF) for c in range(4)}
+
+    want = set()
+    rows = sorted(zip(pdf["image_id"], pdf["phash"]))
+    for (ia, pa), (ib, pb) in itertools.combinations(rows, 2):
+        h = ham(pa, pb)
+        if h <= 6 and chunks(pa) & chunks(pb):
+            want.add((ia, ib, h))
+    assert got == want and len(want) > 50
+
+
+def test_phash_pigeonhole_exact_below_chunk_count(spark):
+    """For max_hamming < n_chunks the pigeonhole stage has perfect
+    recall: hand-built signatures differing in 1-3 bits are all found."""
+    base = 0x0123456789ABCDEF
+    rows = [("a", base), ("b", base ^ 0b1), ("c", base ^ (1 << 17) ^ (1 << 40)),
+            ("d", base ^ 0b111), ("e", ~base & 0xFFFFFFFFFFFFFFFF)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"image_id": [r[0] for r in rows],
+                      "phash": [int(np.uint64(r[1]).astype(np.int64)) for r in rows]})
+    )
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in dedup.phash_neardup_pairs(sdf, max_hamming=3).collect()}
+    assert got == {("a", "b", 1), ("a", "c", 2), ("a", "d", 3),
+                   ("b", "d", 2), ("b", "c", 3)}
