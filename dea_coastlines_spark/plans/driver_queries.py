@@ -1219,6 +1219,51 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_shorelines_in_aoi(spark, sf_dir):
+    """Waterline contour vertices point-in-polygon joined to coastal AOI
+    polygons (the target spec's headline spatial join; rows-only —
+    marching-squares vertices have no SQL analog)."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..plans.pipeline import shoreline_pipeline, shorelines_in_aoi
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=96, halo_px=6, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=5,
+                              cloud_frac=0.04, seed=7)
+    tiles = _corpus.generate_spark(spark, spec)
+    sl = shoreline_pipeline(tiles, apply_tide_filter=True)
+    rects = {
+        "cover": (-10.0, -2000.0, 9000.0, 2000.0),
+        "west_half": (-10.0, -2000.0, 4000.0, 2000.0),
+        "east_quarter": (6500.0, -2000.0, 9000.0, 2000.0),
+    }
+    import numpy as np
+
+    aoi = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "aoi_id": list(rects),
+                "geometry": [
+                    _wkb.polygon(np.array(
+                        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                    ))
+                    for x0, y0, x1, y1 in rects.values()
+                ],
+            }
+        )
+    )
+    return (
+        shorelines_in_aoi(sl, aoi, min_frac=0.0)
+        .select(
+            "tile_x", "tile_y", "year", "aoi_id", "n_inside",
+            "n_vertices_total", F.round("frac_inside", 6).alias("frac_inside"),
+        )
+        .orderBy("year", "tile_x", "tile_y", "aoi_id", "n_inside")
+    )
+
+
 def q_phash_neardup(spark, sf_dir):
     """Image near-dup pairs by perceptual-hash hamming distance over the
     synthetic tile corpus (rows-only: DuckDB cannot decode the image
@@ -1275,6 +1320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
+    "shorelines_in_aoi": q_shorelines_in_aoi,
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,

@@ -222,3 +222,77 @@ def test_colocated_equals_staged(spark, tiles_df, tmp_path):
     plan = buf.getvalue()
     assert "FlatMapGroupsInPandas" not in plan  # grouped WITHIN partitions
     assert len(re.findall(r"\) Exchange", plan)) == 0
+
+
+def test_shorelines_in_aoi_matches_bruteforce(spark, tiles_df):
+    """Vertex-level PIP of shorelines against AOI rectangles == numpy
+    brute force (n_inside, frac_inside, and the surviving pair set)."""
+    import pandas as pd
+
+    from dea_coastlines_spark.geometry import algorithms as ga
+    from dea_coastlines_spark.plans.pipeline import shorelines_in_aoi
+
+    sl_df = shoreline_pipeline(tiles_df, apply_tide_filter=True)
+    # rectangles straddling the synthetic coast (x in [0, 8640],
+    # shoreline y in [-623, 623]): one wholly covering, one partial,
+    # one fully inland (no waterline vertices)
+    rects = {
+        "cover": (-10.0, -2000.0, 9000.0, 2000.0),
+        "west_half": (-10.0, -2000.0, 4000.0, 2000.0),
+        "inland": (-10.0, 5000.0, 9000.0, 9000.0),
+    }
+    aoi = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "aoi_id": list(rects),
+                "geometry": [
+                    wkb.polygon(
+                        np.array(
+                            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                        )
+                    )
+                    for x0, y0, x1, y1 in rects.values()
+                ],
+            }
+        )
+    )
+    got = {
+        (r.tile_x, r.tile_y, r.year, r.aoi_id): (
+            r.n_inside, r.n_vertices_total, r.frac_inside,
+        )
+        for r in shorelines_in_aoi(sl_df, aoi, min_frac=0.0).collect()
+    }
+
+    want = {}
+    for r in sl_df.collect():
+        c = wkb.coords_of(bytes(r.geometry))
+        for aid, (x0, y0, x1, y1) in rects.items():
+            shell = np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+            )
+            inside = ga.points_in_polygon(c[:, 0], c[:, 1], shell)
+            if inside.sum() > 0:
+                key = (r.tile_x, r.tile_y, r.year, aid)
+                # shorelines may emit >1 row per (tile, year); keys here
+                # collide only if both rows match the same AOI — fold
+                prev = want.get(key, (0, 0, 0.0))
+                n_in = prev[0] + int(inside.sum())
+                n_tot = prev[1] + len(c)
+                want[key] = (n_in, n_tot, n_in / n_tot)
+    # fold engine rows the same way (sum over duplicate business keys)
+    folded = {}
+    for r in shorelines_in_aoi(sl_df, aoi, min_frac=0.0).collect():
+        key = (r.tile_x, r.tile_y, r.year, r.aoi_id)
+        prev = folded.get(key, (0, 0))
+        folded[key] = (prev[0] + r.n_inside, prev[1] + r.n_vertices_total)
+    folded = {k: (a, b, a / b) for k, (a, b) in folded.items()}
+    assert set(folded) == set(want)
+    for k in want:
+        assert folded[k][0] == want[k][0], k
+        assert folded[k][1] == want[k][1], k
+    assert not any(a == "inland" for (_, _, _, a) in folded)
+    # min_frac semantics: full-cover AOI keeps everything
+    kept = shorelines_in_aoi(sl_df, aoi, min_frac=0.999).filter(
+        "aoi_id = 'cover'"
+    )
+    assert kept.count() == sl_df.count()
