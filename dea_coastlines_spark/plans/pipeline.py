@@ -118,26 +118,32 @@ def shorelines_in_aoi(
     limits). Deterministic row identity via xxhash64 of the shoreline's
     business key, so N-vs-4N runs match exactly.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from ..geometry import wkb as _wkb
     from ..operators.spatial_join import points_in_polygons
 
+    # sl feeds two branches (the vertex explode and the attribute join
+    # back); without persist each branch re-executes the entire
+    # raster->vector stage upstream — at corpus scale that is the whole
+    # job twice (same pattern and rationale as rates_pipeline).
     sl = shorelines.withColumn(
         "_sl_id", F.xxhash64("tile_x", "tile_y", "year", "geometry")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def explode_verts(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids, vidx, xs, ys = [], [], [], []
+            ids, vidx, nvs, xs, ys = [], [], [], [], []
             for sid, g in zip(pdf["_sl_id"], pdf["geometry"]):
                 c = _wkb.coords_of(bytes(g))
                 n = len(c)
                 ids.append(np.full(n, sid, dtype=np.int64))
                 vidx.append(np.arange(n, dtype=np.int64))
+                nvs.append(np.full(n, n, dtype=np.int64))
                 xs.append(c[:, 0])
                 ys.append(c[:, 1])
             if ids:
@@ -145,6 +151,9 @@ def shorelines_in_aoi(
                     {
                         "_sl_id": np.concatenate(ids),
                         "vidx": np.concatenate(vidx),
+                        # each vertex carries its shoreline's vertex count
+                        # so the total needs no second scan of the verts
+                        "nv_total": np.concatenate(nvs),
                         "x": np.concatenate(xs),
                         "y": np.concatenate(ys),
                     }
@@ -152,17 +161,21 @@ def shorelines_in_aoi(
 
     verts = (
         sl.select("_sl_id", "geometry")
-        .mapInPandas(explode_verts, "_sl_id long, vidx long, x double, y double")
+        .mapInPandas(
+            explode_verts,
+            "_sl_id long, vidx long, nv_total long, x double, y double",
+        )
         .withColumn("_vx_id", F.xxhash64("_sl_id", "vidx"))
     )
     hits = points_in_polygons(
         verts, aoi, res=res, how="inner", point_id="_vx_id"
     )
-    per_aoi = hits.groupBy("_sl_id", aoi_id).agg(F.count("*").alias("n_inside"))
-    totals = verts.groupBy("_sl_id").agg(F.count("*").alias("n_vertices_total"))
+    per_aoi = hits.groupBy("_sl_id", aoi_id).agg(
+        F.count("*").alias("n_inside"),
+        F.first("nv_total").alias("n_vertices_total"),
+    )
     return (
         sl.join(per_aoi, "_sl_id")
-        .join(totals, "_sl_id")
         .withColumn(
             "frac_inside",
             F.col("n_inside") / F.col("n_vertices_total"),
