@@ -102,9 +102,13 @@ def _nan_median_std_count(stack: np.ndarray):
     float32 for values in [-1, 1]. Matches raster.py:379-384 semantics."""
     finite = np.isfinite(stack)
     n = finite.sum(axis=0)
-    s = np.where(finite, stack, 0.0)
-    tot = s.sum(axis=0, dtype=np.float64)
-    tot2 = (s * s).sum(axis=0, dtype=np.float64)
+    # float64 BEFORE squaring: squaring in float32 loses ~1e-8 relative
+    # per element, which the tot2 - tot^2/n cancellation amplifies to
+    # ~3e-4 absolute std error (caught by a hypothesis property test);
+    # in float64 the error stays below the float32 output rounding.
+    s = np.where(finite, stack, 0.0).astype(np.float64)
+    tot = s.sum(axis=0)
+    tot2 = (s * s).sum(axis=0)
     nf = n.astype(np.float64)
     with np.errstate(all="ignore"):
         var = (tot2 - tot * tot / nf) / (nf - 1)
