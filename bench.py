@@ -106,7 +106,38 @@ def main() -> None:
         "tiles_per_sec": tiles_per_sec,
     }
     print(json.dumps(out))
+    _append_trend(out)
     spark.stop()
+
+
+def _append_trend(out: dict) -> None:
+    """Append this run to BENCH/trend.csv — the reference's append-and-
+    diff regression discipline (stats_tests.csv, SURVEY.md §5.3): drift
+    shows up in diffs of the committed trend file, not in assertions."""
+    import csv
+    import datetime
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "trend.csv")
+    exists = os.path.exists(path)
+    row = {
+        "date": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M"
+        ),
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "total_headline_sec": out["value"],
+        "tiles_per_sec": out["tiles_per_sec"],
+        "n_queries": len(out["queries"]),
+    }
+    try:
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+    except OSError:
+        pass  # read-only checkout: the printed JSON line is authoritative
 
 
 if __name__ == "__main__":

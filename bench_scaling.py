@@ -88,17 +88,74 @@ def worker(cpus: int, tiles_path: str) -> None:
     spark.stop()
 
 
+def data_sweep(out_dir: str, cpus: int = 8) -> None:
+    """The other scaling axis: fixed cores, 1x vs 4x DATA. A healthy
+    plan's tiles/sec is flat as the corpus grows (work linear in rows,
+    no super-linear shuffle or driver state) — at 10^12 images this is
+    the axis that actually matters, executor count only divides it."""
+    from dea_coastlines_spark.synth import corpus as _c
+
+    results = {}
+    for label, mult in (("1x", 1), ("4x", 4)):
+        spec = dict(SPEC)
+        spec["tiles_x"] = SPEC["tiles_x"] * mult // 4  # 1x = quarter corpus
+        tmp = tempfile.mkdtemp(prefix=f"bench_sweep_{label}_")
+        try:
+            tiles_path = f"{tmp}/tiles"
+            n_tiles = synth_corpus_spec(tiles_path, cpus, spec)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", str(cpus), "--tiles-path", tiles_path],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            results[label] = json.loads(out.stdout.strip().splitlines()[-1])
+            print(out.stdout.strip().splitlines()[-1])
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    thr1, thr4 = results["1x"]["tiles_per_sec"], results["4x"]["tiles_per_sec"]
+    summary = {
+        "metric": "data_scaling_flatness",
+        "value": round(thr4 / thr1, 3),
+        "unit": f"throughput ratio 4x/1x data at local[{cpus}] (1.0 = linear)",
+        "throughput": {"1x": thr1, "4x": thr4},
+        "n_tiles": {"1x": results["1x"]["n_tiles"], "4x": results["4x"]["n_tiles"]},
+    }
+    print(json.dumps(summary))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "data_sweep.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+def synth_corpus_spec(path: str, cpus: int, spec_kwargs: dict) -> int:
+    from dea_coastlines_spark.session import get_spark
+    from dea_coastlines_spark.synth import corpus
+
+    spark = get_spark("bench-sweep-synth", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spec = corpus.CorpusSpec(**spec_kwargs)
+    corpus.generate_spark(spark, spec).write.mode("overwrite").parquet(path)
+    n = spec.tiles_x * spec.tiles_y * len(spec.years) * spec.obs_per_year
+    spark.stop()
+    return n
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--worker", type=int, default=None)
     p.add_argument("--tiles-path", default=None)
     p.add_argument("--low", type=int, default=2)
     p.add_argument("--high", type=int, default=8)
+    p.add_argument("--data-sweep", action="store_true",
+                   help="fixed cores, 1x vs 4x data instead of N vs 4N cores")
     p.add_argument("--out-dir", default=os.path.join(REPO, "BENCH"))
     args = p.parse_args()
 
     if args.worker:
         worker(args.worker, args.tiles_path)
+        return 0
+
+    if args.data_sweep:
+        data_sweep(args.out_dir, cpus=args.high)
         return 0
 
     tmp = tempfile.mkdtemp(prefix="bench_scaling_")

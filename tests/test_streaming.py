@@ -120,3 +120,120 @@ def test_incremental_shorelines_upsert(spark, tmp_path):
         for r in got.collect()
     )
     assert have == want
+
+
+def test_stateful_running_composite_converges(spark, dirs):
+    """applyInPandasWithState running composite: after streaming all
+    observations across multiple micro-batches, the last update per
+    (tile, year) equals the batch mean/std computed from all obs."""
+    import numpy as np
+
+    from dea_coastlines_spark.codecs import image as img_codec
+    from dea_coastlines_spark.codecs import tiff
+    from dea_coastlines_spark.streaming.stateful import running_composite_stats
+
+    pdf = corpus.generate_pandas(SPEC)
+    spark.createDataFrame(pdf, schema=corpus.TILES_SCHEMA).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(dirs["tiles"])
+
+    stream = (
+        spark.readStream.schema(corpus.TILES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(dirs["tiles"])
+    )
+    q = (
+        running_composite_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_comp")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from running_comp").collect()
+    assert rows
+    # last update per key = the one with max n_obs
+    final = {}
+    for r in rows:
+        k = (r.tile_x, r.tile_y, r.year)
+        if k not in final or r.n_obs > final[k].n_obs:
+            final[k] = r
+
+    # batch oracle from the same parquet
+    import collections
+
+    import pandas as pd
+
+    stacks = collections.defaultdict(list)
+    for _, row in pdf.iterrows():
+        import json as _json
+
+        meta = _json.loads(row["caption"])
+        stacks[(meta["tile_x"], meta["tile_y"], meta["year"])].append(
+            img_codec.decode_tile(bytes(row["bytes"]), row["fmt"])
+        )
+    assert set(final) == set(stacks)
+    for k, imgs in stacks.items():
+        st = np.stack(imgs)
+        n = np.isfinite(st).sum(axis=0)
+        want_mean = np.nanmean(st.astype(np.float64), axis=0).astype(np.float32)
+        with np.errstate(all="ignore"):
+            want_std = np.nanstd(st.astype(np.float64), axis=0, ddof=1).astype(
+                np.float32
+            )
+        r = final[k]
+        assert r.n_obs == len(imgs)
+        got_mean = tiff.decode_f32(bytes(r.mean_bytes))
+        got_std = tiff.decode_f32(bytes(r.std_bytes))
+        np.testing.assert_allclose(
+            np.where(n > 0, got_mean, 0), np.where(n > 0, want_mean, 0),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.where(n > 1, got_std, 0), np.where(n > 1, want_std, 0),
+            atol=1e-5,
+        )
+
+
+def test_windowed_counts_with_watermark(spark, dirs):
+    """Watermarked event-time window agg: counts per (tile, 90d window)
+    match the obs-per-year layout; append mode emits only finalized
+    windows."""
+    from dea_coastlines_spark.streaming.stateful import windowed_obs_counts
+
+    pdf = corpus.generate_pandas(SPEC)
+    spark.createDataFrame(pdf, schema=corpus.TILES_SCHEMA).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(dirs["tiles"])
+    stream = (
+        spark.readStream.schema(corpus.TILES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["tiles"])
+    )
+    q = (
+        windowed_obs_counts(stream, watermark="10 days", window="90 days")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"] + "_w")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_counts").collect()
+    # all obs of a year land in days 0..obs_per_year-1 of January ->
+    # exactly one 90-day window per (tile, year). Tumbling windows align
+    # to the unix epoch, so the window containing Jan 2000 STARTS in Dec
+    # 1999. Append mode only emits windows the watermark has passed:
+    # the 2001 data finalizes the 2000 windows; the trailing 2001
+    # windows stay open (correct late-data semantics), so exactly the
+    # year-2000 windows appear, one per tile, with the full obs count.
+    got = {(r.tile_x, r.tile_y): r.n_obs for r in rows}
+    for r in rows:
+        assert r.win_start.year in (1999, 2000)
+        assert r.win_end.year == 2000
+    n_tiles = SPEC.tiles_x * SPEC.tiles_y
+    assert len(got) == n_tiles
+    assert all(n == SPEC.obs_per_year for n in got.values())
