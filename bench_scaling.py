@@ -93,8 +93,6 @@ def data_sweep(out_dir: str, cpus: int = 8) -> None:
     plan's tiles/sec is flat as the corpus grows (work linear in rows,
     no super-linear shuffle or driver state) — at 10^12 images this is
     the axis that actually matters, executor count only divides it."""
-    from dea_coastlines_spark.synth import corpus as _c
-
     results = {}
     for label, mult in (("1x", 1), ("4x", 4)):
         spec = dict(SPEC)
@@ -102,7 +100,7 @@ def data_sweep(out_dir: str, cpus: int = 8) -> None:
         tmp = tempfile.mkdtemp(prefix=f"bench_sweep_{label}_")
         try:
             tiles_path = f"{tmp}/tiles"
-            n_tiles = synth_corpus_spec(tiles_path, cpus, spec)
+            synth_corpus_spec(tiles_path, cpus, spec)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--worker", str(cpus), "--tiles-path", tiles_path],

@@ -188,21 +188,40 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, simhash long")
 
 
+def exact_recall_chunks(max_hamming: int) -> int:
+    """Smallest power-of-two chunk count with PERFECT pigeonhole recall
+    for the given radius: a pair differing in fewer bits than n_chunks
+    must agree on at least one chunk, so recall is exact iff
+    n_chunks > max_hamming."""
+    n = 2
+    while n <= max_hamming:
+        n *= 2
+    return min(n, 64)
+
+
 def hamming_pairs(
     sigs: DataFrame,
     sig_col: str,
     id_col: str,
     max_hamming: int,
-    n_chunks: int = 4,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Pairs of rows whose 64-bit signatures differ in <= max_hamming
-    bits: 16-bit-chunk pigeonhole candidates (a pair differing in fewer
-    bits than n_chunks must agree on at least one chunk), JVM-side
-    bit_count(xor) verify. Entirely whole-stage-codegen — zero Python.
+    bits: chunk-pigeonhole candidates, JVM-side bit_count(xor) verify.
+    Entirely whole-stage-codegen — zero Python.
+
+    n_chunks=None (default) picks the smallest chunk count with EXACT
+    recall (n_chunks > max_hamming — with fewer chunks, a pair whose
+    differing bits span every chunk is silently missed). Passing an
+    explicit smaller n_chunks is the web-scale recall/cost dial: fewer
+    chunks mean wider keys (64/n bits -> more buckets, fewer candidate
+    comparisons) at the cost of missing pairs in (n_chunks, max_hamming].
 
     At web scale the chunk join shuffles each row n_chunks times on a
-    16-bit key: ~65k buckets per chunk bounds any single task, and AQE
-    skew-join splits pathological buckets (all-equal signatures)."""
+    (64/n_chunks)-bit key; AQE skew-join splits pathological buckets
+    (all-equal signatures)."""
+    if n_chunks is None:
+        n_chunks = exact_recall_chunks(max_hamming)
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
     chunks = sigs.select(

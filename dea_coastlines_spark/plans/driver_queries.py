@@ -1085,11 +1085,16 @@ ORDER BY id_a, id_b
 
 def _simhash_sql(max_hamming: int = 8) -> str:
     """DuckDB replica of simhash_pairs: FNV-1a token hashes -> 64-bit
-    majority-sign signature -> 16-bit-chunk pigeonhole candidates ->
-    hamming verify."""
+    majority-sign signature -> chunk-pigeonhole candidates (same
+    exact-recall chunk count the engine auto-picks) -> hamming verify."""
+    from ..operators.dedup import exact_recall_chunks
+
+    n_chunks = exact_recall_chunks(max_hamming)
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     chunk_eq = " OR ".join(
-        f"((a.u >> {16 * c}) & 65535) = ((b.u >> {16 * c}) & 65535)"
-        for c in range(4)
+        f"((a.u >> {bits * c}) & {mask}) = ((b.u >> {bits * c}) & {mask})"
+        for c in range(n_chunks)
     )
     return rf"""
 WITH toks AS (
@@ -1260,7 +1265,11 @@ def q_shorelines_in_aoi(spark, sf_dir):
             "tile_x", "tile_y", "year", "aoi_id", "n_inside",
             "n_vertices_total", F.round("frac_inside", 6).alias("frac_inside"),
         )
-        .orderBy("year", "tile_x", "tile_y", "aoi_id", "n_inside")
+        .orderBy(
+            "year", "tile_x", "tile_y", "aoi_id", "n_inside",
+            "n_vertices_total",  # totalizes the order: two components of
+            # one (tile, year) in the same AOI can tie on n_inside
+        )
     )
 
 

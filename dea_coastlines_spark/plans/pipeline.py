@@ -124,12 +124,25 @@ def shorelines_in_aoi(
     from ..geometry import wkb as _wkb
     from ..operators.spatial_join import points_in_polygons
 
+    from pyspark.sql.window import Window
+
     # sl feeds two branches (the vertex explode and the attribute join
     # back); without persist each branch re-executes the entire
     # raster->vector stage upstream — at corpus scale that is the whole
     # job twice (same pattern and rationale as rates_pipeline).
+    # Row identity = xxhash64(business key) + a dup ordinal: identical
+    # input rows would otherwise share _sl_id and the join-back would
+    # fan out k x k, silently inflating n_inside (identical rows are
+    # interchangeable, so the ordinal assignment is output-invariant).
+    dup_w = Window.partitionBy(
+        "tile_x", "tile_y", "year", "geometry"
+    ).orderBy(F.lit(1))
     sl = shorelines.withColumn(
-        "_sl_id", F.xxhash64("tile_x", "tile_y", "year", "geometry")
+        "_sl_id",
+        F.xxhash64(
+            "tile_x", "tile_y", "year", "geometry",
+            F.row_number().over(dup_w),
+        ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def explode_verts(batches):

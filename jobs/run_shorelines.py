@@ -58,7 +58,15 @@ def main(argv=None) -> int:
     # Only stop the session on exit if this job created it: when main()
     # is called in-process (tests, notebooks) getOrCreate() returns the
     # caller's session, and stopping it would kill their SparkContext.
-    owns_session = SparkSession.getActiveSession() is None
+    # getActiveSession() is thread-local, so also check the process-wide
+    # SparkContext (a caller may have built the session on another
+    # thread — getOrCreate() would still return it).
+    from pyspark import SparkContext
+
+    owns_session = (
+        SparkSession.getActiveSession() is None
+        and SparkContext._active_spark_context is None
+    )
     spark = (
         SparkSession.builder.appName("dea-coastlines-spark:shorelines")
         .config("spark.sql.adaptive.enabled", "true")

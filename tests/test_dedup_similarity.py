@@ -83,14 +83,14 @@ def test_simhash_pairs_hamming_oracle(spark, docs_df):
 
     for r in pairs.itertuples():
         assert ham(r.id_a, r.id_b) == r.hamming <= 8
-    # oracle: all true pairs with hamming <= 2 must be found (pigeonhole
-    # guarantees hamming <= 3 for 4 chunks; <=2 is comfortably inside)
+    # exact-recall oracle: the auto-picked chunk count (16 chunks of 4
+    # bits for max_hamming=8) guarantees EVERY true pair is found
     want = {
         (a, b)
-        for a in sig for b in sig if a < b and ham(a, b) <= 2
+        for a in sig for b in sig if a < b and ham(a, b) <= 8
     }
     got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
-    assert want <= got
+    assert want == got
 
 
 def test_simhash_exact_dups_zero_hamming(spark, docs_df):
@@ -216,7 +216,7 @@ def test_ivf_topk_recall_vs_brute_force(spark):
 
 def test_phash_neardup_matches_bruteforce(spark):
     """Engine's pigeonhole phash join == brute-force O(n^2) hamming scan
-    on a corpus whose near-dup pairs all share a 16-bit chunk."""
+    (exact recall: the auto-picked chunk count exceeds max_hamming)."""
     import itertools
 
     from dea_coastlines_spark.synth import corpus as _corpus
@@ -235,17 +235,23 @@ def test_phash_neardup_matches_bruteforce(spark):
     def ham(a, b):
         return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
 
-    def chunks(p):
-        u = int(p) & 0xFFFFFFFFFFFFFFFF
-        return {(c, (u >> (16 * c)) & 0xFFFF) for c in range(4)}
-
     want = set()
     rows = sorted(zip(pdf["image_id"], pdf["phash"]))
     for (ia, pa), (ib, pb) in itertools.combinations(rows, 2):
         h = ham(pa, pb)
-        if h <= 6 and chunks(pa) & chunks(pb):
+        if h <= 6:
             want.add((ia, ib, h))
     assert got == want and len(want) > 50
+
+    # explicit n_chunks=4 is the lossy recall/cost dial: a subset
+    lossy = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_pairs(
+            spark.createDataFrame(pdf).select("image_id", "phash"),
+            "phash", "image_id", max_hamming=6, n_chunks=4,
+        ).collect()
+    }
+    assert lossy <= got
 
 
 def test_phash_pigeonhole_exact_below_chunk_count(spark):
