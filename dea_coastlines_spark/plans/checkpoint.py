@@ -69,32 +69,65 @@ class CheckpointedPipeline:
         inputs: DataFrame,
         key_cols: list[str],
         fn,
+        batch_keys: int | None = None,
     ) -> DataFrame:
         """Run `fn(todo_inputs) -> DataFrame` for keys not yet completed;
         persist per-key outputs; return the stage's FULL output (completed
         + new). Keys are serialized as 'a|b' strings in `cell_key`.
-        """
+
+        batch_keys: commit granularity. None = one commit for the whole
+        todo set (lowest overhead); k = process todo keys in sorted
+        groups of k, committing data + lineage per group, so a job
+        killed mid-stage resumes at the last completed group instead of
+        recomputing everything (north-rule kill-resume semantics). At
+        cluster scale a few hundred cells per batch amortizes the
+        lineage append while bounding recompute-after-kill.
+
+        Crash consistency: data lands with DYNAMIC PARTITION OVERWRITE
+        (per-cell_key directories replaced, never appended), then the
+        lineage row commits. A kill between the two re-runs that batch
+        idempotently — the overwrite replaces the orphaned partitions
+        instead of duplicating rows."""
         key_expr = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
         inputs_k = inputs.withColumn("cell_key", key_expr)
         done = self.completed_keys(stage)
         todo = inputs_k.join(F.broadcast(done), "cell_key", "left_anti")
 
-        n_todo_keys = todo.select("cell_key").distinct().count()
+        all_todo = sorted(
+            r.cell_key for r in todo.select("cell_key").distinct().collect()
+        )
         out_path = f"{self.base}/{stage}"
-        if n_todo_keys > 0:
-            out = fn(todo.drop("cell_key"))
+        groups = (
+            [all_todo]
+            if not batch_keys
+            else [
+                all_todo[i : i + batch_keys]
+                for i in range(0, len(all_todo), batch_keys)
+            ]
+        )
+        for group in groups:
+            if not group:
+                continue
+            sub = (
+                todo
+                if len(groups) == 1
+                else todo.filter(F.col("cell_key").isin(group))
+            )
+            out = fn(sub.drop("cell_key"))
             out_k = out.withColumn(
                 "cell_key",
                 F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]),
             )
-            out_k.write.mode("append").partitionBy("cell_key").parquet(out_path)
+            (
+                out_k.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell_key")
+                .parquet(out_path)
+            )
             stats = (
                 out_k.groupBy("cell_key").agg(F.count("*").alias("n_rows")).collect()
             )
             produced = {r.cell_key: int(r.n_rows) for r in stats}
-            all_todo = [
-                r.cell_key for r in todo.select("cell_key").distinct().collect()
-            ]
             self._append_lineage(
                 [
                     {
@@ -105,7 +138,7 @@ class CheckpointedPipeline:
                         "run_id": self.run_id,
                         "completed_at": None,
                     }
-                    for k in all_todo
+                    for k in group
                 ]
             )
         return self.spark.read.parquet(out_path)

@@ -43,6 +43,9 @@ def parse_args(argv):
                    help="snapshot-table path for shoreline rows")
     p.add_argument("--checkpoint-dir", default=None,
                    help="enable per-(cell, year) lineage + resume")
+    p.add_argument("--checkpoint-batch-cells", type=int, default=None,
+                   help="commit lineage every N cells so a killed job "
+                        "resumes at the last completed batch")
     p.add_argument("--years", default=None,
                    help="lo:hi inclusive year range pushed down to the "
                         "tile manifest")
@@ -114,6 +117,7 @@ def main(argv=None) -> int:
             fn=lambda todo: shoreline_pipeline(
                 todo, apply_tide_filter=not args.no_tide_filter
             ),
+            batch_keys=args.checkpoint_batch_cells,
         ).drop("cell_key")
     else:
         out = run

@@ -89,3 +89,63 @@ def test_resumed_output_matches_uninterrupted(spark, base_dir):
         .toPandas().sort_values(["tile_x", "tile_y", "year"]).reset_index(drop=True)
     )
     assert resumed.equals(clean)
+
+
+def test_batched_commits_and_crash_window_idempotence(spark, base_dir):
+    """batch_keys=1 commits per cell; a crash BETWEEN the data write and
+    the lineage append (the only non-atomic window) re-runs that cell
+    idempotently — dynamic partition overwrite replaces the orphan
+    partition instead of appending a duplicate copy."""
+    tiles = comp_op.with_caption(
+        spark.createDataFrame(corpus.generate_pandas(SPEC))
+    )
+    calls: list[int] = []
+
+    def stage_fn(todo):
+        calls.append(
+            todo.select("tile_x", "tile_y").distinct().count()
+        )
+        return comp_op.annual_composites(todo, apply_tide_filter=False)
+
+    # interrupted run: process the first cell only, then "die" after its
+    # data landed but BEFORE its lineage row was appended
+    p1 = CheckpointedPipeline(spark, base_dir)
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_append = p1._append_lineage
+    state = {"first": True}
+
+    def dying_append(rows):
+        if state["first"]:
+            state["first"] = False
+            raise Boom()  # crash in the write->lineage window
+        orig_append(rows)
+
+    p1._append_lineage = dying_append
+    with pytest.raises(Boom):
+        p1.run_stage("comp", tiles, ["tile_x", "tile_y"], stage_fn,
+                     batch_keys=1)
+    assert calls == [1]  # exactly one cell was processed before the kill
+    # orphan data exists for that cell, no lineage
+    assert p1.completed_keys("comp").count() == 0
+
+    # resumed run: all 3 cells are todo again (no lineage); per-cell
+    # batches mean 3 calls of 1 cell each; the orphan partition is
+    # REPLACED, not duplicated
+    p2 = CheckpointedPipeline(spark, base_dir)
+    out = p2.run_stage("comp", tiles, ["tile_x", "tile_y"], stage_fn,
+                       batch_keys=1)
+    assert calls == [1, 1, 1, 1]
+    assert p2.completed_keys("comp").count() == 3
+    # duplicate check: one composite row per (tile, year)
+    n_keys = out.select("tile_x", "tile_y", "year").distinct().count()
+    assert out.count() == n_keys == 3 * len(SPEC.years)
+
+    # a third run has nothing to do and returns identical output
+    p3 = CheckpointedPipeline(spark, base_dir)
+    out3 = p3.run_stage("comp", tiles, ["tile_x", "tile_y"], stage_fn,
+                        batch_keys=1)
+    assert calls == [1, 1, 1, 1]  # no new fn invocations
+    assert out3.count() == out.count()
