@@ -300,3 +300,49 @@ def charset_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def word_ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs — entirely JVM-side
+    array expressions (split -> sliding n-grams via transform(sequence)
+    -> array_distinct -> pairwise intersect/union), zero Python: the
+    SQL-oracle-able n-gram dedup variant. group_col bounds the pairing
+    (web-scale discipline: all-pairs only inside a blocking key; pair a
+    LSH/banding stage in front for unblocked corpora)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    grams = F.array_remove(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+        "",  # empty text degenerates to one empty gram; drop it so two
+        # empty docs score 0.0, not 1.0
+    )
+    base = df.select(
+        F.col(id_col),
+        *([F.col(group_col).alias("grp")] if group_col else [F.lit(0).alias("grp")]),
+        grams.alias("grams"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), "grp", F.col("grams").alias("ga"))
+    b = base.select(F.col(id_col).alias("id_b"), "grp", F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        a.join(b, "grp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(inter / union),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -693,6 +693,43 @@ ORDER BY id_a, id_b
 """
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard near-dup pairs — all-JVM array
+    expressions vs the same set algebra in DuckDB list functions."""
+    from ..operators.dedup import word_ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return word_ngram_jaccard_pairs(
+        d, "text", "doc_id", n=2, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id < 250
+), g AS (
+  SELECT doc_id,
+    list_filter(
+      list_distinct(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+1], ' '))),
+      x -> x <> '') AS grams
+  FROM d
+)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CASE WHEN (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) = 0
+         THEN 0.0
+         ELSE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+    END AS j
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+) WHERE j >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring features + label per doc (C4/Gopher-style)."""
     from ..operators.text import with_quality
@@ -1320,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlay_clip": q_overlay_clip,
     "dedup_exact": q_dedup_exact,
     "charset_jaccard": q_charset_jaccard,
+    "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
     "langid": q_langid,
     "token_stats": q_token_stats,
@@ -1362,6 +1400,7 @@ ORACLES: dict[str, str] = {
     "overlay_clip": ORACLE_OVERLAY_CLIP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "charset_jaccard": ORACLE_CHARSET_JACCARD,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "text_quality": ORACLE_TEXT_QUALITY,
     "langid": _langid_sql(),
     "token_stats": ORACLE_TOKEN_STATS,

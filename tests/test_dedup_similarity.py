@@ -268,3 +268,34 @@ def test_phash_pigeonhole_exact_below_chunk_count(spark):
            for r in dedup.phash_neardup_pairs(sdf, max_hamming=3).collect()}
     assert got == {("a", "b", 1), ("a", "c", 2), ("a", "d", 3),
                    ("b", "d", 2), ("b", "c", 3)}
+
+
+def test_word_ngram_jaccard_matches_python(spark, docs_df):
+    """JVM array-expression bigram Jaccard == a python set oracle,
+    including the single-token and empty-text degenerate cases."""
+    df, pdf = docs_df
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.word_ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.3
+        ).collect()
+    }
+
+    def grams(t):
+        toks = (t or "").lower().split()
+        if not toks:
+            return set()
+        if len(toks) == 1:
+            return {toks[0]}
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    gs = {r.doc_id: grams(r.text) for r in pdf.itertuples()}
+    want = {}
+    ids = sorted(gs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(gs[a] | gs[b])
+            j = len(gs[a] & gs[b]) / u if u else 0.0
+            if j >= 0.3:
+                want[(a, b)] = round(j, 6)
+    assert got == want and len(want) > 0
