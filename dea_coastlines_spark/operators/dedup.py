@@ -273,6 +273,27 @@ def phash_neardup_pairs(
     )
 
 
+def _pairwise_set_jaccard(
+    base: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Shared within-group pairwise exact Jaccard skeleton: base must
+    have (id_col, grp, set_col). Thresholds on the UNROUNDED value (the
+    same order the DuckDB oracles use), then rounds the reported value
+    to 6 dp."""
+    a = base.select(F.col(id_col).alias("id_a"), "grp", F.col(set_col).alias("_sa"))
+    b = base.select(F.col(id_col).alias("id_b"), "grp", F.col(set_col).alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    j = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        a.join(b, "grp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_j", j)
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
 def charset_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, group_col: str, threshold: float
 ) -> DataFrame:
@@ -282,24 +303,11 @@ def charset_jaccard_pairs(
     chars = df.select(
         F.col(id_col),
         F.col(group_col).alias("grp"),
-        F.array_distinct(F.split(F.lower(F.col(text_col)), "")).alias("chars"),
-    ).withColumn("chars", F.array_remove("chars", ""))
-    a = chars.select(F.col(id_col).alias("id_a"), F.col("grp"), F.col("chars").alias("ca"))
-    b = chars.select(F.col(id_col).alias("id_b"), F.col("grp"), F.col("chars").alias("cb"))
-    return (
-        a.join(b, "grp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("ca", "cb"))
-                / F.size(F.array_union("ca", "cb")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        F.array_remove(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), "")), ""
+        ).alias("chars"),
     )
+    return _pairwise_set_jaccard(chars, id_col, "chars", threshold)
 
 
 def word_ngram_jaccard_pairs(
@@ -316,7 +324,13 @@ def word_ngram_jaccard_pairs(
     SQL-oracle-able n-gram dedup variant. group_col bounds the pairing
     (web-scale discipline: all-pairs only inside a blocking key; pair a
     LSH/banding stage in front for unblocked corpora)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # explicit whitespace class, NOT \s: Java regex \s and the oracle's
+    # RE2 \s disagree on \x0B, which would tokenize the same text
+    # differently on the two engines
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f\\x0B]+"),
+        lambda t: t != "",
+    )
     grams = F.array_remove(
         F.array_distinct(
             F.transform(
@@ -332,17 +346,4 @@ def word_ngram_jaccard_pairs(
         *([F.col(group_col).alias("grp")] if group_col else [F.lit(0).alias("grp")]),
         grams.alias("grams"),
     )
-    a = base.select(F.col(id_col).alias("id_a"), "grp", F.col("grams").alias("ga"))
-    b = base.select(F.col(id_col).alias("id_b"), "grp", F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size("ga") + F.size("gb") - inter
-    return (
-        a.join(b, "grp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "jaccard",
-            F.when(union == 0, F.lit(0.0)).otherwise(inter / union),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _pairwise_set_jaccard(base, id_col, "grams", threshold)

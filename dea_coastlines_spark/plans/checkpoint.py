@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import uuid
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,6 +89,8 @@ class CheckpointedPipeline:
         lineage row commits. A kill between the two re-runs that batch
         idempotently — the overwrite replaces the orphaned partitions
         instead of duplicating rows."""
+        if batch_keys is not None and batch_keys < 1:
+            raise ValueError(f"batch_keys must be >= 1, got {batch_keys}")
         key_expr = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
         inputs_k = inputs.withColumn("cell_key", key_expr)
         done = self.completed_keys(stage)
@@ -117,7 +120,12 @@ class CheckpointedPipeline:
             out_k = out.withColumn(
                 "cell_key",
                 F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]),
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # persist: the write materializes the plan ONCE into cache;
+            # the lineage stats below read the same materialization the
+            # files came from instead of re-executing fn's whole plan
+            # per batch (and unlike a read-back of out_path, this also
+            # works when a key legitimately produces zero rows)
             (
                 out_k.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -127,6 +135,7 @@ class CheckpointedPipeline:
             stats = (
                 out_k.groupBy("cell_key").agg(F.count("*").alias("n_rows")).collect()
             )
+            out_k.unpersist()
             produced = {r.cell_key: int(r.n_rows) for r in stats}
             self._append_lineage(
                 [

@@ -707,7 +707,8 @@ def q_ngram_jaccard(spark, sf_dir):
 ORACLE_NGRAM_JACCARD = r"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                     t -> t <> '') AS toks
   FROM documents WHERE doc_id < 250
 ), g AS (
   SELECT doc_id,

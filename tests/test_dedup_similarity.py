@@ -299,3 +299,35 @@ def test_word_ngram_jaccard_matches_python(spark, docs_df):
             if j >= 0.3:
                 want[(a, b)] = round(j, 6)
     assert got == want and len(want) > 0
+
+
+def test_word_ngram_jaccard_degenerate_docs(spark):
+    """Empty and single-token docs: two empty docs score 0.0 (not 1.0 —
+    the empty gram is dropped), identical single tokens score 1.0."""
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": ["", "   ", "hello", "hello", "hello world"],
+            }
+        )
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.word_ngram_jaccard_pairs(
+            sdf, "text", "doc_id", n=2, threshold=0.0
+        ).collect()
+    }
+    # empty x empty and empty x anything: union 0 -> 0.0 (kept only
+    # because threshold is 0.0 here)
+    assert pairs[(0, 1)] == 0.0
+    assert pairs[(0, 2)] == 0.0
+    # identical single-token docs -> {"hello"} vs {"hello"} = 1.0
+    assert pairs[(2, 3)] == 1.0
+    # "hello" vs "hello world": {"hello"} vs {"hello world"} -> disjoint
+    assert pairs[(2, 4)] == 0.0
+    # above-zero threshold excludes all degenerate pairs
+    kept = dedup.word_ngram_jaccard_pairs(
+        sdf, "text", "doc_id", n=2, threshold=0.5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(2, 3)}

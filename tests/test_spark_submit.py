@@ -74,19 +74,26 @@ def test_sigkill_mid_run_resumes_without_recompute(tmp_path):
     shutil.copy(os.path.join(REPO, "jobs", "run_shorelines.py"), job)
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
 
-    def cmd(tag, extra):
-        return [
+    def cmd(tag, extra, checkpoint=True):
+        c = [
             SPARK_SUBMIT, "--master", "local[4]",
             "--py-files", zip_path, str(job),
             "--tiles-table", str(tmp_path / "tiles"),
             "--output", str(tmp_path / f"shorelines_{tag}"),
-            "--checkpoint-dir", str(tmp_path / f"ckpt_{tag}"),
-            "--checkpoint-batch-cells", "1",
-        ] + extra
+        ]
+        if checkpoint:
+            c += [
+                "--checkpoint-dir", str(tmp_path / f"ckpt_{tag}"),
+                "--checkpoint-batch-cells", "1",
+            ]
+        return c + extra
     synth = ["--synth", "3,2,2000,2001,3", "--tile-px", "64", "--halo-px", "4"]
 
-    # uninterrupted baseline (also writes the tiles table)
-    base = subprocess.run(cmd("base", synth), capture_output=True, text=True,
+    # uninterrupted, UNCHECKPOINTED baseline (also writes the tiles
+    # table): the true oracle — the equality check below certifies
+    # batched-resumed == plain single-pass, not batched == batched
+    base = subprocess.run(cmd("base", synth, checkpoint=False),
+                          capture_output=True, text=True,
                           cwd=str(tmp_path), env=env, timeout=420)
     assert base.returncode == 0, base.stderr[-2000:]
 
