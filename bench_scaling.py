@@ -143,6 +143,13 @@ def main() -> int:
     p.add_argument("--tiles-path", default=None)
     p.add_argument("--low", type=int, default=2)
     p.add_argument("--high", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="measurements per level, interleaved lo/hi; the "
+                        "per-level MEDIAN feeds the efficiency ratio. The "
+                        "local[8] figure is stable run-to-run but local[2] "
+                        "wall-clock swings +/-35%% with host CPU steal and "
+                        "2-core turbo, so a single pair can read anywhere "
+                        "from 0.70 to 1.20")
     p.add_argument("--data-sweep", action="store_true",
                    help="fixed cores, 1x vs 4x data instead of N vs 4N cores")
     p.add_argument("--out-dir", default=os.path.join(REPO, "BENCH"))
@@ -160,32 +167,41 @@ def main() -> int:
     tiles_path = f"{tmp}/tiles"
     try:
         n_tiles = synth_corpus(tiles_path, args.high)
-        results = {}
-        for cpus in (args.low, args.high):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--worker", str(cpus), "--tiles-path", tiles_path],
-                capture_output=True, text=True, cwd=REPO, check=True,
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)
-            print(line)
+        runs: dict[int, list[dict]] = {args.low: [], args.high: []}
+        # interleave lo/hi so slow host-steal episodes hit both levels
+        # rather than biasing one
+        for _ in range(max(args.repeats, 1)):
+            for cpus in (args.low, args.high):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker", str(cpus), "--tiles-path", tiles_path],
+                    capture_output=True, text=True, cwd=REPO, check=True,
+                )
+                line = out.stdout.strip().splitlines()[-1]
+                runs[cpus].append(json.loads(line))
+                print(line)
 
-        thr_lo = results[args.low]["tiles_per_sec"]
-        thr_hi = results[args.high]["tiles_per_sec"]
+        def med(vals):
+            s = sorted(vals)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+        thr_lo = round(med([r["tiles_per_sec"] for r in runs[args.low]]), 2)
+        thr_hi = round(med([r["tiles_per_sec"] for r in runs[args.high]]), 2)
         eff = (thr_hi / thr_lo) / (args.high / args.low)
         summary = {
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
-            "unit": f"ratio (local[{args.low}] -> local[{args.high}])",
+            "unit": f"ratio (local[{args.low}] -> local[{args.high}]), "
+                    f"median of {args.repeats} interleaved runs per level",
             "n_tiles": n_tiles,
             "throughput": {
                 f"local[{args.low}]": thr_lo,
                 f"local[{args.high}]": thr_hi,
             },
-            "sec": {
-                f"local[{args.low}]": results[args.low]["sec"],
-                f"local[{args.high}]": results[args.high]["sec"],
+            "all_runs": {
+                f"local[{args.low}]": [r["tiles_per_sec"] for r in runs[args.low]],
+                f"local[{args.high}]": [r["tiles_per_sec"] for r in runs[args.high]],
             },
             "target": 0.8,
             "pass": eff >= 0.8,
