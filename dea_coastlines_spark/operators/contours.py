@@ -140,6 +140,63 @@ def shorelines(
     return composites.mapInPandas(extract, SHORELINE_SCHEMA)
 
 
+def multi_level_shorelines(
+    composites: DataFrame,
+    levels: list[float],
+    min_vertices: int = 10,
+    cell_res: int = DEFAULT_CELL_RES,
+) -> DataFrame:
+    """Contours at SEVERAL index thresholds in one pass — the engine
+    form of the reference's `subpixel_contours(da, z_values=[...])`
+    multi-z surface (dea_tools wrapper used at coastlines/vector.py:
+    1450-1456 with a single z; the wrapped function accepts a list and
+    attributes each contour with its z_value). One decode per composite
+    row regardless of level count; output carries a `level` column."""
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mndwi = tiff.decode_f32(bytes(r.mndwi_bytes))
+                stdev = tiff.decode_f32(bytes(r.stdev_bytes)) if r.stdev_bytes else None
+                count = tiff.decode_f32(bytes(r.count_bytes)) if r.count_bytes else None
+                transform = json.loads(r.transform)
+                for level in levels:
+                    for piece in extract_shorelines_tile(
+                        mndwi, stdev, count, transform, int(r.halo_px),
+                        level=float(level), min_vertices=min_vertices,
+                    ):
+                        cell = int(
+                            cells.xy_to_cell(
+                                np.array([piece.pop("_rep_x")]),
+                                np.array([piece.pop("_rep_y")]),
+                                cell_res,
+                            )[0]
+                        )
+                        rows.append(
+                            {
+                                "cell_id": cell,
+                                "tile_x": int(r.tile_x),
+                                "tile_y": int(r.tile_y),
+                                "year": int(r.year),
+                                "level": float(level),
+                                **piece,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "cell_id", "tile_x", "tile_y", "year", "level",
+                    "geometry", "n_vertices", "length_m", "certainty",
+                ],
+            )
+
+    schema = SHORELINE_SCHEMA.replace(
+        "year int,", "year int, level double,"
+    )
+    return composites.mapInPandas(extract, schema)
+
+
 def shorelines_fused(
     tiles: DataFrame,
     apply_tide_filter: bool = True,

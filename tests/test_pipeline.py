@@ -296,3 +296,30 @@ def test_shorelines_in_aoi_matches_bruteforce(spark, tiles_df):
         "aoi_id = 'cover'"
     )
     assert kept.count() == sl_df.count()
+
+
+def test_multi_level_shorelines(spark, tiles_df):
+    """Multi-z contouring: level 0.0 rows equal the single-level op
+    byte-for-byte; other levels produce distinct shoreline geometry
+    (monotone coast: higher MNDWI threshold shifts the waterline)."""
+    from dea_coastlines_spark.operators.contours import (
+        multi_level_shorelines,
+        shorelines,
+    )
+
+    comps = comp_op.annual_composites(tiles_df, apply_tide_filter=True)
+    comps.cache().count()
+    multi = multi_level_shorelines(comps, levels=[-0.2, 0.0, 0.2]).collect()
+    single = shorelines(comps).collect()
+
+    def key(r):
+        return (r.cell_id, r.tile_x, r.tile_y, r.year,
+                bytes(r.geometry), r.n_vertices)
+
+    at0 = sorted(key(r) for r in multi if r.level == 0.0)
+    assert at0 == sorted(key(r) for r in single)
+    by_level = {lv: {bytes(r.geometry) for r in multi if r.level == lv}
+                for lv in (-0.2, 0.0, 0.2)}
+    assert by_level[-0.2] and by_level[0.2]
+    assert by_level[-0.2].isdisjoint(by_level[0.0])
+    assert by_level[0.2].isdisjoint(by_level[0.0])
