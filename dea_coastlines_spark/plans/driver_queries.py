@@ -969,6 +969,29 @@ def q_masked_shorelines(spark, sf_dir):
     ).orderBy("year", "cell_id", "length_m")
 
 
+def q_multilevel_shorelines(spark, sf_dir):
+    """Multi-z contour extraction (subpixel_contours z_values analog;
+    rows-only — marching squares has no SQL form)."""
+    from ..operators.composite import annual_composites
+    from ..operators.contours import multi_level_shorelines
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
+                              year0=2000, year1=2001, obs_per_year=5,
+                              cloud_frac=0.04, seed=7)
+    tiles = _corpus.generate_spark(spark, spec)
+    comps = annual_composites(tiles, apply_tide_filter=True)
+    return (
+        multi_level_shorelines(comps, levels=[-0.2, 0.0, 0.2])
+        .select(
+            "cell_id", "tile_x", "tile_y", "year", "level",
+            F.hex(F.col("geometry")).alias("geometry_wkb_hex"),
+            "n_vertices", F.round("length_m", 3).alias("length_m"),
+        )
+        .orderBy("year", "level", "cell_id", "length_m")
+    )
+
+
 def q_global_components(spark, sf_dir):
     """Distributed cross-tile connected components (beyond-reference:
     removes the halo-size limit) on a deterministic multi-tile mask."""
@@ -1376,6 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rates_of_change": q_rates_of_change,
     "hotspots": q_hotspots,
     "masked_shorelines": q_masked_shorelines,
+    "multilevel_shorelines": q_multilevel_shorelines,
     "validation_stats": q_validation_stats,
     "global_components": q_global_components,
 }
