@@ -141,7 +141,11 @@ def _seam_edges(seams: DataFrame, connectivity: int = 2) -> DataFrame:
         (dx, dy)
         for dx in (-1, 0, 1)
         for dy in (-1, 0, 1)
-        if connectivity == 2 or abs(dx) + abs(dy) <= 1
+        # (0,0) is dead weight: tile cores are disjoint, so two
+        # DIFFERENT tiles never emit the same global pixel — skipping
+        # it saves 1/9 of the seam-join shuffle
+        if (dx, dy) != (0, 0)
+        and (connectivity == 2 or abs(dx) + abs(dy) <= 1)
     ]
     edges = None
     for dx, dy in offsets:
@@ -159,7 +163,7 @@ def global_components(
     tiles_mask: DataFrame,
     mask_col: str = "mask_bytes",
     connectivity: int = 2,
-    max_iter: int = 20,
+    max_iter: int = 100,
 ) -> DataFrame:
     """(tile_x, tile_y, label) -> global component id + global size.
 
@@ -182,8 +186,13 @@ def global_components(
         edges.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
     ).distinct().persist()
 
-    # min-label propagation to fixpoint
-    comp = nodes.select("node_id", F.col("node_id").alias("comp"))
+    # min-label propagation to fixpoint. Converges in O(graph diameter)
+    # rounds; each round's tables are node-count-sized (tiny next to
+    # pixels), so a high cap is cheap insurance — but NON-convergence
+    # must be an error, never a silent split of one physical component
+    # into several ids.
+    comp = nodes.select("node_id", F.col("node_id").alias("comp")).persist()
+    converged = False
     for _ in range(max_iter):
         # candidate: min over own comp and neighbors' comps
         neigh = (
@@ -194,7 +203,8 @@ def global_components(
             comp.select("node_id", "comp").unionByName(neigh)
             .groupBy("node_id")
             .agg(F.min("comp").alias("comp"))
-        )
+        ).persist()  # persist BEFORE the count so the changed-check
+        # materializes the cache instead of computing the plan twice
         changed = (
             new.alias("n")
             .join(comp.alias("o"), "node_id")
@@ -202,9 +212,18 @@ def global_components(
             .limit(1)
             .count()
         )
-        comp = new.persist()
+        comp.unpersist()  # old iteration's cache is dead now
+        comp = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"global_components: min-label propagation did not converge "
+            f"in {max_iter} iterations (component tile-graph diameter "
+            f"exceeds max_iter) — raise max_iter"
+        )
+    edges.unpersist()
 
     out = (
         nodes.join(comp, "node_id")

@@ -65,7 +65,10 @@ def preprocess_tile_stack(
         ann, gap = mndwi_annual[y], mndwi_gapfill[y]
         cnt = count_annual[y]
         c = np.where(cnt > count_threshold, ann, gap)           # step 1
-        c = np.where(cnt > min_valid_count, c, gap)
+        # step 2: <=1 obs pixels -> NaN ("extremely vulnerable to
+        # noise", vector.py:559-561 `.where(count > 1)` with no
+        # fallback), NOT the gapfill value
+        c = np.where(cnt > min_valid_count, c, np.nan)
         combined[y] = c.astype(np.float32)
 
     land = {y: (combined[y] < 0.0) & ~np.isnan(combined[y]) for y in years}
@@ -120,14 +123,25 @@ def masked_composites(annual: DataFrame, gapfill: DataFrame) -> DataFrame:
         gapfill["mndwi_bytes"].alias("gf_mndwi_bytes"),
         gapfill["count_bytes"].alias("gf_count_bytes"),
     )
-    joined = annual.join(g, ["tile_x", "tile_y", "year"])
+    # LEFT join: a (tile, year) whose gapfill composite is missing must
+    # not silently vanish from the output — the kernel treats a missing
+    # gapfill as all-NaN (coalesce then falls through to NaN, the same
+    # thing the reference produces when the 3-year window is empty)
+    joined = annual.join(g, ["tile_x", "tile_y", "year"], "left")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("year")
         years = [int(y) for y in pdf["year"]]
         ann = {int(r.year): tiff.decode_f32(bytes(r.mndwi_bytes)) for r in pdf.itertuples()}
         cnt = {int(r.year): tiff.decode_f32(bytes(r.count_bytes)) for r in pdf.itertuples()}
-        gap = {int(r.year): tiff.decode_f32(bytes(r.gf_mndwi_bytes)) for r in pdf.itertuples()}
+        gap = {
+            int(r.year): (
+                tiff.decode_f32(bytes(r.gf_mndwi_bytes))
+                if r.gf_mndwi_bytes is not None
+                else np.full_like(ann[int(r.year)], np.nan)
+            )
+            for r in pdf.itertuples()
+        }
         masked = preprocess_tile_stack(years, ann, cnt, gap)
         rows = []
         for r in pdf.itertuples():

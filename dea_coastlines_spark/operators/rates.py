@@ -65,7 +65,14 @@ def baseline_points(shorelines: DataFrame, baseline_year: int, spacing: float = 
             for r in pdf.itertuples():
                 line = wkb.parse(bytes(r.geometry))[1]
                 length = ga.polyline_length(line)
-                dists = np.arange(0, int(length), spacing, dtype=np.float64)
+                # float length, NOT int(length): truncation drops the
+                # last point when floor(length) <= a spacing multiple
+                # that length exceeds (e.g. 90.4 m / 30 m), and a sub-
+                # metre line must still yield its start point — matches
+                # the reference's points_on_line arange semantics
+                dists = np.arange(0.0, length, spacing, dtype=np.float64)
+                if dists.size == 0:
+                    dists = np.array([0.0])
                 pts = ga.interpolate_along(line, dists)
                 ids = _point_ids(pts[:, 0], pts[:, 1])
                 for pid, (x, y) in zip(ids, pts):
@@ -75,7 +82,23 @@ def baseline_points(shorelines: DataFrame, baseline_year: int, spacing: float = 
                     )
             yield pd.DataFrame(rows, columns=["tile_x", "tile_y", "point_id", "x", "y"])
 
-    return base.mapInPandas(gen, "tile_x int, tile_y int, point_id long, x double, y double").dropDuplicates(["point_id"])
+    pts = base.mapInPandas(
+        gen, "tile_x int, tile_y int, point_id long, x double, y double"
+    )
+    # deterministic dedup: points <0.25 m apart (e.g. at tile seams)
+    # share a res-29 point_id; dropDuplicates would keep an arbitrary
+    # row, making x/y/tile run-order-dependent — min(struct) is the
+    # same winner at any parallelism
+    m = pts.groupBy("point_id").agg(
+        F.min(F.struct("x", "y", "tile_x", "tile_y")).alias("_p")
+    )
+    return m.select(
+        F.col("_p.tile_x").alias("tile_x"),
+        F.col("_p.tile_y").alias("tile_y"),
+        "point_id",
+        F.col("_p.x").alias("x"),
+        F.col("_p.y").alias("y"),
+    )
 
 
 DIST_SCHEMA = (
@@ -107,6 +130,10 @@ def annual_nearest(points: DataFrame, shorelines: DataFrame, max_valid_dist: flo
                 best_d[upd] = d[upd]
                 best_xy[upd] = near[upd]
             bearing = np.mod(ga.bearing_deg(px, py, best_xy[:, 0], best_xy[:, 1]), 180.0)
+            # no usable contour this year (all geometries degenerate):
+            # best_xy stayed (0,0) — emit NaN bearing, not an angle
+            # toward the world origin that would pollute angle_std
+            bearing = np.where(np.isinf(best_d), np.nan, bearing)
             dist_raw = np.where(best_d < max_valid_dist, best_d, np.nan)
             out.append(
                 pd.DataFrame(

@@ -101,19 +101,29 @@ def explode_polygons_to_cells(polys: DataFrame, res: int, pad_m: float = 0.0) ->
 
     def gen(batches):
         for pdf in batches:
-            rows = []
-            for i in range(len(pdf)):
-                geom = bytes(pdf["geometry"].iloc[i])
-                x0, y0, x1, y1 = wkb.bbox(geom)
-                cover = cells.polyfill_bbox(
-                    x0 - pad_m, y0 - pad_m, x1 + pad_m, y1 + pad_m, res
+            # vectorized expansion: per-row dict building is the hot
+            # path of the distributed (big-feature-table) joins — at
+            # 10^6 geometries x ~50 covering cells that is 5x10^7
+            # Python dict copies; np.repeat + one concat is ~free
+            covers = []
+            for g in pdf["geometry"]:
+                x0, y0, x1, y1 = wkb.bbox(bytes(g))
+                covers.append(
+                    cells.polyfill_bbox(
+                        x0 - pad_m, y0 - pad_m, x1 + pad_m, y1 + pad_m, res
+                    )
                 )
-                base = pdf.iloc[i]
-                for c in cover:
-                    r = base.to_dict()
-                    r["cell_id"] = int(c)
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            counts = np.array([len(c) for c in covers], dtype=np.int64)
+            if counts.sum() == 0:
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), counts)].reset_index(
+                drop=True
+            )
+            rep["cell_id"] = np.concatenate(
+                [np.asarray(c, dtype=np.int64) for c in covers if len(c)]
+            )
+            yield rep[[f.name for f in out_schema.fields]]
 
     return polys.mapInPandas(gen, out_schema)
 
@@ -331,11 +341,17 @@ def _distances_within(
                 if t == wkb.POINT:
                     d = np.hypot(px - payload[0], py - payload[1])
                 elif t == wkb.LINESTRING:
-                    d, _ = ga.points_to_polyline_distance(px, py, payload)
+                    if len(payload) < 2:  # degenerate: treat as a point
+                        d = np.hypot(px - payload[0, 0], py - payload[0, 1])
+                    else:
+                        d, _ = ga.points_to_polyline_distance(px, py, payload)
                 elif t == wkb.MULTILINESTRING:
                     d = np.full(px.size, np.inf)
                     for part in payload:
-                        dd, _ = ga.points_to_polyline_distance(px, py, part)
+                        if len(part) < 2:
+                            dd = np.hypot(px - part[0, 0], py - part[0, 1])
+                        else:
+                            dd, _ = ga.points_to_polyline_distance(px, py, part)
                         d = np.minimum(d, dd)
                 else:
                     raise ValueError(f"knn_join unsupported geometry type {t}")
