@@ -213,7 +213,6 @@ def shorelines_fused(
     pair when the composite table itself is a wanted output (masking,
     gapfill, incremental maintenance); use this for the straight
     tiles->vectors query."""
-    from ..codecs import image as img_codec
     from ..operators import composite as comp_op
 
     meta = comp_op.with_caption(tiles)
@@ -221,43 +220,9 @@ def shorelines_fused(
         meta = comp_op.tide_filtered(meta)
 
     def fused(pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf.iloc[0]
-        stack = np.stack(
-            [
-                img_codec.decode_tile(bytes(b), f)
-                for b, f in zip(pdf["bytes"], pdf["fmt"])
-            ]
-        )
-        med, std, cnt = comp_op._nan_median_std_count(stack)
-        transform = list(first["transform"])
-        rows = []
-        for piece in extract_shorelines_tile(
-            med, std, cnt, transform, int(first["halo_px"]),
-            level=level, min_vertices=min_vertices,
-        ):
-            cell = int(
-                cells.xy_to_cell(
-                    np.array([piece.pop("_rep_x")]),
-                    np.array([piece.pop("_rep_y")]),
-                    cell_res,
-                )[0]
-            )
-            rows.append(
-                {
-                    "cell_id": cell,
-                    "tile_x": int(first["tile_x"]),
-                    "tile_y": int(first["tile_y"]),
-                    "year": int(first["year"]),
-                    **piece,
-                }
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "cell_id", "tile_x", "tile_y", "year",
-                "geometry", "n_vertices", "length_m", "certainty",
-            ],
-        )
+        # one shared kernel body with the colocated path — a fix there
+        # (certainty sampling, cell assignment) reaches both plans
+        return _shoreline_rows_for_group(pdf, level, min_vertices, cell_res)
 
     return (
         meta.select(
@@ -307,41 +272,49 @@ def shorelines_colocated(
     from ..sources.table import SnapshotTable
     from ..sources.tiles import read_tiles
 
+    from pyspark.sql import SparkSession as _SS
+
     table = SnapshotTable(spark, table_path)
     meta = table._metadata()
     max_bytes = max((f.get("bytes", 0) for f in meta["files"]), default=0)
     conf_key = "spark.sql.files.maxPartitionBytes"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(max(int(max_bytes) + (1 << 20), 8 << 20)))
-    try:
-        tiles = read_tiles(spark, table_path, years=years)
-        meta_df = comp_op.with_caption(tiles)
-        if apply_tide_filter:
-            meta_df = comp_op.tide_filtered(meta_df)
-        src = meta_df.select(
-            "tile_x", "tile_y", "year", "bytes", "fmt", "transform", "halo_px"
-        )
+    # Pin the conf on a CLONED session (same SparkContext, copied
+    # session state) and build the plan against the clone: file-split
+    # planning reads the conf lazily at ACTION time, so setting it on
+    # the caller's session and restoring it before returning would mean
+    # the pin is gone by the time the returned DataFrame executes —
+    # large files would be split across tasks and groups fragmented.
+    # The clone's conf lives as long as the returned plan; the caller's
+    # session is never touched.
+    pinned = _SS(spark.sparkContext, spark._jsparkSession.cloneSession())
+    pinned.conf.set(conf_key, str(max(int(max_bytes) + (1 << 20), 8 << 20)))
 
-        def kernel(batches):
-            import pandas as _pd
+    tiles = read_tiles(pinned, table_path, years=years)
+    meta_df = comp_op.with_caption(tiles)
+    if apply_tide_filter:
+        meta_df = comp_op.tide_filtered(meta_df)
+    src = meta_df.select(
+        "tile_x", "tile_y", "year", "bytes", "fmt", "transform", "halo_px"
+    )
 
-            buf = []
-            for pdf in batches:
-                if len(pdf):
-                    buf.append(pdf)
-            if not buf:
-                return
-            allp = _pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            for (tx, ty, yr), grp in allp.groupby(["tile_x", "tile_y", "year"]):
-                out = _shoreline_rows_for_group(
-                    grp, level, min_vertices, cell_res
-                )
-                if len(out):
-                    yield out
+    def kernel(batches):
+        import pandas as _pd
 
-        return src.mapInPandas(kernel, SHORELINE_SCHEMA)
-    finally:
-        spark.conf.set(conf_key, old)
+        buf = []
+        for pdf in batches:
+            if len(pdf):
+                buf.append(pdf)
+        if not buf:
+            return
+        allp = _pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        for (tx, ty, yr), grp in allp.groupby(["tile_x", "tile_y", "year"]):
+            out = _shoreline_rows_for_group(
+                grp, level, min_vertices, cell_res
+            )
+            if len(out):
+                yield out
+
+    return src.mapInPandas(kernel, SHORELINE_SCHEMA)
 
 
 def _shoreline_rows_for_group(

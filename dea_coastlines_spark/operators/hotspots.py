@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions import stats
 from ..index.geohash import geohash_encode
 from . import rates as rates_op
-from .spatial_join import radius_join
+from .spatial_join import DEFAULT_RES, radius_join
 
 HOTSPOT_SCHEMA = (
     "hotspot_id long, x double, y double, uid string, "
@@ -67,10 +67,20 @@ def hotspots(
             }
         )
     )
+    # cover resolution scaled to the radius: at the fixed 512 m default
+    # a 10 km-radius center's padded bbox explodes to ~1,600 covering
+    # cells; cell edge ~radius/2 keeps it at ~16-25 cells per center
+    # with identical results (refinement is exact distance)
+    from ..index import cells as _cells
+
+    res = DEFAULT_RES
+    while res > 1 and _cells.cell_size_m(res) < radius_m / 2:
+        res -= 1
     pairs = radius_join(
         rate_points.select("point_id", "x", "y"),
         centers_feat,
         radius_m=radius_m,
+        res=res,
     ).select("point_id", F.col("feat_id").cast("long").alias("hotspot_id"))
 
     # per (hotspot, year): exact median of member-point signed distances
@@ -83,7 +93,13 @@ def hotspots(
         F.countDistinct("point_id").alias("n")
     )
 
-    center_xy = centers.withColumnRenamed("hx", "x").withColumnRenamed("hy", "y")
+    # reuse the already-collected pandas frame: centers.withColumnRenamed
+    # would re-execute the whole baseline_points plan (mapInPandas +
+    # shuffle) a second time at action, doubling the shoreline scan per
+    # radius
+    center_xy = centers.sparkSession.createDataFrame(
+        centers_pdf.rename(columns={"hx": "x", "hy": "y"})
+    )
     grouped = med.join(F.broadcast(center_xy), "hotspot_id").join(
         F.broadcast(n_points), "hotspot_id"
     )
@@ -124,6 +140,11 @@ def with_wms_fields(df: DataFrame) -> DataFrame:
         "*",
         F.abs(F.col("rate_time")).alias("wms_abs"),
         (F.col("se_time") * 1.96).alias("wms_conf"),
+        # NOT inverted: reference continental.py:49-50 defines
+        # wms_grew = rate_time < 0. Distances are signed relative to
+        # the (recent) baseline year with positive = seaward, so past
+        # shorelines seaward of the baseline (positive dist, positive
+        # slope over time) mean the coast RETREATED to the baseline.
         (F.col("rate_time") < 0).alias("wms_grew"),
         (F.col("rate_time") > 0).alias("wms_retr"),
         (F.col("sig_time") <= 0.01).alias("wms_sig"),

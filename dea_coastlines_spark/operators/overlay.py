@@ -92,8 +92,11 @@ def overlay_lines_polygons(
         .drop("cell_id")
     )
 
+    # id type comes from the input schema — hardcoding `long` would die
+    # in an opaque Arrow cast for string ids (e.g. validation transects)
+    id_type = lines.schema[line_id].dataType.simpleString()
     out_schema = (
-        f"{line_id} long, _poly_pos long, geometry binary, piece_len_m double"
+        f"{line_id} {id_type}, _poly_pos long, geometry binary, piece_len_m double"
     )
 
     def clip_kernel(batches):
@@ -164,7 +167,8 @@ def _difference(lines, cand, geoms, line_id, out_schema, line_attrs):
     for lines with no candidates)."""
     spark = lines.sparkSession
 
-    grouped_schema = f"{line_id} long, geometry binary, piece_len_m double"
+    id_type = lines.schema[line_id].dataType.simpleString()
+    grouped_schema = f"{line_id} {id_type}, geometry binary, piece_len_m double"
 
     def diff_kernel(key, pdf):
         lid = key[0]

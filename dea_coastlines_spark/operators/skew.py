@@ -61,7 +61,22 @@ def with_salt(
     if factors is None:
         factors = hot_keys(df, keys, target_rows_per_task)
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
-    out = df.join(F.broadcast(factors), keys, "left")
+    # null-SAFE equality on the key columns: groupBy keeps a null-key
+    # group (often the hottest — e.g. points outside the grid), but a
+    # plain equi join would never match its factor row, silently leaving
+    # the hot null group unsalted on one task. Factor keys are renamed
+    # first — factors derives from df, so unaliased references resolve
+    # to a trivially-true self-comparison.
+    fac = factors.select(
+        *[F.col(k).alias(f"_fk_{k}") for k in keys], "_salt_factor"
+    )
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(F.col(f"_fk_{k}"))
+        cond = c if cond is None else cond & c
+    out = df.join(F.broadcast(fac), cond, "left").drop(
+        *[f"_fk_{k}" for k in keys]
+    )
     return out.withColumn(
         SALT_COL,
         F.when(
@@ -121,6 +136,9 @@ def salted_repartition(
     — NOT for grouped-map stages that need whole-key batches."""
     s = with_salt(df, keys, id_col, target_rows_per_task)
     cols = [F.col(k) for k in keys] + [F.col(SALT_COL)]
+    # drop the internal salt after the exchange: it only exists as a
+    # repartition key, and leaking it breaks unionByName/schema-checked
+    # sinks downstream (the Project preserves the partitioning)
     if num_partitions:
-        return s.repartition(num_partitions, *cols)
-    return s.repartition(*cols)
+        return s.repartition(num_partitions, *cols).drop(SALT_COL)
+    return s.repartition(*cols).drop(SALT_COL)

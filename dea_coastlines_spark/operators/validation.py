@@ -46,7 +46,7 @@ def transect_chainages(
             raise ValueError("transects must be LineStrings")
     t_ids = t_pdf[transect_id].tolist()
 
-    out_schema = f"{transect_id} string, year int, chainage_m double, n_crossings int"
+    out_schema = f"{transect_id} string, year int, chainage_m double"
 
     def kernel(batches):
         for pdf in batches:
@@ -69,25 +69,23 @@ def transect_chainages(
             if acc:
                 rows = []
                 for (tid, year), chs in sorted(acc.items()):
-                    chs = sorted(set(round(c, 9) for c in chs))
-                    rows.append(
-                        {
-                            transect_id: tid,
-                            "year": year,
-                            "chainage_m": chs[0],
-                            "n_crossings": len(chs),
-                        }
-                    )
+                    for c in sorted(set(round(c, 9) for c in chs)):
+                        rows.append(
+                            {transect_id: tid, "year": year, "chainage_m": c}
+                        )
                 yield pd.DataFrame(rows)
 
     partial = shorelines.select("year", "geometry").mapInPandas(kernel, out_schema)
-    # merge per-batch partials: a (transect, year) may appear in several
-    # batches; total crossings = sum, chainage = min (deterministic)
+    # Emit ONE row per distinct crossing chainage and dedupe GLOBALLY:
+    # the same physical crossing can be seen by two batches (a shoreline
+    # clipped at a tile seam shares the crossing point with both tiles),
+    # and summing per-batch counts would double-count it — making the
+    # n_crossings==1 filter drop valid rows AND vary with partitioning.
     return (
         partial.groupBy(transect_id, "year")
         .agg(
             F.min("chainage_m").alias("chainage_m"),
-            F.sum("n_crossings").cast("int").alias("n_crossings"),
+            F.count_distinct("chainage_m").cast("int").alias("n_crossings"),
         )
     )
 
@@ -112,8 +110,9 @@ def validation_errors(
     transect_id: str = "id",
 ) -> DataFrame:
     """Join surveyed chainage to engine chainage per (transect, year);
-    error_m = engine − survey (validation.py:2367 semantics, positive =
-    engine shoreline further along the transect)."""
+    error_m = survey − engine (validation.py:2367: `val_dist −
+    deacl_dist`; positive = surveyed shoreline further along the
+    transect than the engine's)."""
     engine = transect_chainages(transects, shorelines, transect_id).filter(
         F.col("n_crossings") == 1
     )
@@ -125,7 +124,7 @@ def validation_errors(
             "year",
             "surveyed_m",
             "chainage_m",
-            (F.col("chainage_m") - F.col("surveyed_m")).alias("error_m"),
+            (F.col("surveyed_m") - F.col("chainage_m")).alias("error_m"),
             "n_surveys",
         )
     )

@@ -88,3 +88,29 @@ def test_salted_repartition_splits_hot_cell(spark, skewed):
     # partition; salted must use several
     assert len(per_part) >= 4
     assert max(r.hot for r in per_part) < 9000
+
+
+def test_null_key_group_gets_salted(spark):
+    """A hot NULL-key group must receive salt too: the factor join is
+    null-safe (a plain equi join would leave every null-key row at
+    salt 0 on one task)."""
+    import pandas as pd
+
+    from dea_coastlines_spark.operators import skew
+
+    pdf = pd.DataFrame(
+        {
+            "cell": [None] * 5000 + [1] * 10,
+            "id": list(range(5010)),
+            "v": [1.0] * 5010,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    salted = skew.with_salt(df, ["cell"], "id", target_rows_per_task=1000)
+    null_salts = {
+        r._salt for r in salted.filter(F.col("cell").isNull()).select("_salt").distinct().collect()
+    }
+    assert len(null_salts) > 1  # hot null group spread over salt buckets
+    out = skew.salted_counts_sums(df, ["cell"], "id", ["v"], target_rows_per_task=1000)
+    rows = {tuple(r)[:1][0]: (r.n, r.sum_v) for r in out.collect()}
+    assert rows[None] == (5000, 5000.0) and rows[1] == (10, 10.0)
