@@ -47,4 +47,11 @@ def cell_id_expr(x: Column, y: Column, res: int) -> Column:
         F.least(F.lit(n - 1), F.floor((y - F.lit(cells.WORLD_Y0)) / F.lit(size))),
     ).cast("long")
     morton = _interleave_expr(ix).bitwiseOR(F.shiftleft(_interleave_expr(iy), 1))
-    return morton.bitwiseOR(F.lit(res << 59)).cast("long").alias("cell_id")
+    # res >= 16 puts the header past 2^63: reinterpret as SIGNED int64
+    # (two's complement) before F.lit, matching the numpy encoder's
+    # uint64 wraparound — a raw python int of 2^63+ would overflow the
+    # long literal and break the bit-identical contract
+    header = res << 59
+    if header >= 1 << 63:
+        header -= 1 << 64
+    return morton.bitwiseOR(F.lit(header)).cast("long").alias("cell_id")

@@ -42,6 +42,10 @@ CAPTION_SCHEMA = StructType(
         StructField("transform", ArrayType(DoubleType())),
         StructField("halo_px", IntegerType()),
         StructField("tide_m", DoubleType()),
+        # reserved metadata kind tag (sources.tiles parses it); unknown
+        # JSON fields are ignored by from_json, so carrying the superset
+        # here keeps this the ONE caption schema for the whole engine
+        StructField("kind", StringType()),
     ]
 )
 

@@ -59,11 +59,22 @@ class SnapshotTable:
     # ------------------------------------------------------------ metadata
 
     def current_version(self) -> int:
-        hint = f"{self.meta_dir}/version-hint.text"
-        if not os.path.exists(hint):
+        # The O_EXCL-created metadata FILE is the commit point; the hint
+        # is only a fast pointer and lags one version if a writer died
+        # between writing v{N}.metadata.json and replacing the hint.
+        # Walk forward from the hint so an orphaned (fully written)
+        # snapshot is recovered instead of wedging every future commit
+        # with a permanent version collision.
+        if not os.path.isdir(self.meta_dir):
             return 0
-        with open(hint) as f:
-            return int(f.read().strip())
+        v = 0
+        hint = f"{self.meta_dir}/version-hint.text"
+        if os.path.exists(hint):
+            with open(hint) as f:
+                v = int(f.read().strip())
+        while os.path.exists(f"{self.meta_dir}/v{v + 1}.metadata.json"):
+            v += 1
+        return v
 
     def _metadata(self, version: int | None = None) -> dict:
         v = version or self.current_version()
@@ -184,16 +195,29 @@ class SnapshotTable:
             expected_version=base_v,
         )
 
-    def overwrite_partitions(self, df: DataFrame) -> int:
+    def overwrite_partitions(
+        self, df: DataFrame, drop_partitions: list[dict] | None = None
+    ) -> int:
         """Replace every partition present in df (dynamic partition
         overwrite — the incremental-recompute primitive: rewrite only
-        affected (cell, year) partitions, SURVEY.md §2.10)."""
+        affected (cell, year) partitions, SURVEY.md §2.10).
+
+        drop_partitions: partitions the caller RECOMPUTED even if df has
+        no rows for them — dynamic overwrite alone can never delete a
+        partition whose recompute came back empty, so an incremental
+        maintainer must name its full affected set or stale rows survive
+        (values are matched as partition-directory strings)."""
         m = self._metadata()
         part_cols = m["partition_by"]
         if not part_cols:
             raise ValueError("overwrite_partitions needs a partitioned table")
         new = self._write_files(df, part_cols)
         replaced = {tuple(sorted(e["partition"].items())) for e in new}
+        if drop_partitions:
+            replaced |= {
+                tuple(sorted((k, str(v)) for k, v in d.items()))
+                for d in drop_partitions
+            }
         kept = [
             e
             for e in m["files"]
@@ -231,6 +255,9 @@ class SnapshotTable:
             )
         paths = [f"{self.path}/{f['path']}" for f in files]
         reader = self.spark.read
+        schema_cols = [
+            f["name"] for f in json.loads(m["schema_json"])["fields"]
+        ]
         if m["partition_by"]:
             # basePath keeps partition columns, but partition values live
             # under per-commit staging dirs; recover them from dir names
@@ -243,8 +270,12 @@ class SnapshotTable:
                         F.input_file_name(), f"/{col}=([^/]+)/", 1
                     ).cast(_partition_dtype(m["schema_json"], col)),
                 )
-            return df
-        return reader.parquet(*paths)
+            # schema_json column ORDER, matching the empty-prune branch:
+            # the withColumn loop appends partition columns last, and a
+            # positional union of an empty read with a non-empty one
+            # would mis-align columns
+            return df.select(*schema_cols)
+        return reader.parquet(*paths).select(*schema_cols)
 
     def prune_stats(self, where: dict[str, object]) -> dict:
         """How much the manifest prune saves — for tests and metrics."""
@@ -261,29 +292,47 @@ class SnapshotTable:
             "_df": kept,
         }
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> int:
         """Delete data files unreferenced by the last `keep_last`
         snapshots (Iceberg expire_snapshots analog). Returns files
-        removed."""
+        removed.
+
+        min_age_s guards in-flight writers: a concurrent commit stages
+        its files BEFORE the snapshot references them, so deleting young
+        unreferenced files would corrupt that commit (the same reason
+        Iceberg's remove_orphan_files has a retention interval). Also
+        note reads of vacuumed snapshots (read(snapshot=expired)) will
+        fail with missing paths — expired history is gone by design."""
         cur = self.current_version()
         keep_versions = range(max(1, cur - keep_last + 1), cur + 1)
         live = set()
         for v in keep_versions:
             live |= {f["path"] for f in self._metadata(v)["files"]}
         removed = 0
+        now = time.time()
         for root, _dirs, names in os.walk(self.data_dir):
             for name in names:
-                rel = os.path.relpath(os.path.join(root, name), self.path)
-                if name.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(root, name))
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in live
+                    and now - os.path.getmtime(full) >= min_age_s
+                ):
+                    os.remove(full)
                     removed += 1
-        # drop now-empty staging dirs
+        # drop now-empty staging dirs (age-guarded: an in-flight writer's
+        # stage dir is briefly parquet-free before its first file lands)
         for entry in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, entry)
-            if os.path.isdir(full) and not any(
-                n.endswith(".parquet")
-                for _r, _d, ns in os.walk(full)
-                for n in ns
+            if (
+                os.path.isdir(full)
+                and now - os.path.getmtime(full) >= min_age_s
+                and not any(
+                    n.endswith(".parquet")
+                    for _r, _d, ns in os.walk(full)
+                    for n in ns
+                )
             ):
                 shutil.rmtree(full)
         return removed

@@ -20,10 +20,9 @@ from pyspark.sql import functions as F
 from ..index.cells_expr import cell_id_expr
 from .table import SnapshotTable
 
-CAPTION_SCHEMA = (
-    "tile_x int, tile_y int, year int, obs int, crs string, "
-    "transform array<double>, halo_px int, tide_m double, kind string"
-)
+# single caption parse schema for the whole engine — a second copy here
+# had already drifted (this one had `kind`, composite's did not)
+from ..operators.composite import CAPTION_SCHEMA  # noqa: E402
 
 
 def with_tile_meta(tiles: DataFrame, res: int = 10) -> DataFrame:

@@ -43,16 +43,21 @@ def start_incremental_composites(
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
+        # recompute by TILE, not (tile, year): the tide-cutoff window is
+        # a min/max over the tile's FULL time series, so pulling only
+        # the touched years would compute different cutoffs (and thus
+        # different composites) than a batch run — the same tile-
+        # completeness rule the shorelines job and the checkpointed
+        # batch job apply. Median is not incrementally mergeable ->
+        # key-scoped recompute, as the reference's rerun-per-tile
+        # protocol encodes.
         affected = (
             comp_op.with_caption(batch_df)
-            .select("tile_x", "tile_y", "year")
+            .select("tile_x", "tile_y")
             .distinct()
         )
-        # recompute affected keys from the full store (median is not
-        # incrementally mergeable -> key-scoped recompute, the same
-        # decision the reference's rerun-per-tile protocol encodes)
         full = comp_op.with_caption(batch_df.sparkSession.read.parquet(tiles_dir))
-        todo = full.join(F.broadcast(affected), ["tile_x", "tile_y", "year"])
+        todo = full.join(F.broadcast(affected), ["tile_x", "tile_y"])
         out = comp_op.annual_composites(todo, apply_tide_filter)
         (
             out.withColumn(
@@ -112,7 +117,14 @@ def start_incremental_shorelines(
         if table.current_version() == 0:
             table.create(sl, partition_by=["tile_x", "tile_y"])
         else:
-            table.overwrite_partitions(sl)
+            # name the FULL recomputed set: a tile whose new data yields
+            # zero shorelines must have its stale partition dropped —
+            # dynamic overwrite alone can't delete an empty recompute
+            drops = [
+                {"tile_x": r.tile_x, "tile_y": r.tile_y}
+                for r in affected_tiles.collect()
+            ]
+            table.overwrite_partitions(sl, drop_partitions=drops)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -71,3 +71,29 @@ def test_geohash_known_values():
     assert gh[0] == "u4pruydqqvj"
     gh10 = geohash_encode(np.array([-33.71, -33.72]), np.array([151.30, 151.31]), 10)
     assert len(gh10[0]) == 10 and gh10[0] != gh10[1]
+
+
+def test_cell_expr_matches_numpy_at_all_resolutions(spark):
+    """JVM Catalyst encoder == numpy encoder bit-for-bit INCLUDING
+    res >= 16, where the header bits cross 2^63 and must be emitted as
+    a signed (two's complement) int64 literal."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dea_coastlines_spark.index import cells, cells_expr
+
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(-2e6, 2e6, 100)
+    ys = rng.uniform(-2e6, 2e6, 100)
+    df = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    for res in (8, 15, 16, 20, 29):
+        want = cells.xy_to_cell(xs, ys, res).astype(np.int64)
+        got = np.array(
+            [
+                r.cell_id
+                for r in df.select(
+                    cells_expr.cell_id_expr(F.col("x"), F.col("y"), res)
+                ).collect()
+            ]
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"res={res}")

@@ -98,7 +98,7 @@ def test_snapshot_vacuum(spark, tmp_path, sample_df):
     t.create(sample_df, partition_by=["year"])
     repl = spark.createDataFrame([(1, 1, "x")], "id long, year int, val string")
     t.overwrite_partitions(repl)
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, min_age_s=0.0)  # test files are seconds old
     assert removed > 0
     assert t.read().count() == 21  # current snapshot unaffected
 
