@@ -21,6 +21,12 @@ STOPWORDS = {
 }
 PUNCT = [".", ",", "!", "?", ";", ":"]
 
+# Explicit whitespace class used EVERYWHERE we tokenize: Java \s and
+# RE2 \s disagree on \x0B (Java matches it, RE2 does not), so a bare
+# \s+ silently diverges from the DuckDB oracle on documents containing
+# vertical tabs. Same fix as dedup.word_ngram_jaccard_pairs.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
 
 def _hits(text_col, words) -> F.Column:
     """Count of stopwords present (padded whole-word contains)."""
@@ -50,7 +56,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS_CLASS))
     )
     punct_list = "".join(PUNCT)
     n_punct = F.length(t) - F.length(F.translate(t, punct_list, ""))
@@ -61,7 +67,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stop_hits", n_stop)
         .withColumn(
             "mean_tok_len",
-            F.round(F.length(F.regexp_replace(trimmed, r"\s+", "")) / F.greatest(n_tokens, F.lit(1)), 6),
+            F.round(F.length(F.regexp_replace(trimmed, WS_CLASS, "")) / F.greatest(n_tokens, F.lit(1)), 6),
         )
     )
     return df.withColumn(
@@ -76,7 +82,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_stats_by(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
     """Aggregate token statistics per group (corpus profiling)."""
     trimmed = F.trim(F.col(text_col))
-    n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(F.split(trimmed, WS_CLASS)))
     return (
         df.withColumn("n_tokens", n_tokens)
         .groupBy(group_col)
@@ -133,8 +139,12 @@ def with_fingerprint(
 # GPT-2-style pretokenizer, simplified to the RE2-compatible subset
 # (no lookahead) so the DuckDB oracle can run the IDENTICAL pattern:
 # contractions, optional-space letter runs, digit runs, punctuation
-# runs, residual whitespace.
-BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# runs, residual whitespace. \s spelled as the explicit class (see
+# WS_CLASS) so Java and RE2 agree on \x0B.
+BPE_TOKEN_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+"
+)
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -142,7 +152,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     regex count is whole-stage-codegen, no Python)."""
     trimmed = F.trim(F.col(text_col))
     ws = F.when(F.length(trimmed) == 0, 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS_CLASS))
     )
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
     return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)

@@ -675,16 +675,14 @@ def q_charset_jaccard(spark, sf_dir):
     semantics)."""
     from ..operators.dedup import charset_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").filter(
-        (F.col("lang") == "en") & (F.col("doc_id") < 300)
-    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     return charset_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.82).orderBy(
         "id_a", "id_b"
     )
 
 
 ORACLE_CHARSET_JACCARD = """
-WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en' AND doc_id < 300)
+WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en')
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(JACCARD(LOWER(a.text), LOWER(b.text)), 6) AS jaccard
 FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -735,17 +733,19 @@ def q_text_quality(spark, sf_dir):
     """Quality scoring features + label per doc (C4/Gopher-style)."""
     from ..operators.text import with_quality
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = _t(spark, sf_dir, "documents")
     return with_quality(d).select(
         "doc_id", "n_tokens", "punct_ratio", "stop_hits", "mean_tok_len", "quality"
     ).orderBy("doc_id")
 
 
-ORACLE_TEXT_QUALITY = """
+# Whitespace spelled as the explicit class (not \s) on BOTH sides:
+# Java \s matches \x0B, RE2 \s does not. See operators/text.WS_CLASS.
+ORACLE_TEXT_QUALITY = r"""
 WITH q AS (
   SELECT doc_id, text, TRIM(text) AS trimmed,
          CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens,
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens,
          LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
              text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS n_punct,
          (CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' the ') THEN 1 ELSE 0 END
@@ -754,14 +754,14 @@ WITH q AS (
         + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' to ') THEN 1 ELSE 0 END
         + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' is ') THEN 1 ELSE 0 END
         + CASE WHEN CONTAINS(' ' || LOWER(text) || ' ', ' in ') THEN 1 ELSE 0 END) AS stop_hits
-  FROM documents WHERE doc_id < 200)
+  FROM documents)
 SELECT doc_id, n_tokens,
        ROUND(n_punct / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
        stop_hits,
-       ROUND(LENGTH(REGEXP_REPLACE(trimmed, '\\s+', '', 'g')) / GREATEST(n_tokens, 1), 6) AS mean_tok_len,
+       ROUND(LENGTH(REGEXP_REPLACE(trimmed, '[ \t\n\r\f\x0B]+', '', 'g')) / GREATEST(n_tokens, 1), 6) AS mean_tok_len,
        CASE WHEN n_tokens < 5 THEN 'too_short'
             WHEN n_punct / GREATEST(LENGTH(text), 1) > 0.1 THEN 'too_punct'
-            WHEN LENGTH(REGEXP_REPLACE(trimmed, '\\s+', '', 'g')) / GREATEST(n_tokens, 1) > 12 THEN 'gibberish'
+            WHEN LENGTH(REGEXP_REPLACE(trimmed, '[ \t\n\r\f\x0B]+', '', 'g')) / GREATEST(n_tokens, 1) > 12 THEN 'gibberish'
             ELSE 'ok' END AS quality
 FROM q ORDER BY doc_id
 """
@@ -815,12 +815,14 @@ def q_token_stats(spark, sf_dir):
     return token_stats_by(_t(spark, sf_dir, "documents"), "lang")
 
 
-ORACLE_TOKEN_STATS = """
+ORACLE_TOKEN_STATS = r"""
 WITH q AS (SELECT lang,
                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                       ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens
+                       ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens
            FROM documents)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,  -- DuckDB SUM(BIGINT)->HUGEINT lands as float64 in pandas; pin int64 to match Spark
+
        ROUND(AVG(n_tokens), 6) AS avg_tokens, MAX(n_tokens) AS max_tokens
 FROM q GROUP BY lang ORDER BY lang
 """
@@ -831,7 +833,7 @@ def q_token_counts(spark, sf_dir):
     DuckDB regexp_extract_all on the identical RE2-safe pattern)."""
     from ..operators.text import with_token_counts
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = _t(spark, sf_dir, "documents")
     return with_token_counts(d).select(
         "doc_id", "n_tokens_ws", "n_tokens_bpe"
     ).orderBy("doc_id")
@@ -840,11 +842,11 @@ def q_token_counts(spark, sf_dir):
 ORACLE_TOKEN_COUNTS = r"""
 SELECT doc_id,
        CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens_ws,
+            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens_ws,
        LEN(REGEXP_EXTRACT_ALL(text,
-           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+'
        )) AS n_tokens_bpe
-FROM documents WHERE doc_id < 500 ORDER BY doc_id
+FROM documents ORDER BY doc_id
 """
 
 
@@ -1216,7 +1218,7 @@ def q_simhash_pairs(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     from ..operators.text import with_fingerprint
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf_dir, "documents")
     return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
 
 
@@ -1229,7 +1231,7 @@ ORACLE_DOC_FINGERPRINT = r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-  FROM documents WHERE doc_id < 100
+  FROM documents
 ), hashed AS (
   SELECT doc_id,
     list_transform(toks, t ->

@@ -37,7 +37,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Keep the float marker: the driver's value hash is
+        # type-sensitive, so int64 3549 vs float64 3549.0 must FAIL
+        # here too (round-1 token_stats lesson).
+        return f"f:{v:.9g}"
     if isinstance(v, int):
         return str(v)
     return str(v)
