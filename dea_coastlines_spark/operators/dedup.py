@@ -276,18 +276,74 @@ def phash_neardup_pairs(
 def _pairwise_set_jaccard(
     base: DataFrame, id_col: str, set_col: str, threshold: float
 ) -> DataFrame:
-    """Shared within-group pairwise exact Jaccard skeleton: base must
-    have (id_col, grp, set_col). Thresholds on the UNROUNDED value (the
-    same order the DuckDB oracles use), then rounds the reported value
-    to 6 dp."""
-    a = base.select(F.col(id_col).alias("id_a"), "grp", F.col(set_col).alias("_sa"))
-    b = base.select(F.col(id_col).alias("id_b"), "grp", F.col(set_col).alias("_sb"))
+    """Exact set-Jaccard pairs >= threshold via PREFIX FILTERING
+    (AllPairs / PPJoin family: Chaudhuri et al. ICDE'06, Bayardo et al.
+    WWW'07) — never an all-pairs join. base must have (id_col, grp,
+    set_col); grp additionally blocks the pairing (lit(0) = unblocked,
+    still scale-safe because the join key is (grp, prefix_element)).
+
+    Exact recall: order every set by one global total order (element
+    hash, ties by value); a pair with J >= t has overlap
+    o >= ceil(t/(1+t)*(|x|+|y|)) >= ceil(t*|x|) for each side (since
+    |y| >= t*|x| for qualifying pairs), and any two sets with overlap
+    >= a share an element within their (|x|-a+1)-prefixes. So joining
+    on exploded (size - ceil(t*size) + 1)-prefixes finds every
+    qualifying pair; exact intersect/union verify then makes precision
+    1.0. Candidate volume ~ sum of prefix-bucket squares, vs n^2 for
+    all-pairs. Thresholds on the UNROUNDED value (same order the DuckDB
+    oracles use), then rounds the reported value to 6 dp."""
+    if threshold <= 0:
+        # t=0 means "every pair qualifies" — the OUTPUT is quadratic, so
+        # prefix pruning is meaningless (and would drop empty-set pairs
+        # that legitimately score 0.0). Plain within-group pairing.
+        a = base.select(F.col(id_col).alias("id_a"), "grp", F.col(set_col).alias("_sa"))
+        b = base.select(F.col(id_col).alias("id_b"), "grp", F.col(set_col).alias("_sb"))
+        inter0 = F.size(F.array_intersect("_sa", "_sb"))
+        union0 = F.size("_sa") + F.size("_sb") - inter0
+        j0 = F.when(union0 == 0, F.lit(0.0)).otherwise(inter0 / union0)
+        return (
+            a.join(b, "grp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("_j", j0)
+            .filter(F.col("_j") >= threshold)
+            .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+        )
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col(set_col),
+                lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")),
+            )
+        ),
+        lambda s: s["g"],
+    )
+    # ceil(t*size) with an epsilon guard: a float product that lands
+    # infinitesimally ABOVE the true integer would shorten the prefix
+    # and break exact recall; erring long only costs candidates.
+    plen = (
+        F.size(set_col)
+        - F.ceil(F.lit(float(threshold)) * F.size(set_col) - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    sets = base.select(
+        id_col, "grp", F.col(set_col).alias("_s"), ordered.alias("_ord"), plen.alias("_p")
+    )
+    pref = sets.select(
+        id_col, "grp", F.explode(F.slice("_ord", 1, F.greatest("_p", F.lit(1)))).alias("_pg")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "grp", "_pg")
+        .join(pref.select(F.col(id_col).alias("id_b"), "grp", "_pg"), ["grp", "_pg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
     j = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return (
-        a.join(b, "grp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("_s").alias("_sa")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("_s").alias("_sb")), "id_b")
         .withColumn("_j", j)
         .filter(F.col("_j") >= threshold)
         .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
@@ -297,9 +353,13 @@ def _pairwise_set_jaccard(
 def charset_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, group_col: str, threshold: float
 ) -> DataFrame:
-    """Exact character-set Jaccard over all within-group pairs — pure
+    """Exact character-set Jaccard pairs within a blocking group — pure
     JVM-side array ops (no Python): the SQL-oracle-able dedup variant
-    (DuckDB `jaccard()` has identical char-set semantics)."""
+    (DuckDB `jaccard()` has identical char-set semantics). Candidates
+    come from the prefix filter inside _pairwise_set_jaccard, never a
+    within-group all-pairs join (the char universe is small, so the
+    prefix join is less selective here than for n-grams — the blocking
+    key carries most of the pruning)."""
     chars = df.select(
         F.col(id_col),
         F.col(group_col).alias("grp"),
@@ -320,10 +380,12 @@ def word_ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs — entirely JVM-side
     array expressions (split -> sliding n-grams via transform(sequence)
-    -> array_distinct -> pairwise intersect/union), zero Python: the
-    SQL-oracle-able n-gram dedup variant. group_col bounds the pairing
-    (web-scale discipline: all-pairs only inside a blocking key; pair a
-    LSH/banding stage in front for unblocked corpora)."""
+    -> array_distinct -> prefix-filtered candidate join -> exact
+    intersect/union verify), zero Python: the SQL-oracle-able n-gram
+    dedup variant. Scale-safe WITHOUT a blocking key: candidates come
+    from the exact-recall prefix filter (see _pairwise_set_jaccard), so
+    an unblocked corpus never degenerates to an all-pairs join.
+    group_col optionally composes a blocking key into the join."""
     # explicit whitespace class, NOT \s: Java regex \s and the oracle's
     # RE2 \s disagree on \x0B, which would tokenize the same text
     # differently on the two engines

@@ -151,27 +151,29 @@ def lsh_topk(
     )
 
 
-def embedding_neardup_pairs(
+def _cosine_verify_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup pass).
-    Small-scale exact implementation (self cross join); the LSH bucket
-    prefilter above is the drop-in at scale."""
+    """Join candidate (id_a, id_b) pairs back to vectors and keep those
+    with exact cosine >= threshold (JVM-side dot products)."""
     base = with_norm(embeddings, vec_col).select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-        F.col("_norm").alias("na"),
-    )
-    other = with_norm(embeddings, vec_col).select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-        F.col("_norm").alias("nb"),
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("_norm").alias("_n"),
     )
     return (
-        base.join(other, F.col("id_a") < F.col("id_b"))
+        cand.join(
+            base.select(F.col("_vid").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("_vid").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")),
+            "id_b",
+        )
         .withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
@@ -179,6 +181,61 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) — the DEFAULT,
+    scale-safe path: candidates from multi-table random-hyperplane
+    buckets (an equi-join per table, unioned), exact cosine verify on
+    candidates only. Precision is 1.0; recall follows the hyperplane
+    S-curve (1-(1-(1-theta/pi)^n_planes)^n_tables) EXCEPT for
+    exactly-parallel vectors (exact or positively-scaled duplicates),
+    which share every bucket in every table, so duplicate recall is
+    provably 1. Never an all-pairs or nested-loop join.
+
+    n_planes is the bucket-granularity dial: buckets ~ 2^n_planes, and
+    within-bucket pairing is quadratic, so size it to keep the expected
+    bucket occupancy O(1) at the corpus size (16 planes -> 65k buckets;
+    add tables, not fewer planes, to buy recall back)."""
+    cands = None
+    for t in range(n_tables):
+        sig = hyperplane_signatures(
+            embeddings, dim, n_planes, seed=300 + t, id_col=id_col, vec_col=vec_col
+        )
+        c = (
+            sig.select(F.col(id_col).alias("id_a"), "bucket")
+            .join(sig.select(F.col(id_col).alias("id_b"), "bucket"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return _cosine_verify_pairs(
+        embeddings, cands.distinct(), threshold, id_col, vec_col
+    )
+
+
+def embedding_neardup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold via a full self theta-join —
+    EXACT but quadratic: the recall oracle for tests and small batches,
+    never the production path (use embedding_neardup_pairs)."""
+    cand = (
+        embeddings.select(F.col(id_col).alias("id_a"))
+        .join(embeddings.select(F.col(id_col).alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    return _cosine_verify_pairs(embeddings, cand, threshold, id_col, vec_col)
 
 
 def train_ivf_centroids(

@@ -286,9 +286,13 @@ FROM r WHERE rnk <= 3 ORDER BY event_type, rnk
 # ------------------------------------------------------------------- set ops
 
 def q_set_ops(spark, sf_dir):
-    """INTERSECT/EXCEPT/UNION over key sets (§2.7): parts that appear in
-    lineitems of 'A' flag but never 'R' flag, unioned with a fixed probe."""
-    li = _t(spark, sf_dir, "lineitem")
+    """INTERSECT/EXCEPT/UNION over key sets (§2.7): parts with a big
+    'A'-flag AND a big 'N'-flag lineitem but no big 'R'-flag one. The
+    quantity cutoff keeps each leg sparse so the result is non-trivial
+    (every partkey carries every flag in this corpus; without the
+    cutoff the EXCEPT degenerates to the empty set and proves
+    nothing)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
     a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
     r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
     n = li.filter(F.col("l_returnflag") == "N").select(F.col("l_partkey").alias("partkey"))
@@ -299,10 +303,10 @@ def q_set_ops(spark, sf_dir):
 
 ORACLE_SET_OPS = """
 SELECT DISTINCT partkey FROM (
-  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 48
   INTERSECT
-  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
-) EXCEPT (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N' AND l_quantity > 48
+) EXCEPT (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 48)
 ORDER BY partkey
 """
 
@@ -875,19 +879,50 @@ ORDER BY query_id, rank
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """LSH-fronted near-dup over the embeddings table augmented with
+    deterministic in-query duplicates: for vec_id < 40, an exact copy
+    (+100000) and an exactly-2x-scaled copy (+200000). Scaling by a
+    power of two is exact in IEEE doubles, so both copies are exactly
+    parallel to the original — they share every hyperplane bucket in
+    every table, making the LSH path's recall on them provably 1, and
+    their cosines round to exactly 1.0 on both engines. The corpus
+    itself is near-orthogonal (max off-pair cosine ~0.51), so the
+    result is precisely the planted duplicate triangles — non-trivial
+    and hash-verifiable against the exact all-pairs oracle."""
     from ..operators.similarity import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
-    return embedding_neardup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seed = emb.filter(F.col("vec_id") < 40)
+    copies = seed.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    ).unionByName(
+        seed.select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    aug = emb.unionByName(copies)
+    return embedding_neardup_pairs(aug, dim=64, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
 
 
 ORACLE_EMB_NEARDUP = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-           FROM embeddings WHERE vec_id < 250)
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+     e AS (
+       SELECT vec_id, embedding FROM base
+       UNION ALL
+       SELECT vec_id + 100000, embedding FROM base WHERE vec_id < 40
+       UNION ALL
+       SELECT vec_id + 200000, list_transform(embedding, x -> x * 2.0)
+       FROM base WHERE vec_id < 40
+     )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 6) >= 0.8
+WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 6) >= 0.95
 ORDER BY id_a, id_b
 """
 

@@ -149,8 +149,51 @@ def test_lsh_topk_recall(spark, emb_df):
 
 def test_embedding_neardup_finds_planted(spark, emb_df):
     df, mat = emb_df
-    pairs = similarity.embedding_neardup_pairs(df, threshold=0.95).toPandas()
+    pairs = similarity.embedding_neardup_pairs(df, dim=32, threshold=0.95).toPandas()
     assert ((pairs.id_a == 0) & (pairs.id_b == 10)).any()
+
+
+def test_embedding_neardup_lsh_matches_exact_on_duplicates(spark, emb_df):
+    """The default (LSH-fronted) near-dup path returns exactly the same
+    pairs as the quadratic exact path on this fixture: the qualifying
+    pairs are near-parallel, where hyperplane recall is ~1."""
+    df, mat = emb_df
+    got = sorted(
+        map(tuple, similarity.embedding_neardup_pairs(df, dim=32, threshold=0.95)
+            .select("id_a", "id_b", "cosine").collect())
+    )
+    want = sorted(
+        map(tuple, similarity.embedding_neardup_pairs_exact(df, threshold=0.95)
+            .select("id_a", "id_b", "cosine").collect())
+    )
+    assert got == want and len(want) >= 1
+
+
+def _assert_no_nested_loop(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_neardup_plans_have_no_nested_loop_join(spark, docs_df, emb_df):
+    """Scale-safety gate: the DEFAULT near-dup paths (prefix-filtered
+    n-gram Jaccard with NO blocking key, charset Jaccard, LSH embedding
+    near-dup) must plan as equi-joins — no CartesianProduct, no
+    BroadcastNestedLoopJoin anywhere in the physical plan."""
+    df, _ = docs_df
+    edf, _ = emb_df
+    _assert_no_nested_loop(
+        dedup.word_ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.5)
+    )
+    charset = df.withColumn("lang", F.lit("en"))
+    _assert_no_nested_loop(
+        dedup.charset_jaccard_pairs(charset, "text", "doc_id", "lang", threshold=0.8)
+    )
+    _assert_no_nested_loop(
+        similarity.embedding_neardup_pairs(edf, dim=32, threshold=0.95)
+    )
+    _assert_no_nested_loop(dedup.minhash_lsh_pairs(df, "text", "doc_id"))
+    _assert_no_nested_loop(dedup.simhash_pairs(df, "text", "doc_id"))
 
 
 def test_fingerprint_robust_to_small_edit(spark, docs_df):
