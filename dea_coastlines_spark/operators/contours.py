@@ -33,6 +33,10 @@ SHORELINE_SCHEMA = (
 # cell resolution for tile assignment: cell edge 4096 m >= tile core 3840 m
 DEFAULT_CELL_RES = 11
 
+# cloned-session memo for shorelines_colocated: one pinned session per
+# (SparkContext, maxPartitionBytes value) for the application lifetime
+_PINNED_SESSIONS: dict = {}
+
 
 def _rc_to_world(pts_rc: np.ndarray, transform: list[float]) -> np.ndarray:
     """(row, col) pixel coords -> world coords at pixel centers."""
@@ -285,9 +289,19 @@ def shorelines_colocated(
     # the pin is gone by the time the returned DataFrame executes —
     # large files would be split across tasks and groups fragmented.
     # The clone's conf lives as long as the returned plan; the caller's
-    # session is never touched.
-    pinned = _SS(spark.sparkContext, spark._jsparkSession.cloneSession())
-    pinned.conf.set(conf_key, str(max(int(max_bytes) + (1 << 20), 8 << 20)))
+    # session is never touched. Clones are MEMOIZED per (context,
+    # pinned value): a loop over many tables reuses one clone per
+    # distinct file size instead of leaking a session (and its JVM
+    # state/listeners) per call. The pinned value is read at plan-BUILD
+    # time — rewrite the table and rebuild the plan to pick up new
+    # sizes.
+    pin_val = str(max(int(max_bytes) + (1 << 20), 8 << 20))
+    cache_key = (id(spark.sparkContext), pin_val)
+    pinned = _PINNED_SESSIONS.get(cache_key)
+    if pinned is None:
+        pinned = _SS(spark.sparkContext, spark._jsparkSession.cloneSession())
+        pinned.conf.set(conf_key, pin_val)
+        _PINNED_SESSIONS[cache_key] = pinned
 
     tiles = read_tiles(pinned, table_path, years=years)
     meta_df = comp_op.with_caption(tiles)

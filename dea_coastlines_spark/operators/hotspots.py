@@ -52,21 +52,32 @@ def hotspots(
         F.col("y").alias("hy"),
     )
 
+    # centers feeds two branches (the WKB feature side of the radius
+    # join and the x/y join-back); persist so baseline_points'
+    # mapInPandas + shuffle executes once, not per branch. The frame is
+    # bounded (~coast_km / (radius/2) rows), so the pinned cache is
+    # small; it lives until the session ends or the caller clears it.
+    centers = centers.persist()
+
     # disc containment join: rate points within radius of each center.
-    # feature side = centers (smaller than the 30 m point set).
+    # feature side = centers (smaller than the 30 m point set). WKB
+    # points are built DISTRIBUTED (Arrow kernel) — no driver collect,
+    # no serialization cliff at continental scale (~10^5-10^6 centers
+    # at radius 1 km; reference continental.py:265-269).
     from ..geometry import wkb as _wkb
 
-    centers_pdf = centers.toPandas()
-    centers_feat = centers.sparkSession.createDataFrame(
-        pd.DataFrame(
-            {
-                "feat_id": centers_pdf["hotspot_id"].astype(str),
-                "geometry": [
-                    _wkb.point(x, y) for x, y in zip(centers_pdf.hx, centers_pdf.hy)
-                ],
-            }
-        )
-    )
+    def _to_feat(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "feat_id": pdf["hotspot_id"].astype(str),
+                    "geometry": [
+                        _wkb.point(x, y) for x, y in zip(pdf.hx, pdf.hy)
+                    ],
+                }
+            )
+
+    centers_feat = centers.mapInPandas(_to_feat, "feat_id string, geometry binary")
     # cover resolution scaled to the radius: at the fixed 512 m default
     # a 10 km-radius center's padded bbox explodes to ~1,600 covering
     # cells; cell edge ~radius/2 keeps it at ~16-25 cells per center
@@ -93,12 +104,10 @@ def hotspots(
         F.countDistinct("point_id").alias("n")
     )
 
-    # reuse the already-collected pandas frame: centers.withColumnRenamed
-    # would re-execute the whole baseline_points plan (mapInPandas +
-    # shuffle) a second time at action, doubling the shoreline scan per
-    # radius
-    center_xy = centers.sparkSession.createDataFrame(
-        centers_pdf.rename(columns={"hx": "x", "hy": "y"})
+    # join-back side reads the same persisted centers (one execution of
+    # the baseline_points plan across both branches)
+    center_xy = centers.select(
+        "hotspot_id", F.col("hx").alias("x"), F.col("hy").alias("y")
     )
     grouped = med.join(F.broadcast(center_xy), "hotspot_id").join(
         F.broadcast(n_points), "hotspot_id"

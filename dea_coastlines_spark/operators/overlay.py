@@ -51,6 +51,7 @@ def overlay_lines_polygons(
     res: int = DEFAULT_RES,
     line_id: str = "line_id",
     poly_id: str = "poly_id",
+    broadcast_polys: bool = True,
 ) -> DataFrame:
     """lines(line_id, geometry, attrs...) x polys(poly_id, geometry,
     attrs...) -> split line pieces.
@@ -60,9 +61,18 @@ def overlay_lines_polygons(
     Deterministic output: pieces are emitted in (line_id, poly_id,
     piece index) order with exact crossing interpolation, so N-vs-4N
     runs produce identical rows.
+
+    broadcast_polys=True (default) materializes the polygon side
+    driver-side — by contract the small side (AOI/certainty tables).
+    broadcast_polys=False is the big-polygon-table path: polygons are
+    exploded to covering cells DISTRIBUTED, candidates come from a
+    shuffled cell equi-join, and geometry is parsed inside the kernels
+    (same contract as points_in_polygons(broadcast_polys=False)).
     """
     if how not in ("intersection", "difference", "union"):
         raise ValueError(how)
+    if not broadcast_polys:
+        return _overlay_dist(lines, polys, how, res, line_id, poly_id)
     spark = lines.sparkSession
 
     polys_pdf = polys.toPandas()
@@ -156,6 +166,141 @@ def overlay_lines_polygons(
         .join(line_attrs, line_id)
     )
     diff = _difference(lines, cand, geoms, line_id, out_schema, line_attrs)
+    for c in inter.columns:
+        if c not in diff.columns:
+            diff = diff.withColumn(c, F.lit(None))
+    return inter.unionByName(diff.select(inter.columns))
+
+
+def _overlay_dist(lines, polys, how, res, line_id, poly_id):
+    """Fully distributed overlay: no driver-side polygon
+    materialization, no broadcast. The polygon side is exploded to
+    covering cells (geometry replicated per cell), candidates come from
+    a shuffled cell equi-join (AQE skew-split applies), and both WKBs
+    are parsed inside the kernels. Output rows match the broadcast path
+    exactly (pinned by test_overlay_dist_matches_broadcast)."""
+    id_type = lines.schema[line_id].dataType.simpleString()
+    pid_type = polys.schema[poly_id].dataType.simpleString()
+
+    line_cells = _line_cells(lines.select(line_id, "geometry"), res)
+    poly_cells = explode_polygons_to_cells(
+        polys.select(poly_id, "geometry"), res
+    ).select(poly_id, F.col("geometry").alias("_poly_geom"), "cell_id")
+    cand = (
+        line_cells.join(poly_cells, "cell_id")
+        .dropDuplicates([line_id, poly_id])
+        .drop("cell_id")
+    )
+
+    line_attrs = lines.drop("geometry")
+    poly_attrs = polys.drop("geometry")
+    pair_schema = (
+        f"{line_id} {id_type}, {poly_id} {pid_type}, "
+        "geometry binary, piece_len_m double"
+    )
+
+    def clip_kernel(batches):
+        for pdf in _rebatched(batches, 8192):
+            pdf = pdf.sort_values([line_id, poly_id], kind="mergesort")
+            rows = []
+            # parse each distinct polygon once per chunk (itertuples
+            # would mangle the underscore-prefixed column name; zip the
+            # columns explicitly)
+            parsed = {}
+            for lid, pid, lg, pg in zip(
+                pdf[line_id], pdf[poly_id], pdf["geometry"], pdf["_poly_geom"]
+            ):
+                g = bytes(pg)
+                if g not in parsed:
+                    t, payload = wkb.parse(g)
+                    if t != wkb.POLYGON:
+                        raise ValueError("overlay expects Polygon geometry on the right")
+                    parsed[g] = (payload[0], payload[1:])
+                shell, holes = parsed[g]
+                t, payload = wkb.parse(bytes(lg))
+                parts = payload if t == wkb.MULTILINESTRING else [payload]
+                for part in parts:
+                    for piece in ga.clip_polyline_by_polygon(
+                        part, shell, list(holes), keep_inside=True
+                    ):
+                        rows.append(
+                            {
+                                line_id: lid,
+                                poly_id: pid,
+                                "geometry": wkb.linestring(piece),
+                                "piece_len_m": ga.polyline_length(piece),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows, columns=[line_id, poly_id, "geometry", "piece_len_m"])
+
+    def make_inter():
+        pieces = cand.mapInPandas(clip_kernel, pair_schema)
+        return pieces.join(poly_attrs, poly_id).join(line_attrs, line_id)
+
+    grouped_schema = f"{line_id} {id_type}, geometry binary, piece_len_m double"
+
+    def diff_kernel(key, pdf):
+        lid = key[0]
+        t, payload = wkb.parse(bytes(pdf["geometry"].iloc[0]))
+        parts = payload if t == wkb.MULTILINESTRING else [payload]
+        rows = []
+        # deterministic subtraction order; piece geometry is
+        # order-independent (splits happen only at true crossings) but
+        # emission order is pinned for reproducibility
+        pdf = pdf.sort_values(poly_id, kind="mergesort")
+        geoms = []
+        for g in pdf["_poly_geom"]:
+            _, payload_p = wkb.parse(bytes(g))
+            geoms.append((payload_p[0], payload_p[1:]))
+        for part in parts:
+            pieces = [np.asarray(part, np.float64)]
+            for shell, holes in geoms:
+                nxt = []
+                for piece in pieces:
+                    nxt.extend(
+                        ga.clip_polyline_by_polygon(
+                            piece, shell, list(holes), keep_inside=False
+                        )
+                    )
+                pieces = nxt
+            for piece in pieces:
+                rows.append(
+                    {
+                        line_id: lid,
+                        "geometry": wkb.linestring(piece),
+                        "piece_len_m": ga.polyline_length(piece),
+                    }
+                )
+        return pd.DataFrame(rows, columns=[line_id, "geometry", "piece_len_m"])
+
+    def make_diff():
+        matched = cand.groupBy(line_id).applyInPandas(diff_kernel, grouped_schema)
+
+        def passthrough(batches):
+            for pdf in batches:
+                lens = []
+                for g in pdf["geometry"]:
+                    t, payload = wkb.parse(bytes(g))
+                    parts = payload if t == wkb.MULTILINESTRING else [payload]
+                    lens.append(sum(ga.polyline_length(p) for p in parts))
+                out = pdf[[line_id, "geometry"]].copy()
+                out["piece_len_m"] = lens
+                yield out
+
+        unmatched = (
+            lines.join(cand.select(line_id).distinct(), line_id, "left_anti")
+            .select(line_id, "geometry")
+            .mapInPandas(passthrough, grouped_schema)
+        )
+        return matched.unionByName(unmatched).join(line_attrs, line_id)
+
+    if how == "intersection":
+        return make_inter()
+    if how == "difference":
+        return make_diff()
+    inter = make_inter()
+    diff = make_diff()
     for c in inter.columns:
         if c not in diff.columns:
             diff = diff.withColumn(c, F.lit(None))

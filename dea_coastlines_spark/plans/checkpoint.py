@@ -150,6 +150,24 @@ class CheckpointedPipeline:
                     for k in group
                 ]
             )
+        # Fresh checkpoint dir + empty todo set (or every key produced
+        # zero rows): out_path was never created, so a blind read would
+        # die with path-not-found / cannot-infer-schema. Return an empty
+        # frame with the stage's real schema (fn on a limit(0) plan —
+        # schema-only, no action) instead.
+        import os as _os
+
+        has_data = _os.path.isdir(out_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in _os.walk(out_path)
+            for f in fs
+        )
+        if not has_data:
+            empty = fn(inputs_k.drop("cell_key").limit(0))
+            return empty.withColumn(
+                "cell_key",
+                F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]),
+            ).limit(0)
         return self.spark.read.parquet(out_path)
 
     def metrics(self) -> DataFrame:

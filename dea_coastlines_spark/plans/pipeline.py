@@ -56,6 +56,11 @@ def rates_pipeline(
     # at corpus scale that is the whole job several times over. (The
     # reference materializes composites to GeoTIFF between its CLIs for
     # exactly this reason; CheckpointedPipeline is the durable variant.)
+    # The caches are INTENTIONALLY left pinned for the session: the
+    # returned plan is lazy, so unpersisting here would defeat them and
+    # there is no post-action hook. Callers running many pipelines in
+    # one session should use CheckpointedPipeline (durable, no cache)
+    # or spark.catalog.clearCache() between runs.
     comps = comp_op.annual_composites(tiles, apply_tide_filter).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -118,17 +118,28 @@ class SnapshotTable:
             "schema_json": schema_json,
             "files": files,
         }
-        # O_EXCL makes the version file the commit lock: two writers
-        # racing to v{N} — one wins, the loser gets CommitConflictError
+        # Publish content ATOMICALLY with the commit point: write + fsync
+        # a private temp file, then hard-link it to the version name.
+        # link(2) is atomic create-with-content, so a reader can never
+        # observe an empty/partial v{N}.metadata.json (O_EXCL-then-dump
+        # had a window where a writer crash left a permanently corrupt
+        # head version). EEXIST keeps the same lock semantics: two
+        # writers racing to v{N} — one wins, the loser gets
+        # CommitConflictError.
         final = f"{self.meta_dir}/v{v}.metadata.json"
+        tmp = f"{self.meta_dir}/.v{v}.{uuid.uuid4().hex[:12]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, final)
         except FileExistsError as e:
             raise CommitConflictError(
                 f"concurrent commit already produced v{v} at {self.path}"
             ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
+        finally:
+            os.unlink(tmp)
         hint_tmp = f"{self.meta_dir}/.version-hint.tmp"
         with open(hint_tmp, "w") as f:
             f.write(str(v))

@@ -67,6 +67,22 @@ def test_resume_skips_completed_cells(spark, base_dir):
     assert m.completed_at.notna().all()
 
 
+def test_empty_todo_on_fresh_dir_returns_empty_frame(spark, base_dir):
+    """A fresh checkpoint dir with a zero-row input must return an
+    empty DataFrame with the stage schema, not die reading a parquet
+    path that was never created."""
+    tiles = comp_op.with_caption(
+        spark.createDataFrame(corpus.generate_pandas(SPEC))
+    ).limit(0)
+    p = CheckpointedPipeline(spark, base_dir)
+    out = p.run_stage(
+        "composites", tiles, ["tile_x", "tile_y"],
+        lambda todo: comp_op.annual_composites(todo, apply_tide_filter=False),
+    )
+    assert out.count() == 0
+    assert "cell_key" in out.columns
+
+
 def test_resumed_output_matches_uninterrupted(spark, base_dir):
     tiles = comp_op.with_caption(spark.createDataFrame(corpus.generate_pandas(SPEC)))
 

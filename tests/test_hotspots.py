@@ -54,25 +54,38 @@ def test_hotspots_insufficient_points_flag(stage):
 
 
 def test_hotspot_median_matches_oracle(stage):
-    """Exact-median check: recompute one hotspot's per-year medians and
-    regression with the numpy oracle."""
+    """Brute-force parity over EVERY hotspot: membership by exact
+    euclidean distance, n, and the regression slope recomputed with the
+    numpy oracle (like test_spatial_join's exact-match checks)."""
     sl, pts, signed = stage
     hs = hs_op.hotspots(sl, pts, signed, BASELINE, radius_m=1000.0).toPandas()
     from dea_coastlines_spark.functions import stats as st
 
-    target = hs.iloc[0]
     pts_pdf = pts.toPandas()
     sd = signed.toPandas()
-    member = pts_pdf[
-        np.hypot(pts_pdf.x - target.x, pts_pdf.y - target.y) <= 1000.0
-    ].point_id
-    sub = sd[sd.point_id.isin(member)]
-    med = sub.groupby("year").dist.median()
-    reg = st.change_regress(med.to_numpy(), med.index.to_numpy(), med.index.to_numpy())
-    assert target.n == member.nunique()
-    assert abs(target.rate_time - reg["slope"]) < 1e-9 or (
-        np.isnan(target.rate_time) and np.isnan(reg["slope"])
-    )
+    assert len(hs) > 0
+    for target in hs.itertuples():
+        member = pts_pdf[
+            np.hypot(pts_pdf.x - target.x, pts_pdf.y - target.y) <= 1000.0
+        ].point_id
+        sub = sd[sd.point_id.isin(member)]
+        med = sub.groupby("year").dist.median()
+        reg = st.change_regress(
+            med.to_numpy(), med.index.to_numpy(), med.index.to_numpy()
+        )
+        assert target.n == member.nunique()
+        assert abs(target.rate_time - reg["slope"]) < 1e-9 or (
+            np.isnan(target.rate_time) and np.isnan(reg["slope"])
+        )
+
+
+def test_hotspots_has_no_driver_collect():
+    """The hotspot stage must stay distributed end-to-end: no driver
+    round-trip (toPandas/collect) anywhere in the operator source."""
+    import inspect
+
+    src = inspect.getsource(hs_op.hotspots)
+    assert "toPandas" not in src and ".collect(" not in src
 
 
 def test_continental_hotspots_wms(stage, spark):

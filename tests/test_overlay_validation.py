@@ -95,6 +95,30 @@ def test_overlay_union_partitions_length(spark, lines_polys):
     assert any(p is None for p, _ in zones)
 
 
+@pytest.mark.parametrize("how", ["intersection", "difference", "union"])
+def test_overlay_dist_matches_broadcast(spark, lines_polys, how):
+    """The distributed (big-polygon-table) path returns exactly the
+    broadcast path's rows — same parity contract points_in_polygons
+    has for its two paths."""
+
+    def rows(broadcast):
+        out = overlay_lines_polygons(
+            lines_polys[0], lines_polys[1], how=how, res=20,
+            broadcast_polys=broadcast,
+        )
+        return sorted(
+            (
+                r.line_id,
+                getattr(r, "poly_id", None) or "",
+                bytes(r.geometry).hex(),
+                round(r.piece_len_m, 9),
+            )
+            for r in out.collect()
+        )
+
+    assert rows(True) == rows(False)
+
+
 @pytest.fixture(scope="module")
 def beach(spark):
     spec = corpus.CorpusSpec(
