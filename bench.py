@@ -44,7 +44,9 @@ def main() -> None:
         "spatial_pip_join", "knn_anchor_join", "overlay_clip",
         # training-data operators (dedup / text / ANN)
         "dedup_exact", "ngram_jaccard", "phash_neardup",
-        "langid", "token_counts", "ann_topk",
+        "langid", "token_counts", "ann_topk", "embedding_neardup",
+        # geospatial aggregation operators
+        "rates_regression", "dissolve",
     ]
     # best-of-2 after a warmup pass: this sandbox host shows bursty
     # vCPU steal; a single timed run can read 2-3x high across the board
@@ -109,7 +111,8 @@ def main() -> None:
         "tiles_per_sec": tiles_per_sec,
     }
     print(json.dumps(out))
-    _append_trend(out)
+    if os.environ.get("SPARK_GRAFT_NO_TREND", "0") != "1":
+        _append_trend(out)
     spark.stop()
 
 
@@ -132,6 +135,8 @@ def _append_trend(out: dict) -> None:
         "total_headline_sec": out["value"],
         "tiles_per_sec": out["tiles_per_sec"],
         "n_queries": len(out["queries"]),
+        # filled by bench_scaling.py rows (N->4N protocol), blank here
+        "efficiency": "",
     }
     try:
         with open(path, "a", newline="") as f:

@@ -113,28 +113,45 @@ def hotspots(
         F.broadcast(n_points), "hotspot_id"
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("year")
-        years = pdf["year"].to_numpy(np.int64)
-        dists = pdf["med_dist"].to_numpy(float)
-        reg = stats.change_regress(dists, years, years)
-        x, y = float(pdf["x"].iloc[0]), float(pdf["y"].iloc[0])
-        uid = geohash_encode(np.array([y * 1e-5]), np.array([x * 1e-5]), 11)[0]
-        return pd.DataFrame(
-            [
-                {
-                    "hotspot_id": int(pdf["hotspot_id"].iloc[0]),
-                    "x": x, "y": y, "uid": uid,
-                    "rate_time": reg["slope"], "incpt_time": reg["intercept"],
-                    "sig_time": reg["pvalue"], "se_time": reg["stderr"],
-                    "outl_time": reg["outliers"],
-                    "n": int(pdf["n"].iloc[0]),
-                    "radius_m": float("nan"),
-                }
-            ]
-        )
+    # batched regression: one shuffle packs each hotspot's per-year
+    # medians into an array; the kernel handles thousands of hotspots
+    # per invocation (same batching rationale as rates_of_change —
+    # years are unique per hotspot, so the in-kernel sort is exact)
+    agg = grouped.groupBy("hotspot_id").agg(
+        F.first("x").alias("x"),
+        F.first("y").alias("y"),
+        F.first("n").alias("n"),
+        F.collect_list(F.struct("year", "med_dist")).alias("obs"),
+    )
 
-    out = grouped.groupBy("hotspot_id").applyInPandas(kernel, HOTSPOT_SCHEMA)
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xs = pdf["x"].to_numpy(float)
+            ys = pdf["y"].to_numpy(float)
+            uids = geohash_encode(ys * 1e-5, xs * 1e-5, 11)
+            rows = []
+            for i, obs in enumerate(pdf["obs"]):
+                years = np.array([o["year"] for o in obs], np.int64)
+                order = np.argsort(years, kind="stable")
+                years = years[order]
+                dists = np.array([o["med_dist"] for o in obs], float)[order]
+                reg = stats.change_regress(dists, years, years)
+                rows.append(
+                    {
+                        "hotspot_id": int(pdf["hotspot_id"].iloc[i]),
+                        "x": float(xs[i]), "y": float(ys[i]), "uid": uids[i],
+                        "rate_time": reg["slope"], "incpt_time": reg["intercept"],
+                        "sig_time": reg["pvalue"], "se_time": reg["stderr"],
+                        "outl_time": reg["outliers"],
+                        "n": int(pdf["n"].iloc[i]),
+                        "radius_m": float("nan"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    out = agg.mapInPandas(kernel, HOTSPOT_SCHEMA)
     return out.withColumn("radius_m", F.lit(radius_m)).withColumn(
         "certainty",
         F.when(F.col("n") < radius_m / 30.0, "insufficient points").otherwise("good"),

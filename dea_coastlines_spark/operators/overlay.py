@@ -52,9 +52,16 @@ def overlay_lines_polygons(
     line_id: str = "line_id",
     poly_id: str = "poly_id",
     broadcast_polys: bool = True,
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """lines(line_id, geometry, attrs...) x polys(poly_id, geometry,
     attrs...) -> split line pieces.
+
+    match_cols: columns present on BOTH sides that candidate pairs must
+    agree on (e.g. ["year"] for the reference's per-year certainty
+    overlay loop, vector.py:454-459 — one distributed join instead of a
+    year loop). The equality rides the candidate equi-join key, so it
+    prunes before the clip kernel.
 
     Output: line attrs + `geometry` (the piece) + `piece_len_m` +
     polygon attrs (null for outside pieces under union/difference).
@@ -71,8 +78,9 @@ def overlay_lines_polygons(
     """
     if how not in ("intersection", "difference", "union"):
         raise ValueError(how)
+    match_cols = list(match_cols or [])
     if not broadcast_polys:
-        return _overlay_dist(lines, polys, how, res, line_id, poly_id)
+        return _overlay_dist(lines, polys, how, res, line_id, poly_id, match_cols)
     spark = lines.sparkSession
 
     polys_pdf = polys.toPandas()
@@ -84,22 +92,23 @@ def overlay_lines_polygons(
         geoms.append((payload[0], payload[1:]))
     poly_ids = polys_pdf[poly_id].tolist()
 
-    # candidate pairs via cell cover of both bboxes
+    # candidate pairs via cell cover of both bboxes (+ match-col
+    # equality riding the same equi-join key)
     cover_rows = []
     for pos, g in enumerate(polys_pdf["geometry"]):
         x0, y0, x1, y1 = wkb.bbox(bytes(g))
         for c in cells.polyfill_bbox(x0, y0, x1, y1, res):
-            cover_rows.append((int(c), pos))
+            cover_rows.append((int(c), pos, *polys_pdf.iloc[pos][match_cols]))
     cover_df = spark.createDataFrame(
-        pd.DataFrame(cover_rows, columns=["cell_id", "_poly_pos"]).astype(
-            {"cell_id": "int64", "_poly_pos": "int64"}
-        )
+        pd.DataFrame(
+            cover_rows, columns=["cell_id", "_poly_pos", *match_cols]
+        ).astype({"cell_id": "int64", "_poly_pos": "int64"})
     )
-    line_cells = _line_cells(lines.select(line_id, "geometry"), res)
+    line_cells = _line_cells(lines.select(line_id, "geometry", *match_cols), res)
     cand = (
-        line_cells.join(F.broadcast(cover_df), "cell_id")
+        line_cells.join(F.broadcast(cover_df), ["cell_id", *match_cols])
         .dropDuplicates([line_id, "_poly_pos"])
-        .drop("cell_id")
+        .drop("cell_id", *match_cols)
     )
 
     # id type comes from the input schema — hardcoding `long` would die
@@ -136,8 +145,10 @@ def overlay_lines_polygons(
                 yield pd.DataFrame(rows)
 
     pieces = cand.mapInPandas(clip_kernel, out_schema)
+    # match cols are dropped from the polygon attrs (they equal the
+    # line's values by construction; keeping both would collide)
     poly_attrs = spark.createDataFrame(
-        polys_pdf.drop(columns=["geometry"]).assign(
+        polys_pdf.drop(columns=["geometry", *match_cols]).assign(
             _poly_pos=np.arange(len(polys_pdf), dtype=np.int64)
         )
     )
@@ -172,7 +183,7 @@ def overlay_lines_polygons(
     return inter.unionByName(diff.select(inter.columns))
 
 
-def _overlay_dist(lines, polys, how, res, line_id, poly_id):
+def _overlay_dist(lines, polys, how, res, line_id, poly_id, match_cols=()):
     """Fully distributed overlay: no driver-side polygon
     materialization, no broadcast. The polygon side is exploded to
     covering cells (geometry replicated per cell), candidates come from
@@ -182,18 +193,19 @@ def _overlay_dist(lines, polys, how, res, line_id, poly_id):
     id_type = lines.schema[line_id].dataType.simpleString()
     pid_type = polys.schema[poly_id].dataType.simpleString()
 
-    line_cells = _line_cells(lines.select(line_id, "geometry"), res)
+    match_cols = list(match_cols)
+    line_cells = _line_cells(lines.select(line_id, "geometry", *match_cols), res)
     poly_cells = explode_polygons_to_cells(
-        polys.select(poly_id, "geometry"), res
-    ).select(poly_id, F.col("geometry").alias("_poly_geom"), "cell_id")
+        polys.select(poly_id, "geometry", *match_cols), res
+    ).select(poly_id, F.col("geometry").alias("_poly_geom"), "cell_id", *match_cols)
     cand = (
-        line_cells.join(poly_cells, "cell_id")
+        line_cells.join(poly_cells, ["cell_id", *match_cols])
         .dropDuplicates([line_id, poly_id])
-        .drop("cell_id")
+        .drop("cell_id", *match_cols)
     )
 
     line_attrs = lines.drop("geometry")
-    poly_attrs = polys.drop("geometry")
+    poly_attrs = polys.drop("geometry", *match_cols)
     pair_schema = (
         f"{line_id} {id_type}, {poly_id} {pid_type}, "
         "geometry binary, piece_len_m double"

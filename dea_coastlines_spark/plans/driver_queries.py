@@ -1397,6 +1397,199 @@ def q_multimodal_decode_stats(spark, sf_dir):
     ).withColumn("px_std", F.round("px_std", 6)).orderBy("image_id")
 
 
+def q_rates_regression(spark, sf_dir):
+    """The rates-of-change UDAF (change_regress: MAD reject ->
+    linregress incl. p-value/stderr, plus all-time stats) hash-verified
+    end to end on a no-outlier fixture: 4 near-collinear observations
+    per point derived from the events table. With 4 points the t
+    distribution has dof=2, whose two-sided survival function has the
+    closed form 1 - |t|/sqrt(t^2+2) — SQL-expressible, so the oracle
+    reproduces the ENGINE p-value exactly (the general incomplete-beta
+    path is pinned separately by pytest vs closed forms). The fixture
+    is structurally MAD-outlier-free: slope 3/yr dwarfs the <=0.25
+    residual, so modified z-scores stay ~1 << 3.5."""
+    from ..operators.rates import rates_of_change
+
+    e = _t(spark, sf_dir, "events")
+    base = e.groupBy(
+        (F.col("user_id") % 40).alias("point_id"),
+        (F.col("event_id") % 4).alias("yi"),
+    ).agg(F.min("value").alias("mv"))
+    signed = base.select(
+        "point_id",
+        (F.lit(2000) + F.col("yi")).cast("long").alias("year"),
+        (F.lit(3.0) * F.col("yi") + F.col("mv") * 0.0005).alias("dist"),
+        F.lit(45.0).alias("bearing"),
+        (F.col("point_id") * 50.0).alias("x"),
+        (F.col("point_id") * 80.0).alias("y"),
+    )
+    out = rates_of_change(signed, 2000)
+    # + 0.0 collapses IEEE negative zero (np.round(-1e-6, 3) -> -0.0)
+    # to +0.0 on both engines
+    return out.select(
+        "point_id",
+        (F.col("rate_time") + 0.0).alias("rate_time"),
+        (F.col("incpt_time") + 0.0).alias("incpt_time"),
+        (F.col("sig_time") + 0.0).alias("sig_time"),
+        (F.col("se_time") + 0.0).alias("se_time"),
+        "outl_time", "valid_obs", "valid_span",
+        (F.round("sce", 3) + 0.0).alias("sce"),
+        (F.round("nsm", 3) + 0.0).alias("nsm"),
+        "max_year", "min_year",
+    ).orderBy("point_id")
+
+
+ORACLE_RATES_REGRESSION = """
+WITH base AS (
+  SELECT user_id % 40 AS point_id, event_id % 4 AS yi, MIN(value) AS mv
+  FROM events GROUP BY 1, 2),
+d AS (SELECT point_id, 2000 + yi AS year, 3.0 * yi + mv * 0.0005 AS dist
+      FROM base),
+r AS (
+  SELECT point_id,
+         regr_slope(dist, year)     AS slope,
+         regr_intercept(dist, year) AS icpt,
+         corr(dist, year)           AS rr,
+         var_pop(dist)              AS vy,
+         var_pop(year)              AS vx,
+         COUNT(*)                   AS n,
+         MAX(dist) - MIN(dist)      AS sce,
+         -(MIN(CASE WHEN year = 2000 THEN dist END)) AS nsm,
+         arg_max(year, dist)        AS max_year,
+         arg_min(year, dist)        AS min_year,
+         MAX(year) - MIN(year) + 1  AS span
+  FROM d GROUP BY point_id),
+t AS (
+  SELECT *, rr * SQRT((n - 2) / ((1.0 - rr + 1e-20) * (1.0 + rr + 1e-20))) AS tt
+  FROM r)
+SELECT point_id,
+       ROUND(slope, 3) + 0.0 AS rate_time,
+       ROUND(icpt, 3) + 0.0  AS incpt_time,
+       ROUND(1.0 - ABS(tt) / SQRT(tt * tt + 2.0), 3) + 0.0 AS sig_time,
+       ROUND(SQRT((1.0 - rr * rr) * vy / vx / (n - 2)), 3) + 0.0 AS se_time,
+       '' AS outl_time,
+       CAST(n AS INT) AS valid_obs,
+       CAST(span AS INT) AS valid_span,
+       ROUND(sce, 3) + 0.0 AS sce,
+       ROUND(nsm, 3) + 0.0 AS nsm,
+       CAST(max_year AS INT) AS max_year,
+       CAST(min_year AS INT) AS min_year
+FROM t ORDER BY point_id
+"""
+
+
+def q_dissolve(spark, sf_dir):
+    """groupBy + geometric union (gpd.dissolve analog, vector.py:344)
+    over pixel-aligned rectangles derived from the part table; the
+    oracle recomputes the union area as a COUNT(DISTINCT covered pixel)
+    — exact because the burn rule is 'pixel center inside' and integer
+    rect bounds never touch half-integer centers."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators.dissolve import dissolve
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    rects = p.select(
+        "p_brand",
+        (F.col("p_partkey") % 12 * 5).cast("double").alias("x0"),
+        (F.floor(F.col("p_partkey") / 12) % 12 * 5).cast("double").alias("y0"),
+        (F.col("p_size") % 7 + 2).cast("double").alias("w"),
+        (F.col("p_size") % 5 + 2).cast("double").alias("h"),
+    )
+
+    def to_wkb(batches):
+        import numpy as np
+
+        for pdf in batches:
+            geoms = [
+                _wkb.polygon(
+                    np.array(
+                        [[x, y], [x + w, y], [x + w, y + h], [x, y + h]], float
+                    )
+                )
+                for x, y, w, h in zip(pdf.x0, pdf.y0, pdf.w, pdf.h)
+            ]
+            yield pd.DataFrame({"p_brand": pdf.p_brand, "geometry": geoms})
+
+    polys = rects.mapInPandas(to_wkb, "p_brand string, geometry binary")
+    return (
+        dissolve(polys, ["p_brand"], pixel=1.0)
+        .select("p_brand", "area_px")
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_DISSOLVE = """
+WITH r AS (
+  SELECT p_brand,
+         (p_partkey % 12) * 5 AS x0,
+         ((p_partkey // 12) % 12) * 5 AS y0,
+         (p_size % 7 + 2) AS w,
+         (p_size % 5 + 2) AS h
+  FROM part WHERE p_partkey < 200),
+c AS (
+  SELECT DISTINCT p_brand, gx.g AS px, gy.g AS py
+  FROM r,
+       unnest(generate_series(CAST(x0 AS BIGINT), CAST(x0 + w - 1 AS BIGINT))) AS gx(g),
+       unnest(generate_series(CAST(y0 AS BIGINT), CAST(y0 + h - 1 AS BIGINT))) AS gy(g))
+SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS area_px
+FROM c GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_contour_certainty(spark, sf_dir):
+    """contour_certainty parity path (vector.py:414-471): dissolve
+    per-year certainty rectangles, year-matched overlay onto annual
+    shorelines, Pinatubo aerosol rule on the 1991/1992 rows. Rows-only
+    (marching squares + clipping have no SQL analog); deterministic
+    corpus + stable ordering."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators import composite as comp_op
+    from ..operators import contours as cont_op
+    from ..operators.dissolve import contour_certainty
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(
+        tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
+        year0=1991, year1=1994, obs_per_year=5,
+        cloud_frac=0.0, noise_sd=0.04, tide_amp_m=8.0, seed=21,
+    )
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    sl = cont_op.shorelines(comp_op.annual_composites(tiles, False))
+    sl_id = sl.withColumn(
+        "_sl_id", F.xxhash64("tile_x", "tile_y", "year", "geometry")
+    )
+    years = list(range(spec.year0, spec.year1 + 1))
+    import numpy as np
+
+    x0, y0, x1, y1 = -1e5, -1e5, 1e7, 1e7
+    half = 4000.0
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [f"w{y}" for y in years] + [f"e{y}" for y in years],
+                "year": years * 2,
+                "certainty": ["good"] * len(years) + ["unstable data"] * len(years),
+                "geometry": (
+                    [_wkb.polygon(np.array(
+                        [[x0, y0], [half, y0], [half, y1], [x0, y1]]))] * len(years)
+                    + [_wkb.polygon(np.array(
+                        [[half, y0], [x1, y0], [x1, y1], [half, y1]]))] * len(years)
+                ),
+            }
+        )
+    )
+    out = contour_certainty(sl_id, polys, res=8)
+    return out.select(
+        "year", "poly_id", "certainty",
+        F.round("piece_len_m", 2).alias("piece_len_m"),
+        F.round("cy", 2).alias("cy"),
+    ).orderBy("year", "poly_id", "piece_len_m")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -1439,6 +1632,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multilevel_shorelines": q_multilevel_shorelines,
     "validation_stats": q_validation_stats,
     "global_components": q_global_components,
+    "dissolve": q_dissolve,
+    "contour_certainty": q_contour_certainty,
+    "rates_regression": q_rates_regression,
 }
 
 ORACLES: dict[str, str] = {
@@ -1472,6 +1668,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "minhash_pairs": _minhash_sql(),
     "simhash_pairs": _simhash_sql(),
+    "dissolve": ORACLE_DISSOLVE,
+    "rates_regression": ORACLE_RATES_REGRESSION,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check
