@@ -8,10 +8,11 @@ Pixel semantics follow the reference's MNDWI rasters: float32 in
                far inside the allclose tolerance / PSNR>=40dB invariant.
   * ``tiff`` — uncompressed float32 TIFF; bit-exact round trip
                (NaN preserved).
-  * ``jpeg`` — STUB. Lossy decode requires a DCT codec not available in
-               this environment; the plumbing (fmt column, PSNR>=40dB
-               acceptance test) is real, the codec raises
-               NotImplementedError and synthesis never emits it.
+  * ``jpeg`` — baseline grayscale JPEG (spec-level pure-numpy codec in
+               jpeg.py); floats quantized to uint8 at quality 95
+               (PSNR>=40dB invariant), NaN nodata mask carried losslessly
+               in an APP7 segment (a lossy stream cannot reserve an
+               in-band nodata code — decode smear would misclassify).
 
 All functions operate on single tiles; Spark-side callers batch them
 inside Arrow UDFs (mapInPandas / applyInPandas) — never per-row Python.
@@ -21,10 +22,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import png, tiff
+from . import jpeg, png, tiff
 
 _NODATA_CODE = 0  # uint16 code reserved for NaN
 _QMAX = 65535
+_JPEG_QUALITY = 95  # keeps the >=40dB PSNR invariant on noisy tiles
 
 
 def quantize(img: np.ndarray) -> np.ndarray:
@@ -50,10 +52,16 @@ def encode_tile(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "tiff":
         return tiff.encode_f32(img.astype(np.float32))
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "jpeg codec stubbed: no DCT library in this environment; "
-            "plumbing (fmt column, PSNR gate) is implemented and tested via png/tiff"
-        )
+        x = np.clip(img, -1.0, 1.0)
+        nan = np.isnan(x)
+        # NaN filled with the finite mean before the DCT (minimizes
+        # ringing at nodata edges); true positions ride in APP7
+        fill = float(x[~nan].mean()) if (~nan).any() else 0.0
+        q8 = np.round((np.where(nan, fill, x) + 1.0) * 127.5).astype(np.uint8)
+        buf = jpeg.encode_gray(q8, quality=_JPEG_QUALITY)
+        if nan.any():
+            buf = jpeg.add_app_segment(buf, 7, jpeg.nan_mask_payload(nan))
+        return buf
     raise ValueError(f"unknown tile format {fmt!r}")
 
 
@@ -64,7 +72,13 @@ def decode_tile(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "tiff":
         return tiff.decode_f32(buf)
     if fmt == "jpeg":
-        raise NotImplementedError("jpeg codec stubbed (see encode_tile)")
+        x = (jpeg.decode_gray(buf).astype(np.float32) / 127.5 - 1.0).astype(
+            np.float32
+        )
+        payload = jpeg.get_app_segment(buf, 7, b"DCSNAN1")
+        if payload is not None:
+            x[jpeg.nan_mask_unpack(payload)] = np.nan
+        return x
     raise ValueError(f"unknown tile format {fmt!r}")
 
 

@@ -1390,7 +1390,8 @@ def q_multimodal_decode_stats(spark, sf_dir):
     from ..synth import corpus as _corpus
 
     spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=2, tiles_y=1,
-                              year0=2000, year1=2001, obs_per_year=2, seed=5)
+                              year0=2000, year1=2001, obs_per_year=2, seed=5,
+                              fmt="mixed")
     tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
     return decode_stats(tiles).withColumn(
         "px_mean", F.round("px_mean", 6)

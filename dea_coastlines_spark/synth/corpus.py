@@ -44,7 +44,7 @@ class CorpusSpec:
     year1: int = 2005           # inclusive
     obs_per_year: int = 5
     seed: int = 42
-    fmt: str = "png"
+    fmt: str = "png"            # png | jpeg | tiff | mixed (deterministic per key)
     # coastline shape
     amp_m: float = 600.0        # sinusoid amplitude
     wavelen_m: float = 6000.0
@@ -200,10 +200,15 @@ def make_row(spec: CorpusSpec, tile_x: int, tile_y: int, year: int, obs: int) ->
         },
         sort_keys=True,
     )
+    fmt = spec.fmt
+    if fmt == "mixed":
+        # deterministic per-key cycle so every format appears in any
+        # non-trivial corpus (exercises the png/jpeg/tiff decode paths)
+        fmt = ("png", "jpeg", "tiff")[(tile_x * 7 + tile_y * 13 + year + obs) % 3]
     return {
         "image_id": f"t{tile_x:03d}_{tile_y:03d}_{year}_{obs:02d}",
-        "bytes": img_codec.encode_tile(arr, spec.fmt),
-        "w": n, "h": n, "fmt": spec.fmt,
+        "bytes": img_codec.encode_tile(arr, fmt),
+        "w": n, "h": n, "fmt": fmt,
         "caption": caption,
         "phash": img_codec.phash64(arr),
     }

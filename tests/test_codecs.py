@@ -72,9 +72,67 @@ def test_tile_roundtrip_invariant(fmt):
     assert image.psnr(x, y) >= 40.0
 
 
-def test_jpeg_stubbed():
-    with pytest.raises(NotImplementedError):
-        image.encode_tile(_tile(5), "jpeg")
+def test_jpeg_uint8_roundtrip_psnr():
+    # smooth content + mild noise, like an MNDWI tile
+    from dea_coastlines_spark.codecs import jpeg
+
+    rng = np.random.default_rng(11)
+    y, x = np.mgrid[0:96, 0:96]
+    img = np.clip(
+        np.round(127.5 + 80 * np.sin(x / 30.0) + 30 * np.cos(y / 17.0)
+                 + rng.normal(0, 3, (96, 96))),
+        0, 255,
+    ).astype(np.uint8)
+    dec = jpeg.decode_gray(jpeg.encode_gray(img, quality=95))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / mse) >= 40.0
+
+
+def test_jpeg_odd_sizes_roundtrip():
+    from dea_coastlines_spark.codecs import jpeg
+
+    rng = np.random.default_rng(12)
+    for shape in [(1, 1), (7, 13), (33, 64), (96, 100)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert jpeg.decode_gray(jpeg.encode_gray(img, 95)).shape == shape
+
+
+def test_jpeg_tile_nan_mask_exact_and_psnr_gate():
+    # the lossy-format invariant from BASELINE.json input_hint:
+    # NaN nodata positions round-trip EXACTLY (APP7 sidecar), values
+    # within PSNR>=40dB
+    x = _tile(5)
+    y = image.decode_tile(image.encode_tile(x, "jpeg"), "jpeg")
+    assert np.array_equal(np.isnan(x), np.isnan(y))
+    assert image.psnr(x, y) >= 40.0
+
+
+def test_jpeg_dequantized_content_psnr():
+    # corpus-shaped content (smooth ramp + noise), not raw white noise
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:108, 0:108]
+    x = np.tanh((yy - 50 + 8 * np.sin(xx / 20.0)) / 6.0).astype(np.float32)
+    x += rng.normal(0, 0.04, x.shape).astype(np.float32)
+    x = np.clip(x, -1, 1)
+    x[rng.random(x.shape) < 0.15] = np.nan
+    y = image.decode_tile(image.encode_tile(x, "jpeg"), "jpeg")
+    assert np.array_equal(np.isnan(x), np.isnan(y))
+    assert image.psnr(x, y) >= 40.0
+
+
+def test_mixed_corpus_formats_decode():
+    from dea_coastlines_spark.synth import corpus
+
+    spec = corpus.CorpusSpec(tile_px=32, halo_px=2, tiles_x=2, tiles_y=1,
+                             year0=2000, year1=2001, obs_per_year=3,
+                             cloud_frac=0.1, seed=6, fmt="mixed")
+    pdf = corpus.generate_pandas(spec)
+    assert set(pdf["fmt"]) == {"png", "jpeg", "tiff"}
+    for _, r in pdf.iterrows():
+        arr = image.decode_tile(bytes(r["bytes"]), r["fmt"])
+        assert arr.shape == (36, 36)
+        assert np.isfinite(arr[~np.isnan(arr)]).all()
 
 
 def test_psnr_mismatched_nan_mask_fails():

@@ -222,6 +222,25 @@ def test_multimodal_resize_halves_dims(spark):
     assert np.allclose(small, want, atol=3e-4)
 
 
+def test_multimodal_resize_jpeg_roundtrip(spark):
+    # lossy leg of the fmt contract: resize decodes + re-encodes jpeg
+    from dea_coastlines_spark.synth import corpus
+
+    spec = corpus.CorpusSpec(tile_px=64, halo_px=0, tiles_x=1, tiles_y=1,
+                             year0=2000, year1=2000, obs_per_year=1,
+                             cloud_frac=0.0, seed=2, fmt="jpeg")
+    tiles = spark.createDataFrame(corpus.generate_pandas(spec))
+    out = multimodal.resize(tiles, factor=2).toPandas()
+    assert (out.w == 32).all() and (out.fmt == "jpeg").all()
+    from dea_coastlines_spark.codecs import image as ic
+
+    small = ic.decode_tile(bytes(out.bytes.iloc[0]), "jpeg")
+    big, _ = corpus.make_tile(spec, 0, 0, 2000, 0)
+    want = big.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    # two lossy 8-bit round trips: tolerance is the codec's, not float's
+    assert ic.psnr(want.astype(np.float32), small) >= 35.0
+
+
 def test_multimodal_frame_sample(spark):
     from dea_coastlines_spark.operators import composite as comp_op
     from dea_coastlines_spark.synth import corpus
