@@ -134,6 +134,31 @@ def coords_of(buf: bytes) -> np.ndarray:
     raise ValueError(f"unsupported type {t}")
 
 
+def map_coords(buf: bytes, fn) -> bytes:
+    """Rebuild a geometry with fn((n,2) ndarray) -> (n,2) applied to all
+    vertices (the gpd `to_crs`-style coordinate rewrite primitive)."""
+    t, payload = parse(buf)
+    if t == POINT:
+        out = fn(payload.reshape(1, 2))[0]
+        return point(float(out[0]), float(out[1]))
+    if t == LINESTRING:
+        return linestring(fn(payload))
+    if t == POLYGON:
+        rings = [fn(r) for r in payload]
+        return polygon(rings[0], rings[1:])
+    if t == MULTIPOINT:
+        return multipoint(fn(np.vstack([p.reshape(1, 2) for p in payload])))
+    if t == MULTILINESTRING:
+        return multilinestring([fn(p) for p in payload])
+    if t == MULTIPOLYGON:
+        polys = []
+        for rings in payload:
+            rr = [fn(r) for r in rings]
+            polys.append(polygon(rr[0], rr[1:]))
+        return multipolygon(polys)
+    raise ValueError(f"unsupported type {t}")
+
+
 def bbox(buf: bytes) -> tuple[float, float, float, float]:
     c = coords_of(buf)
     return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())

@@ -42,6 +42,7 @@ def hotspots(
     signed_dists: DataFrame,
     baseline_year: int,
     radius_m: float,
+    uid_crs: str | None = None,
 ) -> DataFrame:
     """shorelines + rates points + long signed distances -> hotspot rows."""
     centers = rates_op.baseline_points(
@@ -130,7 +131,8 @@ def hotspots(
                 continue
             xs = pdf["x"].to_numpy(float)
             ys = pdf["y"].to_numpy(float)
-            uids = geohash_encode(ys * 1e-5, xs * 1e-5, 11)
+            lat, lon = rates_op._uid_lonlat(xs, ys, uid_crs)
+            uids = geohash_encode(lat, lon, 11)
             rows = []
             for i, obs in enumerate(pdf["obs"]):
                 years = np.array([o["year"] for o in obs], np.int64)

@@ -249,7 +249,22 @@ RATES_SCHEMA = (
 )
 
 
-def rates_of_change(signed: DataFrame, initial_year: int) -> DataFrame:
+def _uid_lonlat(xs: np.ndarray, ys: np.ndarray, crs: str | None):
+    """Planar coords -> (lat, lon) for the geohash uid. crs=None keeps
+    the documented 1e-5 deg/m pseudo-projection (synthetic corpora);
+    a real EPSG string (e.g. the reference's EPSG:3577) makes uids
+    comparable to reference uids on real data (vector.py:1591)."""
+    if crs is None:
+        return ys * 1e-5, xs * 1e-5
+    from ..geometry.crs import to_lonlat
+
+    lon, lat = to_lonlat(xs, ys, crs)
+    return lat, lon
+
+
+def rates_of_change(
+    signed: DataFrame, initial_year: int, uid_crs: str | None = None
+) -> DataFrame:
     """Per-point robust regression + circular stats + all-time stats —
     the signature UDAF.
 
@@ -275,7 +290,8 @@ def rates_of_change(signed: DataFrame, initial_year: int) -> DataFrame:
                 continue
             xs = pdf["x"].to_numpy(float)
             ys = pdf["y"].to_numpy(float)
-            uids = geohash_encode(ys * 1e-5, xs * 1e-5, 10)
+            lat, lon = _uid_lonlat(xs, ys, uid_crs)
+            uids = geohash_encode(lat, lon, 10)
             rows = []
             for i, obs in enumerate(pdf["obs"]):
                 years = np.array([o["year"] for o in obs], np.int64)

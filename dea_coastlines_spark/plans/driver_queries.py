@@ -1591,6 +1591,79 @@ def q_contour_certainty(spark, sf_dir):
     ).orderBy("year", "poly_id", "piece_len_m")
 
 
+def q_crs_project(spark, sf_dir):
+    """CRS forward projections (to_crs parity, reference raster.py:206
+    EPSG:3577 + vector.py:1591): deterministic Australian-extent
+    lon/lat points from the customer table, projected to Albers
+    (EPSG:3577) and Web Mercator (EPSG:3857) by the engine's pure-numpy
+    projection library; the oracle evaluates the same closed-form
+    Snyder equations in SQL from literal WGS84 constants. Rounded to
+    cm — both sides compute in float64 with ~1e-10 m agreement."""
+    from ..operators.reproject import project_points
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    pts = c.select(
+        "c_custkey",
+        (F.lit(114.0) + (F.col("c_custkey") % 390) * 0.1).alias("lon"),
+        (F.lit(-43.0) + (F.col("c_custkey") % 330) * 0.1).alias("lat"),
+    )
+    alb = project_points(pts, "lon", "lat", "EPSG:3577", "ax", "ay")
+    both = project_points(alb, "lon", "lat", "EPSG:3857", "mx", "my")
+    return both.select(
+        "c_custkey",
+        F.round("ax", 2).alias("albers_x"),
+        F.round("ay", 2).alias("albers_y"),
+        F.round("mx", 2).alias("merc_x"),
+        F.round("my", 2).alias("merc_y"),
+    ).orderBy("c_custkey")
+
+
+# Albers equal-area forward (Snyder 14-12..14-21) evaluated in SQL from
+# literal WGS84 constants — independent of the engine's numpy library.
+ORACLE_CRS_PROJECT = """
+WITH pts AS (
+  SELECT c_custkey,
+         114.0 + (c_custkey % 390) * 0.1 AS lon,
+         -43.0 + (c_custkey % 330) * 0.1 AS lat
+  FROM customer WHERE c_custkey <= 300),
+k AS (
+  SELECT 6378137.0 AS a,
+         0.0818191908426215 AS e,
+         0.00669437999014132 AS e2,
+         radians(-18.0) AS p1, radians(-36.0) AS p2, radians(132.0) AS lam0),
+kq AS (
+  SELECT *,
+    cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1)) AS m1,
+    cos(p2)/sqrt(1 - e2*sin(p2)*sin(p2)) AS m2,
+    (1-e2)*(sin(p1)/(1 - e2*sin(p1)*sin(p1))
+            - (1/(2*e))*ln((1 - e*sin(p1))/(1 + e*sin(p1)))) AS q1,
+    (1-e2)*(sin(p2)/(1 - e2*sin(p2)*sin(p2))
+            - (1/(2*e))*ln((1 - e*sin(p2))/(1 + e*sin(p2)))) AS q2
+  FROM k),
+kn AS (
+  SELECT *, (m1*m1 - m2*m2)/(q2 - q1) AS n,
+         m1*m1 + ((m1*m1 - m2*m2)/(q2 - q1))*q1 AS c
+  FROM kq),
+proj AS (
+  SELECT p.c_custkey, p.lon, p.lat, kn.*,
+    (1-e2)*(sin(radians(p.lat))/(1 - e2*sin(radians(p.lat))*sin(radians(p.lat)))
+            - (1/(2*e))*ln((1 - e*sin(radians(p.lat)))/(1 + e*sin(radians(p.lat))))) AS q
+  FROM pts p CROSS JOIN kn),
+geom AS (
+  SELECT c_custkey, lon, lat, a, e, n,
+         a*sqrt(c - n*q)/n AS rho,
+         a*sqrt(c)/n AS rho0,     -- q0 = 0 at lat0 = 0
+         n*(radians(lon) - lam0) AS theta
+  FROM proj)
+SELECT c_custkey,
+       ROUND(rho*sin(theta), 2) AS albers_x,
+       ROUND(rho0 - rho*cos(theta), 2) AS albers_y,
+       ROUND(a*radians(lon), 2) AS merc_x,
+       ROUND(a*ln(tan(pi()/4 + radians(lat)/2)), 2) AS merc_y
+FROM geom ORDER BY c_custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -1636,6 +1709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dissolve": q_dissolve,
     "contour_certainty": q_contour_certainty,
     "rates_regression": q_rates_regression,
+    "crs_project": q_crs_project,
 }
 
 ORACLES: dict[str, str] = {
@@ -1671,6 +1745,7 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": _simhash_sql(),
     "dissolve": ORACLE_DISSOLVE,
     "rates_regression": ORACLE_RATES_REGRESSION,
+    "crs_project": ORACLE_CRS_PROJECT,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check
