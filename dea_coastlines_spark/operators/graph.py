@@ -1,0 +1,117 @@
+"""Graph connected components over pair lists + dedup clustering.
+
+The near-dup generators (minhash/simhash/phash/embedding pairs) emit
+EDGES; turning edges into KEEP/DROP decisions needs the transitive
+closure: cluster = connected component, canonical = min id per
+cluster (the standard keep-one policy in training-data dedup).
+
+Spark shape: iterative min-label propagation on the edge list —
+  label(u) <- min(label(u), min_{(u,v) in E} label(v))
+repeated until a fixed point. Each round is one join + one map-side-
+combinable min aggregation (2 shuffles); rounds = graph diameter.
+Near-dup graphs are dense clusters with tiny diameters (LSH verify
+emits near-cliques), so convergence is typically 2-4 rounds; the
+round cap guards pathological chains. Each round's labels are
+localCheckpoint()ed — caching alone is NOT enough for iterative
+plans: the logical plan doubles per round (labels referenced twice)
+and plan construction itself OOMs by round ~30; checkpointing
+truncates lineage so both plan size and memory stay O(V).
+
+This is the same seam-equivalence/min-label machinery as the raster
+components operator (operators/components.py) specialized to an
+arbitrary pair list instead of tile adjacency.
+
+Reference analog: the reference has no explicit dedup stage (its
+inputs are curated satellite tiles); this operator serves SURVEY.md's
+training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components_pairs(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Edge list -> (node_id, cluster_id) with cluster_id = min node id
+    reachable (undirected). Isolated nodes don't appear in the edge
+    list and therefore not in the output — union them in as singleton
+    clusters at the call site if needed."""
+    sym = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nbr_min"))
+        .select("u", F.least("u", "nbr_min").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_rounds):
+        # propagate: each node's new label = min(own, neighbors' labels)
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("node_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs -> (node_id, cluster_id, is_canonical): canonical
+    = the cluster's min id (deterministic keep-one)."""
+    comp = connected_components_pairs(pairs, a_col, b_col)
+    return comp.select(
+        "node_id",
+        "cluster_id",
+        (F.col("node_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster: docs
+    LEFT ANTI JOIN the drop set (one broadcast-able side if the dup
+    fraction is small — the common case)."""
+    drops = dedup_clusters(pairs, a_col, b_col).filter(
+        ~F.col("is_canonical")
+    ).select(F.col("node_id").alias(id_col))
+    return docs.join(drops, id_col, "left_anti")

@@ -103,6 +103,51 @@ def hyperplane_signatures(
     )
 
 
+def hyperplane_signatures_multi(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed_base: int = 300,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All tables' hyperplane buckets in ONE Arrow pass: a single
+    (n, dim) x (dim, tables*planes) matmul per batch, long-form output
+    (id, table, bucket). Per-table planes are identical to calling
+    hyperplane_signatures with seed_base+t — the fused form exists so
+    multi-table LSH costs one Python stage, not n_tables stages."""
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed_base + t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    ).astype(np.float64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            bits = (mat @ planes.T) > 0  # (n, tables*planes)
+            buckets = (
+                bits.reshape(len(pdf), n_tables, n_planes) @ weights
+            )  # (n, tables)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, table int, bucket long"
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -204,22 +249,27 @@ def embedding_neardup_pairs(
     n_planes is the bucket-granularity dial: buckets ~ 2^n_planes, and
     within-bucket pairing is quadratic, so size it to keep the expected
     bucket occupancy O(1) at the corpus size (16 planes -> 65k buckets;
-    add tables, not fewer planes, to buy recall back)."""
-    cands = None
-    for t in range(n_tables):
-        sig = hyperplane_signatures(
-            embeddings, dim, n_planes, seed=300 + t, id_col=id_col, vec_col=vec_col
-        )
-        c = (
-            sig.select(F.col(id_col).alias("id_a"), "bucket")
-            .join(sig.select(F.col(id_col).alias("id_b"), "bucket"), "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    return _cosine_verify_pairs(
-        embeddings, cands.distinct(), threshold, id_col, vec_col
+    add tables, not fewer planes, to buy recall back).
+
+    Plan shape: ONE signature pass (all tables fused into a single
+    matmul, hyperplane_signatures_multi), ONE self equi-join on
+    (table, bucket), dedup, verify — constant stage count in
+    n_tables."""
+    sig = hyperplane_signatures_multi(
+        embeddings, dim, n_planes, n_tables, seed_base=300,
+        id_col=id_col, vec_col=vec_col,
     )
+    cands = (
+        sig.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        .join(
+            sig.select(F.col(id_col).alias("id_b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _cosine_verify_pairs(embeddings, cands, threshold, id_col, vec_col)
 
 
 def embedding_neardup_pairs_exact(

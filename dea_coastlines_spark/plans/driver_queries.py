@@ -1591,6 +1591,38 @@ def q_contour_certainty(spark, sf_dir):
     ).orderBy("year", "poly_id", "piece_len_m")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over a pair list -> keep-one dedup clusters
+    (the transitive-closure stage downstream of every near-dup
+    generator). Edge fixture: the bipartite order--part graph from
+    lineitem (orders sharing a part are transitively one cluster).
+    Oracle: DuckDB recursive CTE computing min-reachable-id."""
+    from ..operators.graph import dedup_clusters
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    edges = li.select(
+        F.col("l_orderkey").alias("id_a"),
+        (F.col("l_partkey") + 10000000).alias("id_b"),
+    ).distinct()
+    return dedup_clusters(edges).orderBy("node_id")
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT l_orderkey AS u, l_partkey + 10000000 AS v
+       FROM lineitem WHERE l_orderkey < 400),
+edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+reach(u, r) AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+)
+SELECT u AS node_id, MIN(r) AS cluster_id,
+       (u = MIN(r)) AS is_canonical
+FROM reach GROUP BY u ORDER BY node_id
+"""
+
+
 def q_crs_project(spark, sf_dir):
     """CRS forward projections (to_crs parity, reference raster.py:206
     EPSG:3577 + vector.py:1591): deterministic Australian-extent
@@ -1710,6 +1742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contour_certainty": q_contour_certainty,
     "rates_regression": q_rates_regression,
     "crs_project": q_crs_project,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1746,6 +1779,7 @@ ORACLES: dict[str, str] = {
     "dissolve": ORACLE_DISSOLVE,
     "rates_regression": ORACLE_RATES_REGRESSION,
     "crs_project": ORACLE_CRS_PROJECT,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check

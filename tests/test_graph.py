@@ -1,0 +1,75 @@
+"""Connected components / dedup clustering vs a brute-force union-find
+oracle implemented in the test."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dea_coastlines_spark.operators import graph
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    out = {}
+    for node in list(parent):
+        root = find(node)
+        out.setdefault(root, []).append(node)
+    label = {}
+    for members in out.values():
+        m = min(members)
+        for node in members:
+            label[node] = m
+    return label
+
+
+def test_components_random_graph_matches_union_find(spark):
+    rng = np.random.default_rng(17)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 200, 300), rng.integers(0, 200, 300))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node_id: r.cluster_id
+        for r in graph.connected_components_pairs(df).collect()
+    }
+    want = _uf_components(edges)
+    assert got == want
+
+
+def test_components_chain_needs_propagation(spark):
+    # a path graph exercises multi-round propagation (diameter >> 1)
+    n = 40
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = graph.connected_components_pairs(df, max_rounds=50).collect()
+    assert all(r.cluster_id == 0 for r in got)
+    assert {r.node_id for r in got} == set(range(n + 1))
+
+
+def test_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in graph.keep_canonical(docs, pairs).collect()
+    )
+    # clusters {0,1,2} -> keep 0; {4,5} -> keep 4; 3 untouched
+    assert kept == [0, 3, 4]
