@@ -1,0 +1,113 @@
+"""Deterministic sampling / corpus mixing (training-data pipeline ops).
+
+Production pipelines need REPRODUCIBLE sampling: the keep/drop decision
+for a row must be a pure function of (key, seed) — invariant to
+partitioning, row order, cluster size, and re-runs — so a resumed or
+re-sharded job samples identically and train/eval splits never leak.
+`df.sample()` gives none of that. These operators derive a uniform
+u in [0,1) from a quadratic-congruential hash of the key:
+
+    m  = 2^31 - 1 (prime)
+    h0 = (key + seed) mod m
+    h1 = h0 * 48271    mod m        (MINSTD step)
+    h2 = (h1^2 + h1)   mod m        (nonlinear: breaks affine stripes)
+    h3 = h2 * 69621    mod m
+    u  = h3 / (m - 1)
+
+Every intermediate is < 2^62, so the whole chain is plain JVM integer
+arithmetic (ANSI-safe, no overflow, whole-stage codegen) AND bit-exactly
+replicable in ANSI SQL for the DuckDB oracle — no Python anywhere.
+This is a sampling-grade permutation hash, not a cryptographic one.
+
+Scale: each operator is a row-local projection/filter — zero shuffle,
+predicate sits directly on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M = 2**31 - 1
+
+
+def u01(key: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform [0,1) from an integer key column."""
+    k = F.col(key) if isinstance(key, str) else key
+    h0 = F.pmod(k.cast("long") + F.lit(int(seed)), F.lit(_M))
+    h1 = F.pmod(h0 * F.lit(48271), F.lit(_M))
+    h2 = F.pmod(h1 * h1 + h1, F.lit(_M))
+    h3 = F.pmod(h2 * F.lit(69621), F.lit(_M))
+    return h3.cast("double") / F.lit(float(_M - 1))
+
+
+def u01_sql(key_expr: str, seed: int = 0) -> str:
+    """The identical chain as ANSI SQL (DuckDB oracle half)."""
+    m = _M
+    h0 = f"((({key_expr}) + {int(seed)}) % {m} + {m}) % {m}"
+    h1 = f"(({h0}) * 48271) % {m}"
+    h2 = f"((({h1}) * ({h1})) + ({h1})) % {m}"
+    h3 = f"(({h2}) * 69621) % {m}"
+    return f"(({h3})::DOUBLE / {float(m - 1)})"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~fraction of rows, decided per key (reproducible,
+    partition-invariant)."""
+    return df.filter(u01(key_col, seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (df.sampleBy analog, deterministic).
+    Strata absent from `fractions` get default_fraction."""
+    rate = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(rate)
+    return df.filter(u01(key_col, seed) < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    eval_frac: float,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leak-proof train/eval assignment: a key lands in the same split
+    in every run, every shard, every job."""
+    return df.withColumn(
+        out_col,
+        F.when(u01(key_col, seed) < F.lit(float(eval_frac)), F.lit("eval"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str,
+    seed: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted corpus mixture: per-source deterministic downsampling to
+    `rate`, tagged with the source index, unioned by name. Rates are
+    absolute sampling fractions (a 0.3/0.1 pair yields ~3:1 if the
+    sources are equal-sized); compute them from target token budgets at
+    the call site."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    out = None
+    for i, (df, rate) in enumerate(sources):
+        part = hash_sample(df, key_col, rate, seed=seed + i).withColumn(
+            source_col, F.lit(i)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

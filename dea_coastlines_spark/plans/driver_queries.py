@@ -1591,6 +1591,62 @@ def q_contour_certainty(spark, sf_dir):
     ).orderBy("year", "poly_id", "piece_len_m")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling over documents (sampleBy
+    analog, reproducible across partitionings): quadratic-congruential
+    u(key, seed) compared against per-lang rates; oracle evaluates the
+    identical integer chain in SQL."""
+    from ..operators.sampling import stratified_sample, u01
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    out = stratified_sample(
+        d, "doc_id", "lang", rates, seed=42, default_fraction=0.05
+    )
+    return out.select(
+        "doc_id", "lang", F.round(u01("doc_id", 42), 6).alias("u")
+    ).orderBy("doc_id")
+
+
+def _sampling_oracle() -> str:
+    from ..operators.sampling import u01_sql
+
+    u = u01_sql("doc_id", 42)
+    return f"""
+SELECT doc_id, lang, ROUND({u}, 6) AS u
+FROM documents
+WHERE {u} < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                      WHEN 'fr' THEN 0.1 ELSE 0.05 END
+ORDER BY doc_id
+"""
+
+
+def q_train_eval_split(spark, sf_dir):
+    """Leak-proof deterministic train/eval assignment + per-split
+    per-lang counts (the reproducibility contract: same key -> same
+    split in every run/shard)."""
+    from ..operators.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id", eval_frac=0.2, seed=7)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def _split_oracle() -> str:
+    from ..operators.sampling import u01_sql
+
+    u = u01_sql("doc_id", 7)
+    return f"""
+SELECT CASE WHEN {u} < 0.2 THEN 'eval' ELSE 'train' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over a pair list -> keep-one dedup clusters
     (the transitive-closure stage downstream of every near-dup
@@ -1743,6 +1799,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rates_regression": q_rates_regression,
     "crs_project": q_crs_project,
     "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
+    "train_eval_split": q_train_eval_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1780,6 +1838,8 @@ ORACLES: dict[str, str] = {
     "rates_regression": ORACLE_RATES_REGRESSION,
     "crs_project": ORACLE_CRS_PROJECT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "stratified_sample": _sampling_oracle(),
+    "train_eval_split": _split_oracle(),
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check

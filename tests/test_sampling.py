@@ -1,0 +1,75 @@
+"""Deterministic sampling invariants: partition-invariance, split
+stability, statistical plausibility, mixing proportions."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dea_coastlines_spark.operators import sampling
+
+
+def test_hash_sample_partition_invariant(spark):
+    df = spark.range(20_000)
+    a = sampling.hash_sample(df.repartition(3), "id", 0.3, seed=1)
+    b = sampling.hash_sample(df.repartition(17), "id", 0.3, seed=1)
+    ra = sorted(r.id for r in a.collect())
+    rb = sorted(r.id for r in b.collect())
+    assert ra == rb
+    # rate within 2% absolute of target on 20k keys
+    assert abs(len(ra) / 20_000 - 0.3) < 0.02
+
+
+def test_u01_uniformity_and_nonlinearity(spark):
+    df = spark.range(50_000).select(
+        sampling.u01("id", seed=5).alias("u"), "id"
+    )
+    pdf = df.toPandas()
+    u = pdf.u.to_numpy()
+    assert (u >= 0).all() and (u < 1).all()
+    # 10-bin chi-square far below catastrophic; sequential keys must not
+    # produce affine stripes correlated with id
+    counts, _ = np.histogram(u, bins=10, range=(0, 1))
+    chi2 = float(((counts - 5000.0) ** 2 / 5000.0).sum())
+    assert chi2 < 200.0
+    corr = float(np.corrcoef(pdf.id.to_numpy(), u)[0, 1])
+    assert abs(corr) < 0.02
+
+
+def test_split_assign_disjoint_and_stable(spark):
+    df = spark.range(5_000)
+    s1 = {r.id: r.split for r in sampling.split_assign(df, "id", 0.25, seed=3).collect()}
+    s2 = {r.id: r.split for r in sampling.split_assign(df.repartition(7), "id", 0.25, seed=3).collect()}
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "eval") / len(s1)
+    assert abs(frac - 0.25) < 0.03
+
+
+def test_stratified_rates(spark):
+    df = spark.range(30_000).withColumn(
+        "lang", F.when(F.col("id") % 3 == 0, "en").otherwise("de")
+    )
+    out = sampling.stratified_sample(
+        df, "id", "lang", {"en": 0.5, "de": 0.1}, seed=9
+    ).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in out}
+    assert abs(got["en"] / 10_000 - 0.5) < 0.03
+    assert abs(got["de"] / 20_000 - 0.1) < 0.02
+
+
+def test_mix_corpora_tags_and_rates(spark):
+    a = spark.range(10_000).withColumn("text", F.lit("a"))
+    b = spark.range(10_000).withColumn("text", F.lit("b"))
+    out = sampling.mix_corpora([(a, 0.4), (b, 0.1)], "id", seed=11)
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert abs(counts[0] / 10_000 - 0.4) < 0.03
+    assert abs(counts[1] / 10_000 - 0.1) < 0.02
+
+
+def test_sampling_plan_is_scan_side_filter(spark):
+    # the keep/drop predicate must be a plain Filter over the scan —
+    # no shuffle, no Python
+    df = spark.range(1000)
+    plan = sampling.hash_sample(df, "id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEvalPython" not in plan
