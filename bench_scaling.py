@@ -189,9 +189,17 @@ def main() -> int:
         thr_lo = round(med([r["tiles_per_sec"] for r in runs[args.low]]), 2)
         thr_hi = round(med([r["tiles_per_sec"] for r in runs[args.high]]), 2)
         eff = (thr_hi / thr_lo) / (args.high / args.low)
+        # host CPU steal is strictly additive to wall-clock, so the
+        # fastest measurement per level is the least-contaminated
+        # estimate of the engine's own cost; report it alongside the
+        # median (which steal biases DOWN, more at the wider level)
+        best_lo = max(r["tiles_per_sec"] for r in runs[args.low])
+        best_hi = max(r["tiles_per_sec"] for r in runs[args.high])
+        eff_best = (best_hi / best_lo) / (args.high / args.low)
         summary = {
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
+            "value_best_of": round(eff_best, 3),
             "unit": f"ratio (local[{args.low}] -> local[{args.high}]), "
                     f"median of {args.repeats} interleaved runs per level",
             "n_tiles": n_tiles,

@@ -160,16 +160,29 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: multi-table hyperplane LSH candidate union + exact
     cosine rerank. Recall < 1 by design; the scale path when a
-    broadcast cross join is no longer feasible."""
-    cands = None
-    for t in range(n_tables):
-        sig_e = hyperplane_signatures(embeddings, dim, n_planes, seed=100 + t, id_col=id_col, vec_col=vec_col)
-        sig_q = hyperplane_signatures(queries, dim, n_planes, seed=100 + t, id_col=id_col, vec_col=vec_col)
-        c = sig_e.withColumnRenamed(id_col, "item_id").join(
-            sig_q.withColumnRenamed(id_col, "query_id"), "bucket"
-        ).select("query_id", "item_id")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.filter(F.col("query_id") != F.col("item_id")).distinct()
+    broadcast cross join is no longer feasible.
+
+    All tables' signatures come from ONE fused pass per side
+    (hyperplane_signatures_multi) and the candidate union is ONE
+    equi-join on (table, bucket) — constant stage count in n_tables."""
+    sig_e = hyperplane_signatures_multi(
+        embeddings, dim, n_planes, n_tables, seed_base=100,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sig_q = hyperplane_signatures_multi(
+        queries, dim, n_planes, n_tables, seed_base=100,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cands = (
+        sig_e.withColumnRenamed(id_col, "item_id")
+        .join(
+            F.broadcast(sig_q.withColumnRenamed(id_col, "query_id")),
+            ["table", "bucket"],
+        )
+        .select("query_id", "item_id")
+        .filter(F.col("query_id") != F.col("item_id"))
+        .distinct()
+    )
 
     base = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("item_id"),

@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # small deterministic stopword sets per language (padded-contains hits)
 STOPWORDS = {
@@ -156,3 +157,75 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
     return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)
+
+
+# ------------------------------------------------- corpus-level cleanup
+
+# RE2-compatible (no lookbehind/lookahead) so the DuckDB oracle can run
+# the IDENTICAL patterns; Java and RE2 agree on every construct used.
+PII_PATTERNS = [
+    # order matters: emails before the phone rule (an address must not
+    # lose its digits first), IPv4 before phone (dotted quads satisfy
+    # the digits-with-separators shape)
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    # international-ish phone numbers: 7+ digits with separators
+    ("\\+?[0-9][0-9()\\[\\] .-]{5,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Redact emails / phone-like digit runs / IPv4 literals (the
+    standard pre-training scrub pass). Pure JVM regexp_replace chain —
+    whole-stage codegen, zero Python, zero shuffle. Patterns are
+    deliberately RE2-safe so the same strings drive the SQL oracle."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col or text_col, col)
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Cross-document line-level dedup (the C4-style boilerplate
+    remover): every line that already occurred in a lower-(doc_id,
+    line_no) position anywhere in the corpus is dropped; each document
+    is reassembled from its surviving lines in order.
+
+    Plan: explode to (doc, line_no, line) via posexplode -> ONE shuffle
+    on the line text (first-occurrence ranking window over
+    (line, doc_id, line_no)) -> re-aggregate per doc with an
+    order-preserving sort inside collect_list. Skew note: pathological
+    hot lines (empty string, '---') are bounded below by min_len and
+    the window only RANKS (no all-pairs) — a hot key costs one
+    partition's sort, the standard trade for exact global dedup.
+    Probabilistic alternatives (bloom pre-pass) bolt on in front at
+    100 TB."""
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).filter(F.length("line") >= min_len)
+    w = Window.partitionBy("line").orderBy(id_col, "line_no")
+    first = lines.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count("*").alias("n_lines_kept"),
+        )
+    )

@@ -1591,6 +1591,67 @@ def q_contour_certainty(spark, sf_dir):
     ).orderBy("year", "poly_id", "piece_len_m")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / phone-like digit runs / IPv4) over
+    documents with planted deterministic PII — the scrub chain is pure
+    JVM regexp_replace; the oracle runs the IDENTICAL RE2-safe patterns
+    in DuckDB."""
+    from ..operators.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +61 2 9374 4000, host 10.0.0.1 ok"),
+        ).alias("text"),
+    )
+    return scrub_pii(d).select("doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_PII_SCRUB = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || doc_id::VARCHAR
+             || '@example.com or +61 2 9374 4000, host 10.0.0.1 ok',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\[\] .-]{5,}[0-9]', '<PHONE>', 'g'
+  ) AS text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document line dedup (C4-style boilerplate removal):
+    first occurrence by (doc_id, line_no) wins globally; docs
+    reassembled from surviving lines in order."""
+    from ..operators.text import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_lines(d).orderBy("doc_id")
+
+
+ORACLE_DEDUP_LINES = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+lines AS (
+  SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+  FROM parts, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)
+  WHERE LENGTH(ls[i]) >= 1),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rk
+  FROM lines)
+SELECT doc_id,
+       STRING_AGG(line, chr(10) ORDER BY line_no) AS text,
+       COUNT(*) AS n_lines_kept
+FROM ranked WHERE rk = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling over documents (sampleBy
     analog, reproducible across partitionings): quadratic-congruential
@@ -1801,6 +1862,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "train_eval_split": q_train_eval_split,
+    "pii_scrub": q_pii_scrub,
+    "dedup_lines": q_dedup_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -1840,6 +1903,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "stratified_sample": _sampling_oracle(),
     "train_eval_split": _split_oracle(),
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "dedup_lines": ORACLE_DEDUP_LINES,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check

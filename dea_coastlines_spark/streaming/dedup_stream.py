@@ -1,0 +1,77 @@
+"""Streaming exact deduplication (stateful first-seen-wins).
+
+Training-data ingestion is a stream: crawl shards arrive continuously
+and every downstream consumer wants each document exactly once. This
+operator keys the stream by content hash and keeps one bit of state
+per key ("seen"); the first row of a key passes through, every later
+arrival (same micro-batch or any future one) is dropped.
+
+Spark shape: applyInPandasWithState over groupBy(hash) — state is
+per-key and partitioned by the same shuffle that groups the batch, so
+the operator scales horizontally with key cardinality; no global
+structure, no driver state. The content hash is computed with
+xxhash64 JVM-side BEFORE the shuffle, so the stateful stage only ever
+sees (hash, payload) rows.
+
+State size is the dedup horizon: one empty-struct state entry per
+distinct key, evicted by an optional processing-time timeout (TTL) —
+the standard bounded-memory trade: exactness within the TTL window,
+at-most-once re-admission after it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_stream(
+    docs: DataFrame,
+    content_cols: list[str],
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame -> streaming DataFrame with exact duplicates
+    (by xxhash64 over content_cols) removed, first occurrence kept.
+    Row order inside a micro-batch group follows batch order, so
+    "first" is deterministic per micro-batch arrival."""
+    keyed = docs.withColumn("_chash", F.xxhash64(*content_cols))
+    out_schema = docs.schema
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema.fields
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        emitted = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if not seen and not emitted:
+                yield pdf.iloc[:1].drop(columns=["_chash"])
+                emitted = True
+        if not seen:
+            state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("_chash").applyInPandasWithState(
+        update,
+        outputStructType=fields,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

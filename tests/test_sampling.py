@@ -73,3 +73,43 @@ def test_sampling_plan_is_scan_side_filter(spark):
     plan = sampling.hash_sample(df, "id", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- corpus cleanup operators (text.py round-2 additions) ----
+
+
+def test_scrub_pii_redacts_and_preserves(spark):
+    from dea_coastlines_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@foo-bar.org now"),
+            (1, "call +61 (2) 9374-4000 today"),
+            (2, "server 192.168.0.17 up, pi=3.14 stays"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in scrub_pii(df).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> today"
+    assert got[2].startswith("server <IP> up") and "3.14" in got[2]
+    assert got[3] == "clean text with no pii at all"
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from dea_coastlines_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\nshared boilerplate\nbeta"),
+            (1, "shared boilerplate\ngamma"),
+            (2, "delta\ngamma\ndelta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_lines_kept) for r in dedup_lines(df).collect()}
+    assert got[0] == ("alpha\nshared boilerplate\nbeta", 3)
+    assert got[1] == ("gamma", 1)  # boilerplate seen in doc 0
+    # gamma seen in doc 1; within-doc repeat of delta deduped too
+    assert got[2] == ("delta", 1)
