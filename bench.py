@@ -42,11 +42,12 @@ def main() -> None:
         "mode_median", "certainty_cascade", "conditional_coalesce",
         "asof_nearest", "scalar_funcs", "top1_crs_vote", "salted_agg",
         "spatial_pip_join", "knn_anchor_join", "overlay_clip",
-        # training-data operators (dedup / text / ANN)
+        # training-data operators (dedup / text / ANN / sampling)
         "dedup_exact", "ngram_jaccard", "phash_neardup",
         "langid", "token_counts", "ann_topk", "embedding_neardup",
+        "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         # geospatial aggregation operators
-        "rates_regression", "dissolve",
+        "rates_regression", "dissolve", "crs_project",
     ]
     # best-of-2 after a warmup pass: this sandbox host shows bursty
     # vCPU steal; a single timed run can read 2-3x high across the board

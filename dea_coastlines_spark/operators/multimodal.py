@@ -104,3 +104,58 @@ def audio_features(blobs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         yield pd.DataFrame({"image_id": [], "rms": []})
 
     return blobs.mapInPandas(kernel, "image_id string, rms double")
+
+
+def augment_images(
+    tiles: DataFrame,
+    crop_px: int = 0,
+    hflip: bool = False,
+    vflip: bool = False,
+    brightness: float = 0.0,
+    seed: int | None = None,
+) -> DataFrame:
+    """Deterministic image augmentation (training-data prep): optional
+    center crop by `crop_px` per side, horizontal/vertical flip,
+    additive brightness shift (clipped to the [-1, 1] tile range). With
+    `seed` set, each flip is applied PER IMAGE with probability 0.5,
+    decided by a hash of (image_id, seed) — reproducible across
+    partitionings and runs, never by a per-task RNG.
+
+    Decode -> transform -> re-encode inside one Arrow kernel; bytes
+    never leave the executor, no shuffle."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                arr = img_codec.decode_tile(bytes(r.bytes), r.fmt)
+                if crop_px:
+                    if 2 * crop_px >= min(arr.shape):
+                        raise ValueError("crop_px exceeds image size")
+                    arr = arr[crop_px:-crop_px, crop_px:-crop_px]
+                if seed is None:
+                    do_h, do_v = hflip, vflip
+                else:
+                    h = np.uint64(0)
+                    for ch in f"{r.image_id}|{seed}":
+                        h = (h * np.uint64(131)) + np.uint64(ord(ch))
+                    do_h = hflip and bool(h & np.uint64(1))
+                    do_v = vflip and bool(h & np.uint64(2))
+                if do_h:
+                    arr = arr[:, ::-1]
+                if do_v:
+                    arr = arr[::-1, :]
+                if brightness:
+                    arr = np.clip(arr + brightness, -1.0, 1.0).astype(np.float32)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": img_codec.encode_tile(np.ascontiguousarray(arr), r.fmt),
+                        "w": arr.shape[1], "h": arr.shape[0], "fmt": r.fmt,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return tiles.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, "image_id string, bytes binary, w int, h int, fmt string"
+    )

@@ -393,3 +393,32 @@ def test_word_ngram_jaccard_degenerate_docs(spark):
         sdf, "text", "doc_id", n=2, threshold=0.5
     ).collect()
     assert {(r.id_a, r.id_b) for r in kept} == {(2, 3)}
+
+
+def test_augment_images_crop_flip_deterministic(spark):
+    from dea_coastlines_spark.codecs import image as ic
+    from dea_coastlines_spark.synth import corpus
+
+    spec = corpus.CorpusSpec(tile_px=32, halo_px=0, tiles_x=2, tiles_y=1,
+                             year0=2000, year1=2000, obs_per_year=2,
+                             cloud_frac=0.0, seed=4, fmt="tiff")
+    tiles = spark.createDataFrame(corpus.generate_pandas(spec))
+    out = multimodal.augment_images(
+        tiles, crop_px=4, hflip=True, brightness=0.1
+    ).toPandas().set_index("image_id")
+    assert (out.w == 24).all() and (out.h == 24).all()
+    # verify against a directly computed transform (tiff = bit-exact)
+    src = corpus.generate_pandas(spec).set_index("image_id")
+    iid = out.index[0]
+    arr = ic.decode_tile(bytes(src.loc[iid, "bytes"]), "tiff")[4:-4, 4:-4]
+    want = np.clip(arr[:, ::-1] + 0.1, -1.0, 1.0).astype(np.float32)
+    got = ic.decode_tile(bytes(out.loc[iid, "bytes"]), "tiff")
+    assert np.allclose(got, want, equal_nan=True)
+    # seeded per-image flips are partition-invariant
+    a = multimodal.augment_images(tiles, hflip=True, seed=9).toPandas()
+    b = multimodal.augment_images(
+        tiles.repartition(5), hflip=True, seed=9
+    ).toPandas()
+    pa = a.set_index("image_id").bytes.apply(bytes).to_dict()
+    pb = b.set_index("image_id").bytes.apply(bytes).to_dict()
+    assert pa == pb
