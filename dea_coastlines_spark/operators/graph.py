@@ -64,21 +64,22 @@ def connected_components_pairs(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry a `moved` flag so convergence costs no extra join: the
+        # checkpointed round output already knows whether it changed
         new_labels = (
             labels.join(nbr, "u", "left")
             .select(
                 "u",
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                (
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    != F.col("label")
+                ).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").limit(1).count()
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     return labels.select(
