@@ -172,6 +172,8 @@ def encode_gray(img: np.ndarray, quality: int = 90) -> bytes:
     h, w = img.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("JPEG dimensions exceed the 16-bit SOF field")
     qtbl = quant_table(quality)
     # pad to block multiples with edge replication (minimizes ringing)
     ph, pw = (-h) % 8, (-w) % 8
@@ -283,8 +285,9 @@ def decode_gray(buf: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    dc_tab: dict[tuple[int, int], int] = {}
-    ac_tab: dict[tuple[int, int], int] = {}
+    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    dc_sel = ac_sel = 0
     h = w = 0
     comp_q = 0
     while pos < len(buf):
@@ -325,13 +328,12 @@ def decode_gray(buf: bytes) -> np.ndarray:
                 nval = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nval])
                 p += 17 + nval
-                # single grayscale component: one DC + one AC table
-                # (th ignored; last table of each class wins)
-                del th
+                # tables are stored by id; the SOS header selects which
+                # id the (single) component uses
                 if tc == 0:
-                    dc_tab = _decode_table(bits, vals)
+                    dc_tabs[th] = _decode_table(bits, vals)
                 else:
-                    ac_tab = _decode_table(bits, vals)
+                    ac_tabs[th] = _decode_table(bits, vals)
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if ncomp != 1:
@@ -339,7 +341,15 @@ def decode_gray(buf: bytes) -> np.ndarray:
             comp_q = payload[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential DCT (SOF0) supported")
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack(">H", payload[:2])
+            if interval != 0:
+                raise ValueError("restart markers not supported")
+        elif marker == 0xDA:  # SOS: component table selection, then data
+            ns = payload[0]
+            if ns != 1:
+                raise ValueError("only single-component scans supported")
+            dc_sel, ac_sel = payload[2] >> 4, payload[2] & 0x0F
             pos += seglen
             break
         pos += seglen
@@ -347,6 +357,8 @@ def decode_gray(buf: bytes) -> np.ndarray:
         raise ValueError("no SOS marker found")
     if h == 0 or w == 0:
         raise ValueError("SOS before SOF0")
+    dc_tab = dc_tabs[dc_sel]
+    ac_tab = ac_tabs[ac_sel]
 
     # destuff and stop at the next marker (FF followed by non-00)
     raw = buf[pos:]

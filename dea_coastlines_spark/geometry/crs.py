@@ -87,11 +87,18 @@ class AlbersConic:
         # Newton iteration for latitude from authalic q (Snyder 3-16)
         qp = _q_auth(np.asarray(1.0))
         phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-        for _ in range(6):
+        lim = np.pi / 2.0 - 1e-9  # keep cos(phi) off zero near the poles
+        # 6 iterations suffice below ~85 deg; near the pole the Newton
+        # step shrinks (cos in the denominator is clipped), so give the
+        # tail enough rounds to close the last microdegrees
+        for _ in range(24):
             s = np.sin(phi)
             es2 = 1.0 - E2 * s * s
             dq = q - _q_auth(s)
-            phi = phi + es2 * es2 / (2.0 * np.cos(phi) * (1.0 - E2)) * dq
+            phi = np.clip(
+                phi + es2 * es2 / (2.0 * np.cos(phi) * (1.0 - E2)) * dq,
+                -lim, lim,
+            )
         # poles: q == +-qp
         phi = np.where(np.abs(q) >= np.abs(qp) - 1e-14,
                        np.sign(q) * np.pi / 2.0, phi)
