@@ -7,9 +7,10 @@ Real implementations (this env has real codecs for png/tiff):
   * frame_sample   — every-kth-observation sampling ("video" = the
                      per-(tile, year) observation stack) — pure
                      relational, no decode
-Stubs (no codec libs in env; plumbing — schema, batching, partitioning —
-is real and tested):
-  * audio_features — raises NotImplementedError inside the kernel
+  * audio_features — WAV/PCM decode (codecs/wav.py) + duration / RMS /
+                     zero-crossing rate / spectral centroid; pinned by
+                     closed-form sine tests
+  * augment_images — deterministic crop/flip/brightness augmentation
 """
 
 from __future__ import annotations
@@ -91,19 +92,61 @@ def frame_sample(tiles_meta: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
-def audio_features(blobs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """STUB: audio decode requires codec libraries absent from this
-    environment. The Spark plumbing (schema, Arrow batching) is real;
-    the kernel raises NotImplementedError on first batch."""
+def audio_features(
+    blobs: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """WAV (16-bit PCM) audio feature extraction: duration, RMS level,
+    zero-crossing rate, spectral centroid (rfft magnitude-weighted mean
+    frequency) — the standard cheap audio-quality/energy features for
+    corpus filtering. Pure numpy decode (codecs/wav.py, spec-level RIFF
+    walker); one Arrow batch in, one out; bytes never leave the
+    executor. Compressed formats (mp3/ogg/aac) would slot in at the
+    same decode call; their DCT/MDCT codecs stay out of scope in this
+    environment."""
+    from ..codecs import wav as wav_codec
 
     def kernel(batches):
-        for _pdf in batches:
-            raise NotImplementedError(
-                "audio codec stubbed: no audio library in this environment"
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                x, rate = wav_codec.decode_pcm16(bytes(getattr(r, bytes_col)))
+                mono = x.mean(axis=1)
+                n = mono.shape[0]
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                zc = (
+                    float(np.mean(np.diff(np.signbit(mono)) != 0)) * rate
+                    if n > 1 else 0.0
+                )
+                if n > 1:
+                    mag = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    tot = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                else:
+                    centroid = 0.0
+                rows.append(
+                    {
+                        id_col: getattr(r, id_col),
+                        "sample_rate": rate,
+                        "duration_s": n / rate if rate else 0.0,
+                        "rms": rms,
+                        "zcr_hz": zc,
+                        "spectral_centroid_hz": centroid,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "duration_s", "rms",
+                         "zcr_hz", "spectral_centroid_hz"],
             )
-        yield pd.DataFrame({"image_id": [], "rms": []})
 
-    return blobs.mapInPandas(kernel, "image_id string, rms double")
+    return blobs.select(id_col, bytes_col).mapInPandas(
+        kernel,
+        f"{id_col} string, sample_rate int, duration_s double, rms double, "
+        "zcr_hz double, spectral_centroid_hz double",
+    )
 
 
 def augment_images(

@@ -1398,6 +1398,33 @@ def q_multimodal_decode_stats(spark, sf_dir):
     ).withColumn("px_std", F.round("px_std", 6)).orderBy("image_id")
 
 
+def q_audio_features(spark, sf_dir):
+    """WAV audio feature extraction over a deterministic synthetic clip
+    set (sine mixtures keyed by events rows; rows-only: FFT has no SQL
+    analog, the features are pinned by closed-form pytest)."""
+    import pandas as pd
+
+    from ..codecs import wav as _wav
+    from ..operators.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate  # 0.5 s clips
+    rows = []
+    for i in range(8):
+        f0 = 200.0 + 100.0 * i
+        x = (0.4 * np.sin(2 * np.pi * f0 * t)
+             + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)).astype(np.float32)
+        rows.append({"audio_id": f"clip{i:02d}", "bytes": _wav.encode_pcm16(x, rate)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    return audio_features(df).select(
+        "audio_id", "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr_hz", 2).alias("zcr_hz"),
+        F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
+    ).orderBy("audio_id")
+
+
 def q_rates_regression(spark, sf_dir):
     """The rates-of-change UDAF (change_regress: MAD reject ->
     linregress incl. p-value/stderr, plus all-time stats) hash-verified
@@ -1864,6 +1891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_eval_split": q_train_eval_split,
     "pii_scrub": q_pii_scrub,
     "dedup_lines": q_dedup_lines,
+    "audio_features": q_audio_features,
 }
 
 ORACLES: dict[str, str] = {

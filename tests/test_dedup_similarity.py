@@ -252,11 +252,42 @@ def test_multimodal_frame_sample(spark):
     assert len(out) == 3 and out.frame_idx.tolist() == [0, 2, 4]
 
 
-def test_audio_stub_raises(spark):
-    pdf = pd.DataFrame({"image_id": ["a"], "bytes": [b"xx"]})
-    df = spark.createDataFrame(pdf)
-    with pytest.raises(Exception, match="NotImplementedError|audio codec stubbed"):
-        multimodal.audio_features(df).collect()
+def test_audio_features_closed_forms(spark):
+    """WAV decode + features vs closed forms: a pure sine at frequency f
+    has RMS A/sqrt(2), zero-crossing rate 2f, spectral centroid f."""
+    from dea_coastlines_spark.codecs import wav
+
+    rate, f, amp, dur = 8000, 440.0, 0.5, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    mono = (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    stereo = np.stack([mono, mono], axis=1)
+    pdf = pd.DataFrame(
+        {
+            "audio_id": ["sine_mono", "sine_stereo"],
+            "bytes": [wav.encode_pcm16(mono, rate), wav.encode_pcm16(stereo, rate)],
+        }
+    )
+    out = (
+        multimodal.audio_features(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("audio_id")
+    )
+    for aid in ("sine_mono", "sine_stereo"):
+        r = out.loc[aid]
+        assert r.sample_rate == rate and abs(r.duration_s - dur) < 1e-9
+        assert abs(r.rms - amp / np.sqrt(2)) < 1e-3
+        assert abs(r.zcr_hz - 2 * f) < 5.0
+        assert abs(r.spectral_centroid_hz - f) < 2.0
+
+
+def test_wav_roundtrip_bits(spark):
+    from dea_coastlines_spark.codecs import wav
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (500, 2)).astype(np.float32)
+    y, rate = wav.decode_pcm16(wav.encode_pcm16(x, 44100))
+    assert rate == 44100 and y.shape == (500, 2)
+    assert np.abs(y - np.clip(x, -1, 1)).max() <= 1.5 / 32767
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
