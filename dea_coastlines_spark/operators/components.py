@@ -184,14 +184,22 @@ def global_components(
     # undirected
     edges = edges.unionByName(
         edges.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
 
     # min-label propagation to fixpoint. Converges in O(graph diameter)
     # rounds; each round's tables are node-count-sized (tiny next to
     # pixels), so a high cap is cheap insurance — but NON-convergence
     # must be an error, never a silent split of one physical component
-    # into several ids.
-    comp = nodes.select("node_id", F.col("node_id").alias("comp")).persist()
+    # into several ids. Each round localCheckpoints: caching alone
+    # leaves the LOGICAL plan growing by one join+union per round
+    # (hundreds of Exchange nodes in the final plan by round ~50, and
+    # plan construction itself becomes the bottleneck); checkpointing
+    # truncates lineage so plan size stays O(1) per round (same fix as
+    # operators/graph.py).
+    comp = (
+        nodes.select("node_id", F.col("node_id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_iter):
         # candidate: min over own comp and neighbors' comps
@@ -203,8 +211,7 @@ def global_components(
             comp.select("node_id", "comp").unionByName(neigh)
             .groupBy("node_id")
             .agg(F.min("comp").alias("comp"))
-        ).persist()  # persist BEFORE the count so the changed-check
-        # materializes the cache instead of computing the plan twice
+        ).localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(comp.alias("o"), "node_id")
@@ -212,7 +219,6 @@ def global_components(
             .limit(1)
             .count()
         )
-        comp.unpersist()  # old iteration's cache is dead now
         comp = new
         if changed == 0:
             converged = True

@@ -1398,6 +1398,52 @@ def q_multimodal_decode_stats(spark, sf_dir):
     ).withColumn("px_std", F.round("px_std", 6)).orderBy("image_id")
 
 
+def q_asof_join(spark, sf_dir):
+    """True sort-merge as-of join (backward, per-user): each 'query'
+    event picks the most recent 'quote' event with ts <= its ts. Engine
+    plan is union-tag + one shuffle + last(ignorenulls) window — no
+    cross join, no nested loop; oracle is DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    quotes = e.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", F.col("ts").alias("t"),
+        F.round("value", 3).alias("quote_val"), "event_id",
+    )
+    # unique (user_id, t) on the right: keep the max event_id per
+    # instant so the as-of pick is well-defined on both engines
+    w = Window.partitionBy("user_id", "t").orderBy(F.col("event_id").desc())
+    quotes = quotes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).drop("rn", "event_id")
+    queries = e.filter(F.col("event_id") % 3 == 1).select(
+        "user_id", F.col("ts").alias("t"), "event_id"
+    )
+    out = asof_join(queries, quotes, on="t", by=["user_id"])
+    return out.select(
+        "user_id", "event_id", "t",
+        F.col("t_r").alias("quote_t"),
+        F.col("quote_val_r").alias("quote_val"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE_ASOF_JOIN = """
+WITH q0 AS (
+  SELECT user_id, ts AS t, ROUND(value, 3) AS quote_val, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 0),
+quotes AS (SELECT user_id, t, quote_val FROM q0 WHERE rn = 1),
+queries AS (SELECT user_id, ts AS t, event_id
+            FROM events WHERE event_id % 3 = 1)
+SELECT qu.user_id, qu.event_id, qu.t,
+       q.t AS quote_t, q.quote_val
+FROM queries qu ASOF LEFT JOIN quotes q
+  ON qu.user_id = q.user_id AND qu.t >= q.t
+ORDER BY qu.user_id, qu.event_id
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """WAV audio feature extraction over a deterministic synthetic clip
     set (sine mixtures keyed by events rows; rows-only: FFT has no SQL
@@ -1892,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "dedup_lines": q_dedup_lines,
     "audio_features": q_audio_features,
+    "asof_join": q_asof_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1933,6 +1980,7 @@ ORACLES: dict[str, str] = {
     "train_eval_split": _split_oracle(),
     "pii_scrub": ORACLE_PII_SCRUB,
     "dedup_lines": ORACLE_DEDUP_LINES,
+    "asof_join": ORACLE_ASOF_JOIN,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check

@@ -1,0 +1,79 @@
+"""As-of join vs pandas.merge_asof oracle + plan-shape gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dea_coastlines_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def sides(spark):
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, 4, 60),
+            "t": rng.integers(0, 1000, 60).astype("int64"),
+            "lid": np.arange(60, dtype="int64"),
+        }
+    )
+    right_t = np.sort(rng.choice(np.arange(0, 1000), size=30, replace=False))
+    right = pd.DataFrame(
+        {
+            "key": rng.integers(0, 4, 30),
+            "t": right_t.astype("int64"),
+            "price": np.round(rng.uniform(0, 10, 30), 3),
+        }
+    )
+    # make (key, t) unique on the right so merge_asof picks are well-defined
+    right = right.drop_duplicates(["key", "t"])
+    return (
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        left, right,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_matches_pandas_merge_asof(spark, sides, direction):
+    ldf, rdf, lp, rp = sides
+    got = (
+        asof_join(ldf, rdf, on="t", by=["key"], direction=direction)
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lp.sort_values("t"),
+        rp.sort_values("t"),
+        on="t", by="key", direction=direction, suffixes=("", "_r"),
+    ).sort_values("lid").reset_index(drop=True)
+    assert got.price_r.fillna(-1).tolist() == want.price.fillna(-1).tolist()
+
+
+def test_asof_exact_time_match_visible(spark):
+    ldf = spark.createDataFrame([(1, 100)], "key long, t long")
+    rdf = spark.createDataFrame([(1, 100, 7.0)], "key long, t long, v double")
+    out = asof_join(ldf, rdf, on="t", by=["key"]).collect()
+    assert out[0].v_r == 7.0 and out[0].t_r == 100
+
+
+def test_asof_no_match_is_null(spark):
+    ldf = spark.createDataFrame([(1, 50)], "key long, t long")
+    rdf = spark.createDataFrame([(1, 100, 7.0)], "key long, t long, v double")
+    out = asof_join(ldf, rdf, on="t", by=["key"]).collect()
+    assert out[0].v_r is None
+    fwd = asof_join(ldf, rdf, on="t", by=["key"], direction="forward").collect()
+    assert fwd[0].v_r == 7.0
+
+
+def test_asof_plan_no_nested_loop_one_key_shuffle(spark, sides):
+    ldf, rdf, _, _ = sides
+    plan = (
+        asof_join(ldf, rdf, on="t", by=["key"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "Join" not in plan  # pure window
