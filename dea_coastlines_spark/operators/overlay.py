@@ -51,7 +51,7 @@ def overlay_lines_polygons(
     res: int = DEFAULT_RES,
     line_id: str = "line_id",
     poly_id: str = "poly_id",
-    broadcast_polys: bool = True,
+    broadcast_polys: bool | str = True,
     match_cols: list[str] | None = None,
 ) -> DataFrame:
     """lines(line_id, geometry, attrs...) x polys(poly_id, geometry,
@@ -74,12 +74,15 @@ def overlay_lines_polygons(
     broadcast_polys=False is the big-polygon-table path: polygons are
     exploded to covering cells DISTRIBUTED, candidates come from a
     shuffled cell equi-join, and geometry is parsed inside the kernels
-    (same contract as points_in_polygons(broadcast_polys=False)).
+    (same contract as points_in_polygons(broadcast_polys=False));
+    "auto" probes the polygon side's row count and picks the path.
     """
     if how not in ("intersection", "difference", "union"):
         raise ValueError(how)
     match_cols = list(match_cols or [])
-    if not broadcast_polys:
+    from .spatial_join import resolve_broadcast
+
+    if not resolve_broadcast(polys, broadcast_polys):
         return _overlay_dist(lines, polys, how, res, line_id, poly_id, match_cols)
     spark = lines.sparkSession
 

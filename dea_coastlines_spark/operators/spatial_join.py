@@ -136,7 +136,7 @@ def points_in_polygons(
     x_col: str = "x",
     y_col: str = "y",
     point_id: str = "point_id",
-    broadcast_polys: bool = True,
+    broadcast_polys: bool | str = True,
 ) -> DataFrame:
     """Spatial containment join: point rows x polygon rows.
 
@@ -154,9 +154,10 @@ def points_in_polygons(
     inside the kernel. Either way the point side streams: one cell per
     point, refine is row-streaming mapInPandas, so the plan scales to
     10^12 points with no point-side replication and no per-key grouped
-    hotspot.
+    hotspot. broadcast_polys="auto" probes the polygon side's row count
+    (bounded LIMIT scan) and picks the path (resolve_broadcast).
     """
-    if not broadcast_polys:
+    if not resolve_broadcast(polys, broadcast_polys):
         return _points_in_polygons_dist(
             points, polys, res, how, x_col, y_col, point_id
         )
@@ -395,3 +396,17 @@ def salted(df: DataFrame, key_cols: list[str], salt_factor: int, id_col: str) ->
     cells'). Use as groupBy(*key_cols, 'salt') -> partial agg ->
     groupBy(*key_cols) -> final merge for salt-decomposable aggs."""
     return df.withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_factor)))
+
+
+def resolve_broadcast(polys: DataFrame, broadcast_polys, probe_rows: int = 20_000) -> bool:
+    """Resolve a broadcast_polys flag of True / False / "auto".
+
+    "auto" probes the polygon side with a row-LIMIT count (limit+count
+    is a cheap early-exit scan, never a full count at 100 TB): at or
+    under probe_rows the driver-side broadcast path wins (zero
+    shuffle); above it the distributed cell-explode path is the only
+    safe plan. Callers that know their table sizes should pass the
+    bool and skip the probe."""
+    if broadcast_polys == "auto":
+        return polys.limit(probe_rows + 1).count() <= probe_rows
+    return bool(broadcast_polys)

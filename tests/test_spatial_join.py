@@ -253,3 +253,14 @@ def test_knn_join_non_broadcast_matches_broadcast(spark):
     ka = sorted((r.point_id, r.feat_id, round(r.dist_m, 9)) for r in a.collect())
     kb = sorted((r.point_id, r.feat_id, round(r.dist_m, 9)) for r in b.collect())
     assert ka == kb and len(ka) > 100
+
+
+def test_broadcast_auto_resolution(spark):
+    from dea_coastlines_spark.operators.spatial_join import resolve_broadcast
+
+    small = spark.range(10)
+    big = spark.range(100)
+    assert resolve_broadcast(small, "auto", probe_rows=50) is True
+    assert resolve_broadcast(big, "auto", probe_rows=50) is False
+    assert resolve_broadcast(big, True) is True
+    assert resolve_broadcast(small, False) is False
