@@ -1444,6 +1444,41 @@ ORDER BY qu.user_id, qu.event_id
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min gap):
+    per-session bounds/counts/durations via one window + one
+    aggregation; oracle reproduces the lag/cumsum idiom in SQL."""
+    from ..operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return session_stats(e, gap_s=1800).orderBy("user_id", "session_seq")
+
+
+# per-timestamp FLOOR(epoch) mirrors Spark's timestamp->long cast
+# (truncation happens before the difference on both engines)
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts))) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 200),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(MAX(FLOOR(epoch(ts))) - MIN(FLOOR(epoch(ts))) AS BIGINT)
+         AS duration_s
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """WAV audio feature extraction over a deterministic synthetic clip
     set (sine mixtures keyed by events rows; rows-only: FFT has no SQL
@@ -1939,6 +1974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
     "audio_features": q_audio_features,
     "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1981,6 +2017,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "asof_join": ORACLE_ASOF_JOIN,
+    "sessionize": ORACLE_SESSIONIZE,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check

@@ -77,3 +77,27 @@ def test_asof_plan_no_nested_loop_one_key_shuffle(spark, sides):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "Join" not in plan  # pure window
+
+
+# ----------------------------------- sessionization (operators/sessions)
+
+
+def test_sessionize_gap_splits(spark):
+    from dea_coastlines_spark.operators.sessions import session_stats, sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=100)),
+        (1, t0 + dt.timedelta(seconds=2200)),   # > 1800 gap: new session
+        (1, t0 + dt.timedelta(seconds=2300)),
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = sessionize(df, gap_s=1800).orderBy("user_id", "ts").collect()
+    assert [r.session_seq for r in s] == [1, 1, 2, 2, 1]
+    st = {(r.user_id, r.session_seq): r for r in session_stats(df, gap_s=1800).collect()}
+    assert st[(1, 1)].n_events == 2 and st[(1, 1)].duration_s == 100
+    assert st[(1, 2)].n_events == 2 and st[(1, 2)].duration_s == 100
+    assert st[(2, 1)].n_events == 1 and st[(2, 1)].duration_s == 0
