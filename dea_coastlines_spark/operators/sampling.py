@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _M = 2**31 - 1
 
@@ -111,3 +112,31 @@ def mix_corpora(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    export: every row gets (shard, pos) from the same u01 hash chain —
+    the order is a pure function of (key, seed), so re-runs, resumed
+    jobs, and different partitionings write byte-identical shards.
+
+    shard = floor(u * n) gives near-equal shard sizes without a global
+    sort; pos ranks within the shard only (ONE shuffle on shard, each
+    shard sorts locally). Ties on u (distinct keys can collide in the
+    2^31 hash space) break on the key, keeping the order total and
+    deterministic."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    u = u01(key_col, seed)
+    with_shard = df.withColumn("_u", u).withColumn(
+        "shard", F.least(F.floor(F.col("_u") * n_shards), F.lit(n_shards - 1)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_u", key_col)
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w) - 1).drop("_u")
+    )

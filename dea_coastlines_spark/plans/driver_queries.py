@@ -1816,6 +1816,35 @@ FROM documents GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training export:
+    (shard, pos) is a pure function of (doc_id, seed) — re-runs and
+    re-partitionings produce byte-identical shards. Oracle runs the
+    same hash chain + window in SQL."""
+    from ..operators.sampling import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, "doc_id", n_shards=8, seed=13).orderBy(
+        "shard", "pos"
+    )
+
+
+def _shards_oracle() -> str:
+    from ..operators.sampling import u01_sql
+
+    u = u01_sql("doc_id", 13)
+    return f"""
+WITH s AS (
+  SELECT doc_id, {u} AS u,
+         LEAST(CAST(FLOOR({u} * 8) AS INT), 7) AS shard
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1
+            AS INT) AS pos
+FROM s ORDER BY shard, pos
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over a pair list -> keep-one dedup clusters
     (the transitive-closure stage downstream of every near-dup
@@ -1968,6 +1997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rates_regression": q_rates_regression,
     "crs_project": q_crs_project,
     "dedup_clusters": q_dedup_clusters,
+    "shuffle_shards": q_shuffle_shards,
     "stratified_sample": q_stratified_sample,
     "train_eval_split": q_train_eval_split,
     "pii_scrub": q_pii_scrub,
@@ -2012,6 +2042,7 @@ ORACLES: dict[str, str] = {
     "rates_regression": ORACLE_RATES_REGRESSION,
     "crs_project": ORACLE_CRS_PROJECT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "shuffle_shards": _shards_oracle(),
     "stratified_sample": _sampling_oracle(),
     "train_eval_split": _split_oracle(),
     "pii_scrub": ORACLE_PII_SCRUB,

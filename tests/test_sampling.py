@@ -113,3 +113,20 @@ def test_dedup_lines_first_occurrence_wins(spark):
     assert got[1] == ("gamma", 1)  # boilerplate seen in doc 0
     # gamma seen in doc 1; within-doc repeat of delta deduped too
     assert got[2] == ("delta", 1)
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    df = spark.range(8000).withColumnRenamed("id", "doc_id")
+    a = sampling.shuffle_shards(df, "doc_id", 4, seed=2).toPandas()
+    b = sampling.shuffle_shards(df.repartition(13), "doc_id", 4, seed=2).toPandas()
+    ka = a.sort_values(["shard", "pos"]).doc_id.tolist()
+    kb = b.sort_values(["shard", "pos"]).doc_id.tolist()
+    assert ka == kb  # partition-invariant total order
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 4 and sizes.min() > 0.8 * 2000  # near-equal shards
+    # pos is a dense 0..n-1 sequence within each shard
+    for _, g in a.groupby("shard"):
+        assert sorted(g.pos.tolist()) == list(range(len(g)))
+    # a different seed produces a different order
+    c = sampling.shuffle_shards(df, "doc_id", 4, seed=3).toPandas()
+    assert c.sort_values(["shard", "pos"]).doc_id.tolist() != ka
