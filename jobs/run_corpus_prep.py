@@ -1,0 +1,110 @@
+"""spark-submit entrypoint: raw documents parquet -> training-ready
+shards (the LLM-corpus preparation pipeline, beyond-reference surface).
+
+Stages, in order (each an engine operator, all one job):
+  1. PII scrub            (text.scrub_pii — JVM regexp chain)
+  2. quality filter       (text.with_quality, keep --keep-quality labels)
+  3. exact dedup          (first occurrence per content hash)
+  4. near-dup clustering  (MinHash LSH pairs -> connected components ->
+                           keep canonical member only)
+  5. stratified sampling  (per-language rates, deterministic hash)
+  6. shuffle + shard      (deterministic (shard, pos) training order)
+  7. write                parquet partitioned by shard
+
+    spark-submit --py-files dist/dea_coastlines_spark.zip \
+        jobs/run_corpus_prep.py --documents /data/docs.parquet \
+        --output /data/shards --n-shards 64 --keep-quality ok \
+        --rates en=0.5,de=0.25 --default-rate 0.05
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--documents", required=True, help="input parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--n-shards", type=int, default=16)
+    p.add_argument("--keep-quality", default="ok",
+                   help="comma list of quality labels to keep ('' = all)")
+    p.add_argument("--neardup-threshold", type=float, default=0.8)
+    p.add_argument("--rates", default="",
+                   help="lang=rate,... stratified sampling rates")
+    p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("dea-coastlines-spark:corpus-prep")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dea_coastlines_spark.operators.dedup import minhash_lsh_pairs
+    from dea_coastlines_spark.operators.graph import keep_canonical
+    from dea_coastlines_spark.operators.sampling import (
+        shuffle_shards,
+        stratified_sample,
+    )
+    from dea_coastlines_spark.operators.text import scrub_pii, with_quality
+
+    docs = spark.read.parquet(args.documents)
+    n_in = docs.count()
+
+    docs = scrub_pii(docs)
+    docs = with_quality(docs)
+    if args.keep_quality:
+        keep = [x.strip() for x in args.keep_quality.split(",")]
+        docs = docs.filter(F.col("quality").isin(keep))
+
+    # exact dedup: keep the lowest doc_id per exact content
+    docs = docs.withColumn("_chash", F.xxhash64("text"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_chash").orderBy("doc_id")
+    docs = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_chash")
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=args.neardup_threshold
+    ).select("id_a", "id_b")
+    docs = keep_canonical(docs, pairs)
+
+    rates = {}
+    if args.rates:
+        for kv in args.rates.split(","):
+            k, _, v = kv.partition("=")
+            rates[k.strip()] = float(v)
+    if rates or args.default_rate < 1.0:
+        docs = stratified_sample(
+            docs, "doc_id", "lang", rates,
+            seed=args.seed, default_fraction=args.default_rate,
+        )
+
+    sharded = shuffle_shards(docs, "doc_id", args.n_shards, seed=args.seed)
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.output)
+    )
+    n_out = spark.read.parquet(args.output).count()
+    print(json.dumps({"job": "corpus_prep", "n_in": n_in, "n_out": n_out,
+                      "n_shards": args.n_shards}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

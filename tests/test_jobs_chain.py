@@ -106,3 +106,52 @@ def test_job_chain(spark, chain_dirs, capsys):
     # the reference drops MultiPoint intersections — majority must match
     assert stats["overall"]["n"] >= 5
     assert stats["overall"]["mae"] < SPEC.res_m  # within one pixel
+
+
+def test_corpus_prep_job(spark, tmp_path, capsys):
+    import run_corpus_prep
+
+    docs_path = str(tmp_path / "docs")
+    out_path = str(tmp_path / "shards")
+    # corpus of genuinely distinct docs + planted exact/near duplicates
+    words = ["harbor", "glacier", "forest", "timber", "quartz", "meadow",
+             "breeze", "ember", "lantern", "orchid"]
+    rows = []
+    for i in range(30):
+        rows.append((
+            i,
+            f"document {i} about {words[i % 10]} and {words[(i * 3 + 1) % 10]} "
+            f"with unique vocabulary token alpha{i * 17} beta{i * 29} "
+            f"gamma{i * 7} delta{i * 11} epsilon{i * 13}",
+            "en",
+        ))
+    rows.append((100, rows[0][1], "en"))  # exact dup of doc 0
+    rows.append((101, rows[0][1].replace("alpha0", "alphaX"), "en"))  # near dup
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(docs_path)
+
+    assert run_corpus_prep.main([
+        "--documents", docs_path, "--output", out_path,
+        "--n-shards", "4", "--neardup-threshold", "0.8",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_in"] == 32
+    # exact dup and near dup both dropped; all originals survive
+    assert out["n_out"] == 30
+    sharded = spark.read.parquet(out_path)
+    assert sharded.select("shard").distinct().count() <= 4
+    assert 100 not in [r.doc_id for r in sharded.collect()]
+    # deterministic: rerun writes the identical (shard, pos) assignment
+    order1 = sorted(
+        (r.shard, r.pos, r.doc_id) for r in sharded.collect()
+    )
+    assert run_corpus_prep.main([
+        "--documents", docs_path, "--output", out_path + "2",
+        "--n-shards", "4", "--neardup-threshold", "0.8",
+    ]) == 0
+    order2 = sorted(
+        (r.shard, r.pos, r.doc_id)
+        for r in spark.read.parquet(out_path + "2").collect()
+    )
+    assert order1 == order2
