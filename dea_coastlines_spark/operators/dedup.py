@@ -329,12 +329,24 @@ def _pairwise_set_jaccard(
         id_col, "grp", F.col(set_col).alias("_s"), ordered.alias("_ord"), plen.alias("_p")
     )
     pref = sets.select(
-        id_col, "grp", F.explode(F.slice("_ord", 1, F.greatest("_p", F.lit(1)))).alias("_pg")
+        id_col, "grp", F.size("_s").alias("_sz"),
+        F.explode(F.slice("_ord", 1, F.greatest("_p", F.lit(1)))).alias("_pg"),
+    )
+    # length filter (PPJoin): J >= t forces min(|x|,|y|) >= t*max, so
+    # size-mismatched candidates are pruned before the verify join —
+    # recall-safe (epsilon absorbs the float product)
+    len_ok = (
+        F.col("_sza") >= F.lit(float(threshold)) * F.col("_szb") - F.lit(1e-9)
+    ) & (
+        F.col("_szb") >= F.lit(float(threshold)) * F.col("_sza") - F.lit(1e-9)
     )
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "grp", "_pg")
-        .join(pref.select(F.col(id_col).alias("id_b"), "grp", "_pg"), ["grp", "_pg"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pref.select(F.col(id_col).alias("id_a"), "grp", "_pg", F.col("_sz").alias("_sza"))
+        .join(
+            pref.select(F.col(id_col).alias("id_b"), "grp", "_pg", F.col("_sz").alias("_szb")),
+            ["grp", "_pg"],
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
         .select("id_a", "id_b")
         .distinct()
     )
