@@ -700,7 +700,7 @@ def q_ngram_jaccard(spark, sf_dir):
     expressions vs the same set algebra in DuckDB list functions."""
     from ..operators.dedup import word_ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    d = _t(spark, sf_dir, "documents")
     return word_ngram_jaccard_pairs(
         d, "text", "doc_id", n=2, threshold=0.5
     ).orderBy("id_a", "id_b")
@@ -711,7 +711,7 @@ WITH d AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
                      t -> t <> '') AS toks
-  FROM documents WHERE doc_id < 250
+  FROM documents
 ), g AS (
   SELECT doc_id,
     list_filter(
