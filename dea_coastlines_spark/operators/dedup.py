@@ -21,10 +21,21 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition RAW input rows up to default parallelism before an
+    expensive projection. Must run on the un-projected frame: a
+    repartition applied after the projection executes the projection
+    below the exchange — still single-threaded for a one-file input."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
 
 
 def _splitmix(z: np.ndarray) -> np.ndarray:
@@ -282,16 +293,26 @@ def _pairwise_set_jaccard(
     set_col); grp additionally blocks the pairing (lit(0) = unblocked,
     still scale-safe because the join key is (grp, prefix_element)).
 
-    Exact recall: order every set by one global total order (element
-    hash, ties by value); a pair with J >= t has overlap
-    o >= ceil(t/(1+t)*(|x|+|y|)) >= ceil(t*|x|) for each side (since
-    |y| >= t*|x| for qualifying pairs), and any two sets with overlap
-    >= a share an element within their (|x|-a+1)-prefixes. So joining
-    on exploded (size - ceil(t*size) + 1)-prefixes finds every
-    qualifying pair; exact intersect/union verify then makes precision
-    1.0. Candidate volume ~ sum of prefix-bucket squares, vs n^2 for
-    all-pairs. Thresholds on the UNROUNDED value (same order the DuckDB
-    oracles use), then rounds the reported value to 6 dp."""
+    Exact recall: order every set by one global total order; a pair
+    with J >= t has overlap o >= ceil(t/(1+t)*(|x|+|y|)) >= ceil(t*|x|)
+    for each side (since |y| >= t*|x| for qualifying pairs), and any two
+    sets with overlap >= a share an element within their
+    (|x|-a+1)-prefixes. So joining on exploded
+    (size - ceil(t*size) + 1)-prefixes finds every qualifying pair;
+    exact intersect/union verify then makes precision 1.0. Candidate
+    volume ~ sum of prefix-bucket squares, vs n^2 for all-pairs.
+
+    The total order is ASCENDING GLOBAL DOCUMENT FREQUENCY (ties by
+    element value) — the canonical AllPairs/PPJoin ordering: prefixes
+    then hold each set's RAREST elements, so candidate buckets stay
+    small. (Any total order preserves exact recall; a hash order puts
+    hot elements — "of the"-style n-grams — into prefixes, and those
+    buckets square: measured 13x slower at sf0.1.) Costs one extra
+    df-count aggregation + per-element join + per-set regroup — three
+    narrow shuffles that are linear in corpus size, vs the quadratic
+    hot-bucket blowup they remove. Thresholds on the UNROUNDED value
+    (same order the DuckDB oracles use), then rounds the reported value
+    to 6 dp."""
     if threshold <= 0:
         # t=0 means "every pair qualifies" — the OUTPUT is quadratic, so
         # prefix pruning is meaningless (and would drop empty-set pairs
@@ -308,29 +329,60 @@ def _pairwise_set_jaccard(
             .filter(F.col("_j") >= threshold)
             .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
         )
-    ordered = F.transform(
-        F.array_sort(
+    # Rarest-first ordering: explode ONCE, window-count the global df of
+    # each element (no second gram computation), regroup sorting by
+    # (df, element). Empty sets vanish at the explode — safe for t > 0,
+    # where an empty set can never reach the threshold (union > 0
+    # forces j = 0).
+    elems = base.select(id_col, "grp", F.explode(set_col).alias("_e"))
+    elems = elems.withColumn("_df", F.count("*").over(Window.partitionBy("_e")))
+    sets = (
+        elems.groupBy(id_col, "grp")
+        .agg(
             F.transform(
-                F.col(set_col),
-                lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")),
-            )
-        ),
-        lambda s: s["g"],
+                F.array_sort(F.collect_list(F.struct("_df", "_e"))),
+                lambda s: s["_e"],
+            ).alias("_ord")
+        )
     )
     # ceil(t*size) with an epsilon guard: a float product that lands
     # infinitesimally ABOVE the true integer would shorten the prefix
     # and break exact recall; erring long only costs candidates.
     plen = (
-        F.size(set_col)
-        - F.ceil(F.lit(float(threshold)) * F.size(set_col) - F.lit(1e-9))
+        F.size("_ord")
+        - F.ceil(F.lit(float(threshold)) * F.size("_ord") - F.lit(1e-9))
         + 1
     ).cast("int")
-    sets = base.select(
-        id_col, "grp", F.col(set_col).alias("_s"), ordered.alias("_ord"), plen.alias("_p")
+    # asymmetric INDEX prefix (PPJoin): when probing the larger set x
+    # against the smaller y, the required overlap alpha(x,y) =
+    # ceil(t/(1+t)*(|x|+|y|)) >= ceil(2t/(1+t)*|y|), so y only needs a
+    # (|y| - ceil(2t/(1+t)*|y|) + 1)-prefix in the index side — ~t/(2t)
+    # shorter than the probe prefix, cutting candidate volume ~half.
+    pilen = (
+        F.size("_ord")
+        - F.ceil(
+            F.lit(2.0 * float(threshold) / (1.0 + float(threshold)))
+            * F.size("_ord")
+            - F.lit(1e-9)
+        )
+        + 1
+    ).cast("int")
+    # sets feeds three join branches (prefix explode + both verify
+    # sides); Catalyst's ReuseExchange does not canonicalize the HOF
+    # lambdas inside, so without truncation the gram pipeline runs 3-4x.
+    # A lazy localCheckpoint materializes it once on first action.
+    sets = (
+        sets.withColumn("_p", plen)
+        .withColumn("_pi", pilen)
+        .localCheckpoint(eager=False)
     )
-    pref = sets.select(
-        id_col, "grp", F.size("_s").alias("_sz"),
-        F.explode(F.slice("_ord", 1, F.greatest("_p", F.lit(1)))).alias("_pg"),
+    probe = sets.select(
+        id_col, "grp", F.size("_ord").alias("_sz"),
+        F.posexplode(F.slice("_ord", 1, F.greatest("_p", F.lit(1)))).alias("_pos", "_pg"),
+    )
+    index = sets.select(
+        id_col, "grp", F.size("_ord").alias("_sz"),
+        F.posexplode(F.slice("_ord", 1, F.greatest("_pi", F.lit(1)))).alias("_pos", "_pg"),
     )
     # length filter (PPJoin): J >= t forces min(|x|,|y|) >= t*max, so
     # size-mismatched candidates are pruned before the verify join —
@@ -340,22 +392,53 @@ def _pairwise_set_jaccard(
     ) & (
         F.col("_szb") >= F.lit(float(threshold)) * F.col("_sza") - F.lit(1e-9)
     )
+    # positional filter (PPJoin, Xiao et al. WWW'08): a qualifying pair
+    # needs overlap alpha = ceil(t/(1+t) * (|x|+|y|)); both arrays are
+    # sorted by the same global order, so the FIRST shared element sits
+    # at the minimal position in both, bounding the total overlap by
+    # 1 + min(remaining suffix lengths). That first-shared-element join
+    # row always survives the filter, so exact recall is preserved while
+    # late-position hot-token rows — the quadratic bulk in templated
+    # corpora — are dropped before the distinct.
+    alpha = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("_sza") + F.col("_szb"))
+        - F.lit(1e-9)
+    )
+    pos_ok = (
+        F.lit(1) + F.least(F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb"))
+    ) >= alpha
+    # probe the lexicographically-larger (size, id) side against the
+    # smaller side's short index prefix: every qualifying pair has
+    # |y| <= |x| for exactly one orientation, so each is caught once.
+    smaller = (F.col("_szb") < F.col("_sza")) | (
+        (F.col("_szb") == F.col("_sza")) & (F.col("id_b") < F.col("id_a"))
+    )
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "grp", "_pg", F.col("_sz").alias("_sza"))
+        probe.select(
+            F.col(id_col).alias("id_a"), "grp", "_pg",
+            F.col("_sz").alias("_sza"), (F.col("_pos") + 1).alias("_pa"),
+        )
         .join(
-            pref.select(F.col(id_col).alias("id_b"), "grp", "_pg", F.col("_sz").alias("_szb")),
+            index.select(
+                F.col(id_col).alias("id_b"), "grp", "_pg",
+                F.col("_sz").alias("_szb"), (F.col("_pos") + 1).alias("_pb"),
+            ),
             ["grp", "_pg"],
         )
-        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
-        .select("id_a", "id_b")
+        .filter(smaller & len_ok & pos_ok)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
     j = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return (
-        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("_s").alias("_sa")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("_s").alias("_sb")), "id_b")
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("_ord").alias("_sa")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("_ord").alias("_sb")), "id_b")
         .withColumn("_j", j)
         .filter(F.col("_j") >= threshold)
         .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
@@ -372,7 +455,7 @@ def charset_jaccard_pairs(
     within-group all-pairs join (the char universe is small, so the
     prefix join is less selective here than for n-grams — the blocking
     key carries most of the pruning)."""
-    chars = df.select(
+    chars = _spread(df).select(
         F.col(id_col),
         F.col(group_col).alias("grp"),
         F.array_remove(
@@ -415,7 +498,7 @@ def word_ngram_jaccard_pairs(
         "",  # empty text degenerates to one empty gram; drop it so two
         # empty docs score 0.0, not 1.0
     )
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col),
         *([F.col(group_col).alias("grp")] if group_col else [F.lit(0).alias("grp")]),
         grams.alias("grams"),
