@@ -55,11 +55,21 @@ def asof_join(
         lu = left.withColumn("_uid", F.row_number().over(w_uid))
         b = asof_join(lu, right, on, by, "backward", right_cols, suffix)
         f = asof_join(lu, right, on, by, "forward", right_cols, "_fwd")
-        joined = b.join(
-            f.select(*lu.columns, f"{on}_fwd",
-                     *[c + "_fwd" for c in right_cols]),
-            lu.columns,
+        # null-safe (<=>) equality on every left column: plain SQL
+        # equality never matches NULLs, which would silently drop any
+        # left row carrying a NULL from the nearest output while the
+        # backward/forward legs keep it. EqualNullSafe is still an
+        # equi-join predicate, so the hash/sort-merge strategy holds.
+        f2 = f.select(
+            *[F.col(c).alias(f"_f_{c}") for c in lu.columns],
+            f"{on}_fwd",
+            *[c + "_fwd" for c in right_cols],
         )
+        cond = None
+        for c in lu.columns:
+            e = F.col(c).eqNullSafe(F.col(f"_f_{c}"))
+            cond = e if cond is None else (cond & e)
+        joined = b.join(f2, cond).drop(*[f"_f_{c}" for c in lu.columns])
         back_closer = F.when(
             F.col(f"{on}{suffix}").isNull(), F.lit(False)
         ).otherwise(

@@ -296,7 +296,15 @@ def shorelines_colocated(
     # time — rewrite the table and rebuild the plan to pick up new
     # sizes.
     pin_val = str(max(int(max_bytes) + (1 << 20), 8 << 20))
-    cache_key = (id(spark.sparkContext), pin_val)
+    # key on applicationId, not id(sparkContext): a stopped context's
+    # object id can be reused by a NEW context after GC, which would
+    # hand back a clone of the dead session. App ids are unique per
+    # context; entries from previous (dead) apps are evicted here so
+    # the memo never grows beyond one app's distinct file sizes.
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PINNED_SESSIONS if k[0] != app_id]:
+        del _PINNED_SESSIONS[k]
+    cache_key = (app_id, pin_val)
     pinned = _PINNED_SESSIONS.get(cache_key)
     if pinned is None:
         pinned = _SS(spark.sparkContext, spark._jsparkSession.cloneSession())

@@ -57,6 +57,7 @@ def connected_components_pairs(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_rounds):
         # propagate: each node's new label = min(own, neighbors' labels)
         nbr = (
@@ -81,7 +82,18 @@ def connected_components_pairs(
         changed = new_labels.filter("moved").limit(1).count()
         labels = new_labels.drop("moved")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exiting via the round cap means labels are still moving: one
+        # dup cluster would be silently split into several and
+        # keep_canonical would retain multiple members. Fail loudly,
+        # matching operators/components.py global_components.
+        raise RuntimeError(
+            f"connected_components_pairs did not converge within "
+            f"{max_rounds} rounds (graph diameter exceeds the cap); "
+            f"raise max_rounds"
+        )
     return labels.select(
         F.col("u").alias("node_id"), F.col("label").alias("cluster_id")
     )

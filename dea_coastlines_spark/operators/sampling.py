@@ -35,7 +35,11 @@ _M = 2**31 - 1
 def u01(key: Column | str, seed: int = 0) -> Column:
     """Deterministic uniform [0,1) from an integer key column."""
     k = F.col(key) if isinstance(key, str) else key
-    h0 = F.pmod(k.cast("long") + F.lit(int(seed)), F.lit(_M))
+    # reduce BEFORE adding: key + seed on the raw long overflows under
+    # ANSI mode for keys near Long.MAX (e.g. xxhash64-derived); after
+    # pmod both addends are < m so every intermediate is bounded.
+    # Identical result mod m, so existing samples are unchanged.
+    h0 = F.pmod(F.pmod(k.cast("long"), F.lit(_M)) + F.lit(int(seed) % _M), F.lit(_M))
     h1 = F.pmod(h0 * F.lit(48271), F.lit(_M))
     h2 = F.pmod(h1 * h1 + h1, F.lit(_M))
     h3 = F.pmod(h2 * F.lit(69621), F.lit(_M))
@@ -45,7 +49,9 @@ def u01(key: Column | str, seed: int = 0) -> Column:
 def u01_sql(key_expr: str, seed: int = 0) -> str:
     """The identical chain as ANSI SQL (DuckDB oracle half)."""
     m = _M
-    h0 = f"((({key_expr}) + {int(seed)}) % {m} + {m}) % {m}"
+    # mirrors u01's reduce-first chain: pmod(key) then add the reduced
+    # seed (both < m, sum < 2m — no overflow on either engine)
+    h0 = f"((((({key_expr}) % {m}) + {m}) % {m} + {int(seed) % _M}) % {m})"
     h1 = f"(({h0}) * 48271) % {m}"
     h2 = f"((({h1}) * ({h1})) + ({h1})) % {m}"
     h3 = f"(({h2}) * 69621) % {m}"

@@ -35,10 +35,20 @@ def dedup_stream(
     ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame -> streaming DataFrame with exact duplicates
-    (by xxhash64 over content_cols) removed, first occurrence kept.
-    Row order inside a micro-batch group follows batch order, so
-    "first" is deterministic per micro-batch arrival."""
-    keyed = docs.withColumn("_chash", F.xxhash64(*content_cols))
+    removed, first occurrence kept. Row order inside a micro-batch
+    group follows batch order, so "first" is deterministic per
+    micro-batch arrival.
+
+    Documents are equated by a 128-bit key: two independent 64-bit
+    xxhash64 values (the second salted with a distinct literal). A
+    single 64-bit key has a ~3e-5 birthday-collision probability by
+    10^7 rows and near-certain collisions at multi-billion-row scale —
+    each collision silently DROPS a distinct document. At 128 bits the
+    collision probability stays below 1e-18 past 10^10 rows, which is
+    the guarantee "exact" advertises here."""
+    keyed = docs.withColumn("_chash", F.xxhash64(*content_cols)).withColumn(
+        "_chash2", F.xxhash64(F.lit("\x00dedup-salt-2"), *content_cols)
+    )
     out_schema = docs.schema
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema.fields
@@ -56,7 +66,7 @@ def dedup_stream(
             if len(pdf) == 0:
                 continue
             if not seen and not emitted:
-                yield pdf.iloc[:1].drop(columns=["_chash"])
+                yield pdf.iloc[:1].drop(columns=["_chash", "_chash2"])
                 emitted = True
         if not seen:
             state.update((1,))
@@ -68,7 +78,7 @@ def dedup_stream(
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return keyed.groupBy("_chash").applyInPandasWithState(
+    return keyed.groupBy("_chash", "_chash2").applyInPandasWithState(
         update,
         outputStructType=fields,
         stateStructType="seen int",

@@ -65,15 +65,20 @@ def main(argv=None) -> int:
         keep = [x.strip() for x in args.keep_quality.split(",")]
         docs = docs.filter(F.col("quality").isin(keep))
 
-    # exact dedup: keep the lowest doc_id per exact content
-    docs = docs.withColumn("_chash", F.xxhash64("text"))
+    # exact dedup: keep the lowest doc_id per exact content. 128-bit
+    # key (two independent xxhash64) — a single 64-bit hash collides
+    # with near-certainty at multi-billion rows and every collision
+    # silently drops a distinct document.
+    docs = docs.withColumn("_chash", F.xxhash64("text")).withColumn(
+        "_chash2", F.xxhash64(F.lit("\x00dedup-salt-2"), "text")
+    )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("_chash").orderBy("doc_id")
+    w = Window.partitionBy("_chash", "_chash2").orderBy("doc_id")
     docs = (
         docs.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "_chash")
+        .drop("_rk", "_chash", "_chash2")
     )
 
     pairs = minhash_lsh_pairs(

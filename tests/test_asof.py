@@ -101,3 +101,24 @@ def test_sessionize_gap_splits(spark):
     assert st[(1, 1)].n_events == 2 and st[(1, 1)].duration_s == 100
     assert st[(1, 2)].n_events == 2 and st[(1, 2)].duration_s == 100
     assert st[(2, 1)].n_events == 1 and st[(2, 1)].duration_s == 0
+
+
+def test_nearest_keeps_null_left_rows(spark):
+    """ADVICE r2: nearest's backward/forward legs must join null-safely —
+    a NULL in any left column must not drop the row from nearest output."""
+    from dea_coastlines_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, 10, None), (1, 20, "x"), (2, 15, None)],
+        "key long, t long, note string",
+    )
+    rdf = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 22, 2.0), (2, 30, 3.0)],
+        "key long, t long, v double",
+    )
+    got = asof_join(ldf, rdf, on="t", by=["key"], direction="nearest").collect()
+    assert len(got) == 3  # the two NULL-note rows survive
+    m = {(r.key, r.t): r.v_r for r in got}
+    assert m[(1, 10)] == 1.0   # dist 2 back vs 12 fwd
+    assert m[(1, 20)] == 2.0   # dist 12 back vs 2 fwd
+    assert m[(2, 15)] == 3.0   # only fwd exists

@@ -73,3 +73,14 @@ def test_keep_canonical(spark):
     )
     # clusters {0,1,2} -> keep 0; {4,5} -> keep 4; 3 untouched
     assert kept == [0, 3, 4]
+
+
+def test_components_raise_on_round_cap(spark):
+    """ADVICE r2: exiting via the round cap means labels are still
+    moving — must raise, not silently return split clusters."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components_pairs(df, max_rounds=2).collect()

@@ -130,3 +130,23 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
     # a different seed produces a different order
     c = sampling.shuffle_shards(df, "doc_id", 4, seed=3).toPandas()
     assert c.sort_values(["shard", "pos"]).doc_id.tolist() != ka
+
+
+def test_u01_extreme_keys_no_ansi_overflow(spark):
+    """ADVICE r2: keys near Long.MAX (xxhash64-derived) must not throw
+    under ANSI mode; Spark chain must still bit-match the SQL oracle."""
+    import duckdb
+    from dea_coastlines_spark.operators.sampling import u01, u01_sql
+
+    keys = [2**63 - 1, 2**63 - 2, -(2**63), -1, 0, 7]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.u for r in df.select("k", u01("k", seed=13).alias("u")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        (exp,) = con.execute(
+            f"select {u01_sql(f'({k})::HUGEINT', seed=13)}"
+        ).fetchone()
+        assert abs(got[k] - exp) < 1e-15, (k, got[k], exp)
+        assert 0.0 <= got[k] < 1.0
