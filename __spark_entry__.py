@@ -54,4 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(driver_queries.ORACLES)
+    o = dict(driver_queries.ORACLES)
+    # lazy: synthesizes the deterministic phash corpus into a temp
+    # parquet the SQL reads, so DuckDB brute-forces the same input
+    o["phash_neardup"] = driver_queries.phash_oracle_sql()
+    return o

@@ -1388,6 +1388,75 @@ def q_phash_neardup(spark, sf_dir):
     return phash_neardup_pairs(tiles, max_hamming=6).orderBy("id_a", "id_b")
 
 
+def phash_oracle_sql() -> str:
+    """Full hash-verified oracle for q_phash_neardup: the corpus is a
+    deterministic function of CorpusSpec(seed=9), so write the same
+    (image_id, phash) rows to a temp parquet and let DuckDB brute-force
+    the hamming pairs over them — an independent check of the operator's
+    pigeonhole candidate generation AND bit_count(xor) verify. Called
+    lazily from oracle_sql() (not at import) because corpus synthesis
+    costs ~a second."""
+    import os
+    import tempfile
+
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    pdf = _corpus.generate_pandas(spec)[["image_id", "phash"]]
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_phash_oracle.parquet"
+    )
+    pdf.to_parquet(path, index=False)
+    return f"""
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM read_parquet('{path}') a
+JOIN read_parquet('{path}') b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup driven to completion (availableNow) over
+    the documents table as a file-source stream; returns the deduped
+    set, proving the stateful applyInPandasWithState path end-to-end.
+    Rows-only by design: stateful streaming has no SQL analog (the
+    batch-equivalence invariant — output ids == one survivor per
+    distinct text — is pinned by tests/test_streaming.py)."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..streaming.dedup_stream import dedup_stream
+
+    batch = _t(spark, sf_dir, "documents")
+    # the file stream source requires a DIRECTORY; expose the read-only
+    # table file through a temp dir symlink
+    src_dir = _tf.mkdtemp(prefix="sd_src_")
+    _os.symlink(
+        f"{sf_dir}/documents.parquet",
+        _os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = (
+        dedup_stream(stream, ["text"])
+        .writeStream.format("memory")
+        .queryName("q_streaming_dedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="sd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("q_streaming_dedup_mem")
+        .select("doc_id", "lang", "source", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     from ..operators.multimodal import decode_stats
     from ..synth import corpus as _corpus
@@ -1984,6 +2053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "phash_neardup": q_phash_neardup,
+    "streaming_dedup": q_streaming_dedup,
     "shorelines_in_aoi": q_shorelines_in_aoi,
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_ann_topk": q_lsh_ann_topk,
