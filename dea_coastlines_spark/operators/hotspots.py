@@ -188,7 +188,19 @@ def continental_hotspots(
     radii_m: tuple = (10000.0, 5000.0, 1000.0),
 ) -> DataFrame:
     """The reference's per-radius hotspot loop (continental.py:262):
-    one unioned table with a radius_m column, WMS fields attached."""
+    one unioned table with a radius_m column, WMS fields attached.
+
+    The three inputs are typically the tails of expensive pipelines
+    (raster->vector shorelines, transect rates); without pinning, each
+    radius re-derives all of them — 3x the upstream plan (r2 plan audit:
+    30 Exchanges / 30 Python stages). Persist them once so every radius
+    branch reads the materialized tables; output is byte-identical
+    (pinned by tests), the plan collapses to ~1x upstream + 3 cheap
+    radius branches. MEMORY_AND_DISK default keeps this spill-safe at
+    continental scale."""
+    shorelines = shorelines.persist()
+    rate_points = rate_points.persist()
+    signed_dists = signed_dists.persist()
     out = None
     for r in radii_m:
         h = with_wms_fields(
