@@ -29,13 +29,51 @@ def read_csv_survey(
     path: str,
     schema: str = SURVEY_SCHEMA,
     timestamp_format: str = "yyyy-MM-dd",
+    dms_cols: list[str] | None = None,
 ) -> DataFrame:
-    return (
+    """dms_cols: survey columns holding DMS coordinate strings (read as
+    string in `schema`) to convert to decimal degrees in-place."""
+    df = (
         spark.read.schema(schema)
         .option("header", "true")
         .option("timestampFormat", timestamp_format)
         .csv(path)
     )
+    for c in dms_cols or []:
+        df = df.withColumn(c, dms2dd(c))
+    return df
+
+
+def dms2dd(col) -> "F.Column":
+    """Degrees-minutes-seconds coordinate string -> decimal degrees,
+    JVM-only (regex + array expressions, codegen-friendly, no Python).
+
+    Port of the reference's `dms2dd` (coastlines/validation.py:212-219):
+    `0°51'56.29` -> 0.8656...; a negative degrees field subtracts the
+    minute/second terms (`-33°42'12"` -> -33.70333). Extended beyond the
+    reference for real survey CSVs: minutes/seconds may be omitted, and
+    a trailing hemisphere letter is honored (S/W negate: `33°42'S` ->
+    -33.7). Malformed strings yield NULL (try_cast), not a job abort.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.trim(F.col(col) if isinstance(col, str) else col)
+    hemi = F.upper(F.regexp_extract(s, r"([NSEWnsew])\s*$", 1))
+    body = F.regexp_replace(s, r"\s*[NSEWnsew]\s*$", "")
+    parts = F.filter(
+        F.split(body, r"[^0-9+.\-]+"), lambda x: x != ""
+    )
+    num = lambda i: F.try_element_at(parts, F.lit(i)).try_cast("double")  # noqa: E731
+    deg = num(1)
+    mins = F.when(F.size(parts) >= 2, F.coalesce(num(2), F.lit(0.0))).otherwise(0.0)
+    secs = F.when(F.size(parts) >= 3, F.coalesce(num(3), F.lit(0.0))).otherwise(0.0)
+    frac = mins / 60.0 + secs / 3600.0
+    # reference sign rule: degrees > 0 adds the fraction, else (zero or
+    # negative degrees) subtracts — bit-matching validation.py:215-218
+    dd = F.when(deg > 0, deg + frac).otherwise(deg - frac)
+    return F.when(
+        hemi.isin("S", "W"), -F.abs(dd)
+    ).when(hemi.isin("N", "E"), F.abs(dd)).otherwise(dd)
 
 
 def write_geojson(
@@ -75,7 +113,8 @@ def write_geojson(
     if n > max_rows:
         raise ValueError(
             f"GeoJSON export capped at {max_rows} rows (got {n}); "
-            "use SnapshotTable for data-plane output"
+            "use write_geojsonseq (distributed) or SnapshotTable for "
+            "data-plane output"
         )
     feats = [r.feature for r in df.mapInPandas(to_features, "feature string").collect()]
     with open(path, "w") as f:
@@ -83,3 +122,62 @@ def write_geojson(
         f.write(",\n".join(feats))
         f.write("\n]}\n")
     return len(feats)
+
+
+def write_geojsonseq(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Distributed newline-delimited GeoJSON (RFC 8142 GeoJSONSeq)
+    export: every executor writes its own part files — no driver
+    collect, no row cap — so continental/100 TB-scale vector exports
+    stay on the data plane. `partition_by` produces one directory per
+    key (e.g. per H3 cell or per year), the layout GDAL/tippecanoe
+    consume shard-parallel; `ogrmerge.py -single out/*.geojsonl` (or
+    the engine's external-merge reader) reassembles a single layer.
+
+    Feature building is the same Arrow kernel as write_geojson (WKB
+    parse = numpy slicing, JVM-side text write). Returns the feature
+    count (one extra count job; the write itself is lazy-scheduled)."""
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+
+    part_cols = list(partition_by or [])
+    attr_cols = [c for c in df.columns if c != geometry_col]
+
+    def to_features(batches):
+        for pdf in batches:
+            feats = []
+            for i in range(len(pdf)):
+                geom = _wkb.to_geojson_dict(bytes(pdf[geometry_col].iloc[i]))
+                props = {}
+                for c in attr_cols:
+                    v = pdf[c].iloc[i]
+                    if hasattr(v, "item"):
+                        v = v.item()
+                    props[c] = v
+                feats.append(
+                    json.dumps(
+                        {"type": "Feature", "geometry": geom,
+                         "properties": props},
+                        sort_keys=True,
+                    )
+                )
+            out = {"value": feats}
+            for c in part_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out, columns=["value"] + part_cols)
+
+    schema = "value string" + "".join(
+        f", `{c}` {df.schema[c].dataType.simpleString()}" for c in part_cols
+    )
+    n = df.count()
+    feats = df.mapInPandas(to_features, schema)
+    writer = feats.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.text(path)
+    return n

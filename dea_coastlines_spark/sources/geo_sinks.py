@@ -144,6 +144,11 @@ def write_gpkg(
     (vector_schema(df) by default): float:w.p rounds to p decimals,
     str:w truncates, int:* casts."""
     schema = schema or vector_schema(df, geometry_col=geometry_col)
+    if "fid" in df.columns:
+        raise ValueError(
+            "'fid' is the GeoPackage feature-id primary key; rename the "
+            "column before export"
+        )
     attr_cols, rows = _collect_rows(df, geometry_col, max_rows)
     gtypes = {_wkb.geom_type(g) for g, _ in rows}
     gname = _GPKG_TYPE[gtypes.pop()] if len(gtypes) == 1 else "GEOMETRY"
@@ -239,6 +244,75 @@ def write_gpkg(
     finally:
         con.close()
     return len(rows)
+
+
+def write_layer_styles(
+    path: str,
+    styles: list[dict],
+) -> int:
+    """Append a QGIS `layer_styles` table to an existing GeoPackage —
+    parity with the reference's styled continental artifact
+    (continental.py:413-415 writes STYLES_FILE rows as layer
+    "layer_styles"; schema is the de-facto QGIS one, readable by
+    gpd.read_file / QGIS "load style from database").
+
+    Each style dict: {"layer": feature table name, "style_name": ...,
+    "qml": QML XML string, "sld": SLD XML string (optional),
+    "use_as_default": bool (default True), "description": optional,
+    "geometry_col": optional (default "geometry")}. Returns the number
+    of style rows written. Idempotent per (layer, style_name): existing
+    rows for the same key are replaced."""
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS layer_styles ("
+            "id INTEGER PRIMARY KEY AUTOINCREMENT, "
+            "f_table_catalog TEXT(256), f_table_schema TEXT(256), "
+            "f_table_name TEXT(256), f_geometry_column TEXT(256), "
+            "styleName TEXT(30), styleQML TEXT, styleSLD TEXT, "
+            "useAsDefault BOOLEAN, description TEXT, owner TEXT(30), "
+            "ui TEXT(30), update_time DATETIME NOT NULL DEFAULT "
+            "(strftime('%Y-%m-%dT%H:%M:%fZ','now')))"
+        )
+        # register as an attributes (non-spatial) table once
+        cur.execute(
+            "SELECT 1 FROM gpkg_contents WHERE table_name='layer_styles'"
+        )
+        if cur.fetchone() is None:
+            cur.execute(
+                "INSERT INTO gpkg_contents (table_name, data_type, "
+                "identifier, srs_id) VALUES ('layer_styles', 'attributes', "
+                "'layer_styles', 0)"
+            )
+        n = 0
+        for st in styles:
+            layer = st["layer"]
+            name = st.get("style_name", layer)
+            cur.execute(
+                "DELETE FROM layer_styles WHERE f_table_name=? AND styleName=?",
+                (layer, name),
+            )
+            cur.execute(
+                "INSERT INTO layer_styles (f_table_catalog, f_table_schema, "
+                "f_table_name, f_geometry_column, styleName, styleQML, "
+                "styleSLD, useAsDefault, description, owner, ui) "
+                "VALUES ('', '', ?, ?, ?, ?, ?, ?, ?, '', NULL)",
+                (
+                    layer,
+                    st.get("geometry_col", "geometry"),
+                    name,
+                    st.get("qml", ""),
+                    st.get("sld", ""),
+                    bool(st.get("use_as_default", True)),
+                    st.get("description"),
+                ),
+            )
+            n += 1
+        con.commit()
+    finally:
+        con.close()
+    return n
 
 
 # -------------------------------------------------------------- Shapefile

@@ -217,3 +217,45 @@ def test_shp_mixed_types_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixed"):
         geo_sinks.write_shp(df, str(tmp_path / "bad"))
+
+
+def test_gpkg_layer_styles(vec_df, tmp_path):
+    """layer_styles parity with the reference's styled GeoPackage
+    (continental.py:413-415): the QGIS-schema table exists, is listed in
+    gpkg_contents as attributes, rows read back, and re-writing the same
+    (layer, styleName) replaces instead of duplicating."""
+    import sqlite3
+
+    path = str(tmp_path / "styled.gpkg")
+    geo_sinks.write_gpkg(vec_df, path, layer="shorelines_annual", srs_id=3577)
+    qml = '<!DOCTYPE qgis><qgis version="3.28"><renderer-v2 type="singleSymbol"/></qgis>'
+    n = geo_sinks.write_layer_styles(
+        path,
+        [{"layer": "shorelines_annual", "style_name": "shorelines_annual",
+          "qml": qml, "description": "annual shoreline style"}],
+    )
+    assert n == 1
+    con = sqlite3.connect(path)
+    try:
+        rows = con.execute(
+            "SELECT f_table_name, f_geometry_column, styleName, styleQML, "
+            "useAsDefault FROM layer_styles"
+        ).fetchall()
+        assert rows == [("shorelines_annual", "geometry",
+                         "shorelines_annual", qml, 1)]
+        (dt,) = con.execute(
+            "SELECT data_type FROM gpkg_contents WHERE table_name='layer_styles'"
+        ).fetchone()
+        assert dt == "attributes"
+    finally:
+        con.close()
+    # idempotent per (layer, styleName)
+    geo_sinks.write_layer_styles(
+        path, [{"layer": "shorelines_annual", "qml": qml}]
+    )
+    con = sqlite3.connect(path)
+    try:
+        (cnt,) = con.execute("SELECT count(*) FROM layer_styles").fetchone()
+        assert cnt == 1
+    finally:
+        con.close()

@@ -250,3 +250,93 @@ def test_load_config(tmp_path):
     py = tmp_path / "run.yaml"
     py.write_text("min_vertices: 7\n")
     assert load_config(str(py))["min_vertices"] == 7
+
+
+def test_dms2dd_parity_and_hemispheres(spark):
+    """dms2dd matches the reference's float chain (validation.py:212-219)
+    on its own form, honors S/W/N/E hemisphere letters, tolerates
+    missing seconds, and NULLs malformed strings."""
+    import re as _re
+
+    from dea_coastlines_spark.sources.files import dms2dd
+
+    def ref_dms2dd(s):
+        degrees, minutes, seconds = _re.split("[°'\"]+", s)
+        if float(degrees) > 0:
+            return float(degrees) + float(minutes) / 60 + float(seconds) / 3600
+        return float(degrees) - float(minutes) / 60 - float(seconds) / 3600
+
+    # the reference splits into exactly three fields, so its own form
+    # has no trailing seconds mark: "0°51'56.29"
+    ref_forms = ["0°51'56.29", "33°42'12.5", "-33°42'12.5",
+                 "151°12'0", "-0°30'0"]
+    rows = [(s,) for s in ref_forms] + [
+        ('33°42\'12.5"S',), ('151°12\'30"E',), ('33°42\'S',),
+        ('117°53\'W',), ('12°30\'N',), ("garbage",),
+    ]
+    df = spark.createDataFrame(rows, "dms string")
+    got = {r.dms: r.dd for r in df.select("dms", dms2dd("dms").alias("dd")).collect()}
+    for s in ref_forms:
+        assert abs(got[s] - ref_dms2dd(s)) < 1e-12, s
+    assert abs(got['33°42\'12.5"S'] + (33 + 42 / 60 + 12.5 / 3600)) < 1e-12
+    assert abs(got['151°12\'30"E'] - (151 + 12 / 60 + 30 / 3600)) < 1e-12
+    assert abs(got["33°42'S"] + (33 + 42 / 60)) < 1e-12
+    assert abs(got["117°53'W"] + (117 + 53 / 60)) < 1e-12
+    assert abs(got["12°30'N"] - (12 + 30 / 60)) < 1e-12
+    assert got["garbage"] is None
+
+
+def test_geojsonseq_distributed_export(spark, tmp_path):
+    """write_geojsonseq handles row counts the single-file GeoJSON sink
+    refuses, with no driver collect: >100k point features written as
+    partitioned newline-delimited GeoJSON and read back line-parseable."""
+    import json as _json
+
+    import pandas as pd
+    import pytest
+
+    from dea_coastlines_spark.geometry import wkb as _wkb
+    from dea_coastlines_spark.sources.files import (
+        write_geojson,
+        write_geojsonseq,
+    )
+
+    n = 120_000
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "feat_id": ids,
+                    "cell": (ids % 8).astype("int64"),
+                    "geometry": [
+                        _wkb.point(float(i % 1000), float(i // 1000))
+                        for i in ids
+                    ],
+                }
+            )
+
+    df = spark.range(n).mapInPandas(
+        gen, "feat_id long, cell long, geometry binary"
+    )
+    with pytest.raises(ValueError, match="capped"):
+        write_geojson(df, str(tmp_path / "too_big.geojson"))
+
+    out = str(tmp_path / "seq")
+    wrote = write_geojsonseq(df, out, partition_by=["cell"])
+    assert wrote == n
+    back = spark.read.text(out)
+    assert back.count() == n
+    # partition layout: one directory per cell value
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(out) if d.startswith("cell=")
+    )
+    assert parts == [f"cell={i}" for i in range(8)]
+    line = back.limit(1).collect()[0].value
+    feat = _json.loads(line)
+    assert feat["type"] == "Feature"
+    assert feat["geometry"]["type"] == "Point"
+    assert "feat_id" in feat["properties"]
