@@ -345,6 +345,31 @@ FROM part WHERE p_partkey < 300 ORDER BY p_partkey
 """
 
 
+def q_tz_convert(spark, sf_dir):
+    """UTC -> local timezone scalar (reference validation.py:2597:
+    tz_localize('UTC').tz_convert('Australia/Canberra')) via the JVM
+    from_utc_timestamp; formatted to a string so the hash compare is
+    engine-independent (DST-carrying: Jan events render at AEDT +11)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), "Australia/Canberra"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("local_ts"),
+    ).orderBy("event_id")
+
+
+ORACLE_TZ_CONVERT = """
+SELECT event_id,
+       strftime(timezone('Australia/Canberra', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS local_ts
+FROM events WHERE event_id < 500 ORDER BY event_id
+"""
+
+
 def q_certainty_cascade(spark, sf_dir):
     """Sequential-overwrite CASE cascade where LATER rules win (the
     reference applies flags in order, vector.py:1549-1580 — replicated
@@ -2037,6 +2062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "set_ops": q_set_ops,
     "scalar_funcs": q_scalar_funcs,
+    "tz_convert": q_tz_convert,
     "certainty_cascade": q_certainty_cascade,
     "conditional_coalesce": q_conditional_coalesce,
     "top1_crs_vote": q_top1_crs_vote,
@@ -2095,6 +2121,7 @@ ORACLES: dict[str, str] = {
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "set_ops": ORACLE_SET_OPS,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
+    "tz_convert": ORACLE_TZ_CONVERT,
     "certainty_cascade": ORACLE_CERTAINTY,
     "conditional_coalesce": ORACLE_COALESCE,
     "top1_crs_vote": ORACLE_TOP1_VOTE,
