@@ -88,12 +88,17 @@ def hotspots(
     res = DEFAULT_RES
     while res > 1 and _cells.cell_size_m(res) < radius_m / 2:
         res -= 1
+    # pairs feeds BOTH the per-year median and the member-count branch;
+    # unpersisted, the whole radius join (cell cover + refine kernel)
+    # executes twice. Bounded size: one row per (member point, center).
     pairs = radius_join(
         rate_points.select("point_id", "x", "y"),
         centers_feat,
         radius_m=radius_m,
         res=res,
-    ).select("point_id", F.col("feat_id").cast("long").alias("hotspot_id"))
+    ).select(
+        "point_id", F.col("feat_id").cast("long").alias("hotspot_id")
+    ).persist()
 
     # per (hotspot, year): exact median of member-point signed distances
     med = (
