@@ -171,13 +171,17 @@ def main() -> None:
         "cpus": cpus,
         "tiles_per_sec": tiles_per_sec,
         # contamination stamps: a run recorded under co-tenant CPU steal
-        # reads 2-3x high; graders should prefer quiet=true runs
+        # reads 2-3x high; graders should prefer quiet=true runs.
+        # load_end is dominated by the bench's OWN 32-thread Spark work,
+        # so quiet is judged on the pre-run load and the steal fraction
+        # measured ACROSS the run (external contention only).
         "load_start": load_start,
         "load_end": load_end,
         "steal_pct": steal_pct,
         "quiet": (
-            load_start is not None and load_end is not None
-            and load_start <= max_load and load_end <= 2 * max_load
+            load_start is not None
+            and load_start <= max_load
+            and (steal_pct is None or steal_pct < 2.0)
         ),
     }
     print(json.dumps(out))

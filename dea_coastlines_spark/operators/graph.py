@@ -7,15 +7,21 @@ cluster (the standard keep-one policy in training-data dedup).
 
 Spark shape: iterative min-label propagation on the edge list —
   label(u) <- min(label(u), min_{(u,v) in E} label(v))
-repeated until a fixed point. Each round is one join + one map-side-
-combinable min aggregation (2 shuffles); rounds = graph diameter.
+— followed by a POINTER-JUMPING shortcut each round —
+  label(u) <- label(label(u))
+repeated until a fixed point. Each round is two joins + min
+aggregations (a constant number of shuffles); the shortcut halves the
+remaining label-chain depth every round, so rounds = O(log diameter)
+instead of O(diameter) — a path graph of 10^6 nodes converges in ~20
+rounds, not 10^6 (the Shiloach-Vishkin / large-star contraction idea).
 Near-dup graphs are dense clusters with tiny diameters (LSH verify
-emits near-cliques), so convergence is typically 2-4 rounds; the
-round cap guards pathological chains. Each round's labels are
-localCheckpoint()ed — caching alone is NOT enough for iterative
-plans: the logical plan doubles per round (labels referenced twice)
-and plan construction itself OOMs by round ~30; checkpointing
-truncates lineage so both plan size and memory stay O(V).
+emits near-cliques), so convergence is typically 2-4 rounds either
+way; the shortcut is what keeps pathological chains inside the round
+cap at corpus scale. Each round's labels are localCheckpoint()ed —
+caching alone is NOT enough for iterative plans: the logical plan
+doubles per round (labels referenced twice) and plan construction
+itself OOMs by round ~30; checkpointing truncates lineage so both
+plan size and memory stay O(V).
 
 This is the same seam-equivalence/min-label machinery as the raster
 components operator (operators/components.py) specialized to an
@@ -65,17 +71,32 @@ def connected_components_pairs(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        prop = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jumping: label(u) <- label(label(u)). Labels always
+        # point at smaller-or-equal node ids, so chasing one extra hop
+        # per round halves the remaining chain depth — O(log diameter)
+        # rounds total (the Shiloach-Vishkin shortcut). The self-join
+        # keys the probe side on `label`, hot inside large converged
+        # clusters; AQE skew-join splits those partitions (the build
+        # side is unique per node id).
+        lab2 = prop.select(
+            F.col("u").alias("_lt"), F.col("label").alias("_l2")
+        )
         # carry a `moved` flag so convergence costs no extra join: the
         # checkpointed round output already knows whether it changed
+        jumped = F.least("label", F.coalesce("_l2", "label"))
         new_labels = (
-            labels.join(nbr, "u", "left")
+            prop.join(lab2, F.col("label") == F.col("_lt"), "left")
+            .join(
+                labels.select("u", F.col("label").alias("_old")), "u"
+            )
             .select(
                 "u",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-                (
-                    F.least("label", F.coalesce("nbr_label", "label"))
-                    != F.col("label")
-                ).alias("moved"),
+                jumped.alias("label"),
+                (jumped != F.col("_old")).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )

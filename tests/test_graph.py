@@ -84,3 +84,14 @@ def test_components_raise_on_round_cap(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components_pairs(df, max_rounds=2).collect()
+
+
+def test_components_log_rounds_on_long_chain(spark):
+    """Pointer jumping converges a 1,000-node path in O(log n) rounds —
+    plain min-label propagation would need ~1,000."""
+    n = 1000
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = graph.connected_components_pairs(df, max_rounds=15).collect()
+    assert all(r.cluster_id == 0 for r in got)
+    assert {r.node_id for r in got} == set(range(n + 1))
