@@ -169,9 +169,18 @@ def main() -> int:
         n_tiles = synth_corpus(tiles_path, args.high)
         runs: dict[int, list[dict]] = {args.low: [], args.high: []}
         # interleave lo/hi so slow host-steal episodes hit both levels
-        # rather than biasing one
+        # rather than biasing one; wait out loud host windows before
+        # each measurement (same discipline as bench.py)
+        from bench import _load1, _wait_for_quiet
+
+        loads = []
         for _ in range(max(args.repeats, 1)):
             for cpus in (args.low, args.high):
+                _wait_for_quiet(
+                    float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.0")),
+                    float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120")),
+                )
+                loads.append(_load1())
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--worker", str(cpus), "--tiles-path", tiles_path],
@@ -213,6 +222,7 @@ def main() -> int:
             },
             "target": 0.8,
             "pass": eff >= 0.8,
+            "load_before_each_run": loads,
         }
         print(json.dumps(summary))
         os.makedirs(args.out_dir, exist_ok=True)
