@@ -130,6 +130,44 @@ def _gpkg_blob(wkb_bytes: bytes, srs_id: int) -> bytes:
     )
 
 
+def _create_gpkg_metadata(cur, srs_id: int) -> None:
+    """Fresh-file GeoPackage boilerplate: pragmas, srs table,
+    gpkg_contents, gpkg_geometry_columns (OGC GeoPackage 1.2)."""
+    cur.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+    cur.execute("PRAGMA user_version = 10200")  # GeoPackage 1.2
+    cur.execute(
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
+        "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
+        "organization_coordsys_id INTEGER NOT NULL, definition TEXT "
+        "NOT NULL, description TEXT)"
+    )
+    cur.executemany(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+        [
+            ("Undefined cartesian SRS", -1, "NONE", -1, "undefined"),
+            ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
+            (
+                f"EPSG:{srs_id}", srs_id, "EPSG", srs_id,
+                _WKT.get(srs_id, "undefined"),
+            ),
+        ],
+    )
+    cur.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
+        "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
+        "description TEXT DEFAULT '', last_change DATETIME NOT NULL "
+        "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, "
+        "min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+    )
+    cur.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
+        "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
+        "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT "
+        "NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, "
+        "column_name))"
+    )
+
+
 def write_gpkg(
     df: DataFrame,
     path: str,
@@ -138,11 +176,14 @@ def write_gpkg(
     srs_id: int = 3577,
     schema: dict[str, str] | None = None,
     max_rows: int = 100_000,
+    append: bool = False,
 ) -> int:
     """Write a WKB-geometry DataFrame as a GeoPackage feature layer.
     Returns the feature count. `schema` pins export dtypes/precision
     (vector_schema(df) by default): float:w.p rounds to p decimals,
-    str:w truncates, int:* casts."""
+    str:w truncates, int:* casts. `append=True` adds the layer to an
+    existing GeoPackage (multi-layer artifact, reference OUTPUT_GPKG
+    shape) instead of recreating the file."""
     schema = schema or vector_schema(df, geometry_col=geometry_col)
     if "fid" in df.columns:
         raise ValueError(
@@ -153,44 +194,26 @@ def write_gpkg(
     gtypes = {_wkb.geom_type(g) for g, _ in rows}
     gname = _GPKG_TYPE[gtypes.pop()] if len(gtypes) == 1 else "GEOMETRY"
 
-    if os.path.exists(path):
+    appending = append and os.path.exists(path)
+    if os.path.exists(path) and not appending:
         os.remove(path)
     con = sqlite3.connect(path)
     try:
         cur = con.cursor()
-        cur.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
-        cur.execute("PRAGMA user_version = 10200")  # GeoPackage 1.2
-        cur.execute(
-            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
-            "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
-            "organization_coordsys_id INTEGER NOT NULL, definition TEXT "
-            "NOT NULL, description TEXT)"
-        )
-        cur.executemany(
-            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
-            [
-                ("Undefined cartesian SRS", -1, "NONE", -1, "undefined"),
-                ("Undefined geographic SRS", 0, "NONE", 0, "undefined"),
-                (
-                    f"EPSG:{srs_id}", srs_id, "EPSG", srs_id,
-                    _WKT.get(srs_id, "undefined"),
-                ),
-            ],
-        )
-        cur.execute(
-            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
-            "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
-            "description TEXT DEFAULT '', last_change DATETIME NOT NULL "
-            "DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, "
-            "min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
-        )
-        cur.execute(
-            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
-            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
-            "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT "
-            "NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, "
-            "column_name))"
-        )
+        if appending:
+            ex = cur.execute(
+                "SELECT 1 FROM gpkg_contents WHERE table_name = ?", (layer,)
+            ).fetchone()
+            if ex:
+                raise ValueError(f"layer {layer!r} already exists in {path}")
+            cur.execute(
+                "INSERT OR IGNORE INTO gpkg_spatial_ref_sys "
+                "VALUES (?,?,?,?,?,NULL)",
+                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id,
+                 _WKT.get(srs_id, "undefined")),
+            )
+        else:
+            _create_gpkg_metadata(cur, srs_id)
         col_defs = []
         for c in attr_cols:
             kind, _, _ = _parse_spec(schema.get(c, "float:8.2"))

@@ -23,6 +23,12 @@ def main(argv=None) -> int:
     p.add_argument("--baseline-year", type=int, required=True)
     p.add_argument("--radii", default="10000,5000,1000")
     p.add_argument("--no-tide-filter", action="store_true")
+    p.add_argument("--gpkg", default=None,
+                   help="also export hotspot layers to one styled OGC "
+                        "GeoPackage (reference OUTPUT_GPKG artifact)")
+    p.add_argument("--no-styles", action="store_true",
+                   help="skip the QGIS layer_styles table "
+                        "(reference --no-include-styles)")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from pyspark.sql import SparkSession
@@ -59,12 +65,70 @@ def main(argv=None) -> int:
     else:
         table.overwrite_partitions(hs)
     n = table.read().count()
+
+    n_layers = 0
+    if args.gpkg:
+        # styled GeoPackage artifact (reference continental.py:336-358:
+        # one hotspots_zoom_* point layer per radius, plus the QGIS
+        # layer_styles table, :413-415). Layer index mirrors the
+        # reference's zoom numbering: widest radius = zoom 1.
+        import pandas as pd
+
+        from dea_coastlines_spark.geometry import wkb as _wkb
+        from dea_coastlines_spark.sources import geo_sinks
+        from pyspark.sql import functions as F
+
+        def _points(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                out["geometry"] = [
+                    _wkb.point(x, y) for x, y in zip(pdf["x"], pdf["y"])
+                ]
+                yield out.drop(columns=["x", "y"])
+
+        styles = []
+        for i, r in enumerate(radii):
+            layer = f"hotspots_zoom_{i + 1}"
+            sub = table.read().filter(F.col("radius_m") == r)
+            fields = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in sub.schema.fields
+                if f.name not in ("x", "y")
+            )
+            gdf = sub.mapInPandas(_points, fields + ", geometry binary")
+            geo_sinks.write_gpkg(
+                gdf, args.gpkg, layer=layer,
+                # first layer creates the file; later layers appended
+                **({} if i == 0 else {"append": True}),
+            )
+            styles.append({
+                "layer": layer,
+                "qml": _HOTSPOT_QML,
+                "description": f"hotspots radius {r:g} m",
+            })
+            n_layers += 1
+        if not args.no_styles:
+            geo_sinks.write_layer_styles(args.gpkg, styles)
+
     dt = time.perf_counter() - t0
     print(json.dumps({
         "job": "continental", "n_tiles": n_tiles, "n_hotspots": n,
         "radii": list(radii), "sec": round(dt, 3),
+        "gpkg_layers": n_layers,
     }))
     return 0
+
+
+# minimal graduated-symbol QML: enough for QGIS to auto-load a style
+# from the database (shape parity with the reference's styles.csv rows,
+# whose content is its own artifact and is not copied)
+_HOTSPOT_QML = (
+    '<!DOCTYPE qgis PUBLIC "http://mrcc.com/qgis.dtd" "SYSTEM">'
+    '<qgis version="3.28"><renderer-v2 type="singleSymbol">'
+    '<symbols><symbol type="marker" name="0"><layer class="SimpleMarker">'
+    '<Option type="Map"><Option name="size" type="QString" value="2"/>'
+    "</Option></layer></symbol></symbols></renderer-v2></qgis>"
+)
 
 
 if __name__ == "__main__":

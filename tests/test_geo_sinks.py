@@ -259,3 +259,32 @@ def test_gpkg_layer_styles(vec_df, tmp_path):
         assert cnt == 1
     finally:
         con.close()
+
+
+def test_gpkg_multilayer_append(vec_df, tmp_path):
+    """append=True adds layers to one GeoPackage (reference OUTPUT_GPKG
+    is multi-layer); duplicate layer names are refused; both layers
+    read back with intact metadata rows."""
+    import sqlite3
+
+    import pytest
+
+    path = str(tmp_path / "multi.gpkg")
+    n1 = geo_sinks.write_gpkg(vec_df, path, layer="layer_a")
+    n2 = geo_sinks.write_gpkg(vec_df.limit(1), path, layer="layer_b", append=True)
+    assert n1 > n2 == 1
+    con = sqlite3.connect(path)
+    try:
+        names = {r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents").fetchall()}
+        assert names == {"layer_a", "layer_b"}
+        (c1,) = con.execute('SELECT count(*) FROM "layer_a"').fetchone()
+        (c2,) = con.execute('SELECT count(*) FROM "layer_b"').fetchone()
+        assert (c1, c2) == (n1, n2)
+        geoms = {r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_geometry_columns").fetchall()}
+        assert geoms == {"layer_a", "layer_b"}
+    finally:
+        con.close()
+    with pytest.raises(ValueError, match="already exists"):
+        geo_sinks.write_gpkg(vec_df, path, layer="layer_a", append=True)

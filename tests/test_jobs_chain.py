@@ -61,15 +61,31 @@ def test_job_chain(spark, chain_dirs, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["n_points"] > 0
 
-    # 3. continental hotspots
+    # 3. continental hotspots (+ styled multi-layer GeoPackage artifact)
+    gpkg = str(base / "hotspots.gpkg")
     assert run_continental.main([
         "--tiles-table", str(base / "tiles"),
         "--output", str(base / "hs"),
-        "--baseline-year", "2000", "--radii", "1000",
-        "--no-tide-filter",
+        "--baseline-year", "2000", "--radii", "1000,500",
+        "--no-tide-filter", "--gpkg", gpkg,
     ]) == 0
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["n_hotspots"] > 0
+    assert out3["gpkg_layers"] == 2
+    import sqlite3 as _sq
+
+    con = _sq.connect(gpkg)
+    try:
+        names = {r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents").fetchall()}
+        assert names == {"hotspots_zoom_1", "hotspots_zoom_2", "layer_styles"}
+        (ns,) = con.execute("SELECT count(*) FROM layer_styles").fetchone()
+        assert ns == 2
+        (n1,) = con.execute('SELECT count(*) FROM "hotspots_zoom_1"').fetchone()
+        (n2,) = con.execute('SELECT count(*) FROM "hotspots_zoom_2"').fetchone()
+        assert n1 + n2 == out3["n_hotspots"]
+    finally:
+        con.close()
 
     # 4. validation against the closed-form coast
     xs = [700.0, 2500.0, 4300.0]
