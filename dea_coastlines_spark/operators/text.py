@@ -229,3 +229,60 @@ def dedup_lines(
             F.count("*").alias("n_lines_kept"),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most distinctive terms per document by TF-IDF — the
+    standard corpus-analysis primitive behind keyword extraction,
+    topic drift monitoring, and cluster labelling in training-data
+    pipelines.
+
+    Output: (id, rank, term, tf). The raw score tf * ln((1+N)/(1+df))
+    orders terms but is never emitted: ln is not correctly-rounded, so
+    cross-engine (JVM vs DuckDB) last-ulp drift would break the
+    value-hash gate; ORDER is safe because distinct small-integer
+    ratios (1+N)/(1+df) have ln gaps >= ~1/N^2, many orders of
+    magnitude above double ulp. Ties (equal tf and df) break on term
+    ascending, keeping the ranking total and engine-independent.
+
+    Plan & scale: tokenize with regexp_extract_all (JVM, RE2-compatible
+    pattern) -> explode -> ONE shuffle to (doc, term) tf counts -> ONE
+    shuffle to per-term document frequencies (vocab-sized result,
+    rejoined on term — Spark picks broadcast when the vocab fits, sort-
+    merge otherwise) -> per-doc top-k window whose partitions are
+    bounded by document length, never corpus size. The corpus size N
+    rides in via a broadcast 1-row cross join (lazy, no driver action).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df_t"))),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int"), "term", "tf")
+    )

@@ -860,6 +860,38 @@ FROM q GROUP BY lang ORDER BY lang
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 distinctive terms per document by TF-IDF. The ln-based
+    score orders but is never emitted (ln is not correctly-rounded
+    cross-engine); distinct (tf, df) pairs have score gaps far above
+    double ulp, equal pairs tie-break on term — so ranks agree
+    bit-exactly with DuckDB."""
+    from ..operators.text import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+ORACLE_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfq.df_t)) AS s
+  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY s DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counts (JVM regexp_count vs
     DuckDB regexp_extract_all on the identical RE2-safe pattern)."""
@@ -2111,6 +2143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "langid": q_langid,
     "token_stats": q_token_stats,
+    "tfidf_topk": q_tfidf_topk,
     "token_counts": q_token_counts,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -2171,6 +2204,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "langid": _langid_sql(),
     "token_stats": ORACLE_TOKEN_STATS,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "ann_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
