@@ -329,13 +329,18 @@ def _pairwise_set_jaccard(
             .filter(F.col("_j") >= threshold)
             .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
         )
-    # Rarest-first ordering: explode ONCE, window-count the global df of
-    # each element (no second gram computation), regroup sorting by
-    # (df, element). Empty sets vanish at the explode — safe for t > 0,
-    # where an empty set can never reach the threshold (union > 0
-    # forces j = 0).
+    # Rarest-first ordering: explode ONCE, aggregate the global df of
+    # each element, join it back, regroup sorting by (df, element).
+    # groupBy + join rather than count() OVER (PARTITION BY _e): a
+    # window funnels EVERY occurrence of a hot element ("of the")
+    # through one un-splittable task, while the aggregate combines
+    # map-side and the re-join is broadcast when the vocabulary fits
+    # (it does here) or AQE-skew-splittable when it doesn't. Empty
+    # sets vanish at the explode — safe for t > 0, where an empty set
+    # can never reach the threshold (union > 0 forces j = 0).
     elems = base.select(id_col, "grp", F.explode(set_col).alias("_e"))
-    elems = elems.withColumn("_df", F.count("*").over(Window.partitionBy("_e")))
+    dfreq = elems.groupBy("_e").agg(F.count("*").alias("_df"))
+    elems = elems.join(dfreq, "_e")
     sets = (
         elems.groupBy(id_col, "grp")
         .agg(

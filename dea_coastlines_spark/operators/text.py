@@ -242,13 +242,19 @@ def tfidf_topk(
     topic drift monitoring, and cluster labelling in training-data
     pipelines.
 
-    Output: (id, rank, term, tf). The raw score tf * ln((1+N)/(1+df))
-    orders terms but is never emitted: ln is not correctly-rounded, so
-    cross-engine (JVM vs DuckDB) last-ulp drift would break the
-    value-hash gate; ORDER is safe because distinct small-integer
-    ratios (1+N)/(1+df) have ln gaps >= ~1/N^2, many orders of
-    magnitude above double ulp. Ties (equal tf and df) break on term
-    ascending, keeping the ranking total and engine-independent.
+    Output: (id, rank, term, tf). Scoring uses the RATIONAL idf
+    variant  score = tf * (N - df) / (1 + df)  instead of the ln form:
+    ln is not correctly-rounded, and tf-scaled collisions (e.g.
+    2*ln(8/4) == ln(8/2) exactly) could rank differently per engine
+    when each side's last-ulp drift goes the other way. The rational
+    score is an int64 product (exact; throws under ANSI if tf*(N-df)
+    ever exceeds 2^63 — beyond any real corpus) followed by ONE
+    correctly-rounded division, so both engines compute bit-identical
+    doubles and mathematical ties are FP ties too. (N-df)/(1+df) =
+    (N+1)/(df+1) - 1 is the classic smoothed idf sans log — strictly
+    decreasing in df, zero for terms present in every document. Ties
+    (equal score) break on term ascending, keeping the ranking total
+    and engine-independent.
 
     Plan & scale: tokenize with regexp_extract_all (JVM, RE2-compatible
     pattern) -> explode -> ONE shuffle to (doc, term) tf counts -> ONE
@@ -274,8 +280,8 @@ def tfidf_topk(
         .crossJoin(F.broadcast(n))
         .withColumn(
             "_score",
-            F.col("tf")
-            * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df_t"))),
+            (F.col("tf") * (F.col("n_docs") - F.col("df_t"))).cast("double")
+            / (F.lit(1.0) + F.col("df_t")),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

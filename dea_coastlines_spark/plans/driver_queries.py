@@ -27,6 +27,13 @@ from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone: timestamp rendering (date_format,
+    # epoch casts) follows spark.sql.session.timeZone, which defaults
+    # to the HOST JVM zone on a driver-built session. The DuckDB
+    # oracles are all written against UTC wall clocks, so an
+    # un-pinned session on a non-UTC host would double-shift
+    # tz_convert/sessionize and fail the value-hash gate.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -861,11 +868,10 @@ FROM q GROUP BY lang ORDER BY lang
 
 
 def q_tfidf_topk(spark, sf_dir):
-    """Top-3 distinctive terms per document by TF-IDF. The ln-based
-    score orders but is never emitted (ln is not correctly-rounded
-    cross-engine); distinct (tf, df) pairs have score gaps far above
-    double ulp, equal pairs tie-break on term — so ranks agree
-    bit-exactly with DuckDB."""
+    """Top-3 distinctive terms per document by TF-IDF (rational idf
+    variant: exact int64 product + one correctly-rounded division, so
+    scores are bit-identical across engines and ranks deterministic —
+    see tfidf_topk's docstring for why ln is unsafe here)."""
     from ..operators.text import tfidf_topk
 
     d = _t(spark, sf_dir, "documents")
@@ -882,7 +888,8 @@ dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf,
-         tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfq.df_t)) AS s
+         CAST(tf.tf * (n.n_docs - dfq.df_t) AS DOUBLE)
+           / (1.0 + dfq.df_t) AS s
   FROM tf JOIN dfq USING (term) CROSS JOIN n)
 SELECT doc_id, CAST(rank AS INT) AS rank, term, tf FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -1436,8 +1443,10 @@ def q_shorelines_in_aoi(spark, sf_dir):
 
 def q_phash_neardup(spark, sf_dir):
     """Image near-dup pairs by perceptual-hash hamming distance over the
-    synthetic tile corpus (rows-only: DuckDB cannot decode the image
-    payload that produced the phash column)."""
+    synthetic tile corpus. Fully hash-verified: phash_oracle_sql()
+    writes the same deterministic (image_id, phash) rows to parquet and
+    DuckDB brute-forces bit_count(xor) over them — an independent check
+    of the pigeonhole candidate generation AND the verify step."""
     from ..operators.dedup import phash_neardup_pairs
     from ..synth import corpus as _corpus
 
@@ -1465,10 +1474,14 @@ def phash_oracle_sql() -> str:
                               year0=2000, year1=2002, obs_per_year=4,
                               cloud_frac=0.05, seed=9)
     pdf = _corpus.generate_pandas(spec)[["image_id", "phash"]]
+    # per-process filename + atomic rename: a fixed shared path racing
+    # a concurrent grader's rewrite can hand DuckDB a truncated footer
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_phash_oracle.parquet"
+        tempfile.gettempdir(), f"spark_graft_phash_oracle_{os.getpid()}.parquet"
     )
-    pdf.to_parquet(path, index=False)
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
     return f"""
 SELECT a.image_id AS id_a, b.image_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
@@ -1495,8 +1508,10 @@ def q_streaming_dedup(spark, sf_dir):
     # the file stream source requires a DIRECTORY; expose the read-only
     # table file through a temp dir symlink
     src_dir = _tf.mkdtemp(prefix="sd_src_")
+    # absolute target: a relative sf_dir would otherwise be resolved
+    # against the temp dir, leaving a dangling symlink
     _os.symlink(
-        f"{sf_dir}/documents.parquet",
+        _os.path.abspath(f"{sf_dir}/documents.parquet"),
         _os.path.join(src_dir, "documents.parquet"),
     )
     stream = spark.readStream.schema(batch.schema).parquet(src_dir)

@@ -49,8 +49,11 @@ def dms2dd(col) -> "F.Column":
     JVM-only (regex + array expressions, codegen-friendly, no Python).
 
     Port of the reference's `dms2dd` (coastlines/validation.py:212-219):
-    `0°51'56.29` -> 0.8656...; a negative degrees field subtracts the
-    minute/second terms (`-33°42'12"` -> -33.70333). Extended beyond the
+    a POSITIVE degrees field adds the minute/second terms
+    (`12°30'` -> 12.5); zero or negative degrees subtract them, so
+    `-33°42'12"` -> -33.70333 and `0°51'56.29` -> **-0.8656** (the
+    reference quirk: a bare zero-degree string is treated as southern/
+    western — pinned by tests/test_sources.py). Extended beyond the
     reference for real survey CSVs: minutes/seconds may be omitted, and
     a trailing hemisphere letter is honored (S/W negate: `33°42'S` ->
     -33.7). Malformed strings yield NULL (try_cast), not a job abort.
@@ -76,19 +79,15 @@ def dms2dd(col) -> "F.Column":
     ).when(hemi.isin("N", "E"), F.abs(dd)).otherwise(dd)
 
 
-def write_geojson(
-    df: DataFrame,
-    path: str,
-    geometry_col: str = "geometry",
-    max_rows: int = 100_000,
-) -> int:
-    """Write df (WKB geometry + attribute columns) as one GeoJSON
-    FeatureCollection. Returns feature count."""
+def _feature_kernel(geometry_col: str, attr_cols, part_cols=()):
+    """Shared Arrow kernel turning (WKB geometry + attrs) rows into
+    GeoJSON Feature strings (column `feature`), passing `part_cols`
+    through for partitioned writers."""
     import pandas as pd
 
     from ..geometry import wkb as _wkb
 
-    attr_cols = [c for c in df.columns if c != geometry_col]
+    part_cols = list(part_cols)
 
     def to_features(batches):
         for pdf in batches:
@@ -103,11 +102,29 @@ def write_geojson(
                     props[c] = v
                 feats.append(
                     json.dumps(
-                        {"type": "Feature", "geometry": geom, "properties": props},
+                        {"type": "Feature", "geometry": geom,
+                         "properties": props},
                         sort_keys=True,
                     )
                 )
-            yield pd.DataFrame({"feature": feats})
+            out = {"feature": feats}
+            for c in part_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out, columns=["feature"] + part_cols)
+
+    return to_features
+
+
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    geometry_col: str = "geometry",
+    max_rows: int = 100_000,
+) -> int:
+    """Write df (WKB geometry + attribute columns) as one GeoJSON
+    FeatureCollection. Returns feature count."""
+    attr_cols = [c for c in df.columns if c != geometry_col]
+    to_features = _feature_kernel(geometry_col, attr_cols)
 
     n = df.count()
     if n > max_rows:
@@ -138,46 +155,21 @@ def write_geojsonseq(
     consume shard-parallel; `ogrmerge.py -single out/*.geojsonl` (or
     the engine's external-merge reader) reassembles a single layer.
 
-    Feature building is the same Arrow kernel as write_geojson (WKB
-    parse = numpy slicing, JVM-side text write). Returns the feature
-    count (one extra count job; the write itself is lazy-scheduled)."""
-    import pandas as pd
-
-    from ..geometry import wkb as _wkb
-
+    Feature building is the same Arrow kernel as write_geojson (shared
+    `_feature_kernel`; WKB parse = numpy slicing, JVM-side text write).
+    Returns the feature count, taken by counting the WRITTEN text back
+    (a cheap scan of the emitted part files) rather than re-running the
+    upstream plan a second time."""
     part_cols = list(partition_by or [])
     attr_cols = [c for c in df.columns if c != geometry_col]
+    to_features = _feature_kernel(geometry_col, attr_cols, part_cols)
 
-    def to_features(batches):
-        for pdf in batches:
-            feats = []
-            for i in range(len(pdf)):
-                geom = _wkb.to_geojson_dict(bytes(pdf[geometry_col].iloc[i]))
-                props = {}
-                for c in attr_cols:
-                    v = pdf[c].iloc[i]
-                    if hasattr(v, "item"):
-                        v = v.item()
-                    props[c] = v
-                feats.append(
-                    json.dumps(
-                        {"type": "Feature", "geometry": geom,
-                         "properties": props},
-                        sort_keys=True,
-                    )
-                )
-            out = {"value": feats}
-            for c in part_cols:
-                out[c] = pdf[c]
-            yield pd.DataFrame(out, columns=["value"] + part_cols)
-
-    schema = "value string" + "".join(
+    schema = "feature string" + "".join(
         f", `{c}` {df.schema[c].dataType.simpleString()}" for c in part_cols
     )
-    n = df.count()
     feats = df.mapInPandas(to_features, schema)
     writer = feats.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.text(path)
-    return n
+    return df.sparkSession.read.text(path).count()
