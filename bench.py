@@ -97,7 +97,7 @@ def main() -> None:
         "dedup_exact", "ngram_jaccard", "phash_neardup",
         "langid", "token_counts", "ann_topk", "embedding_neardup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
-        "asof_join", "sessionize",
+        "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
     ]

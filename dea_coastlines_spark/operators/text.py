@@ -262,7 +262,7 @@ def tfidf_topk(
     rejoined on term — Spark picks broadcast when the vocab fits, sort-
     merge otherwise) -> per-doc top-k window whose partitions are
     bounded by document length, never corpus size. The corpus size N
-    rides in via a broadcast 1-row cross join (lazy, no driver action).
+    rides in as a literal from one metadata-only count() job.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -274,15 +274,15 @@ def tfidf_topk(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
-    n = df.select(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "_score",
-            (F.col("tf") * (F.col("n_docs") - F.col("df_t"))).cast("double")
-            / (F.lit(1.0) + F.col("df_t")),
-        )
+    # corpus size as a driver-side literal: count() on a parquet scan
+    # is metadata-only (row-group stats), one cheap job — and unlike a
+    # 1-row crossJoin (Catalyst folds any constant-key equi join back
+    # to BroadcastNestedLoopJoin) it keeps the plan BNLJ-free
+    n_docs = int(df.count())
+    scored = tf.join(dfreq, "term").withColumn(
+        "_score",
+        (F.col("tf") * (F.lit(n_docs) - F.col("df_t"))).cast("double")
+        / (F.lit(1.0) + F.col("df_t")),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_score").desc(), F.col("term").asc()
