@@ -107,8 +107,19 @@ def ar_bucket_shards(
     """
     if shard_size < 1:
         raise ValueError("shard_size must be >= 1")
+    from pyspark.sql.types import NumericType
+
     ladder = ladder or ar_ladder()
     b = assign_ar_bucket(df, w_col, h_col, ladder)
+    # u01 wants an integer key; string ids (e.g. the corpus image_id)
+    # go through xxhash64 first (u01's reduce-first chain is ANSI-safe
+    # for keys near Long.MAX). The DuckDB-oracled driver query uses
+    # integer keys, where both engines share the u01 chain directly.
+    key = (
+        F.col(key_col)
+        if isinstance(df.schema[key_col].dataType, NumericType)
+        else F.xxhash64(key_col)
+    )
     census = b.groupBy("bucket_id").agg(F.count("*").alias("_n_bucket"))
     # integer `div`, not double division: ceil(n/s) via FP can mis-round
     # when n is ~10^12 and s is large (quotient ulp exceeds 1/s)
@@ -116,7 +127,7 @@ def ar_bucket_shards(
         f"greatest((_n_bucket + {int(shard_size) - 1}) div {int(shard_size)}, 1L)"
     )
     census = census.select("bucket_id", n_shards.alias("_n_shards"))
-    u = u01(key_col, seed)
+    u = u01(key, seed)
     packed = (
         b.join(F.broadcast(census), "bucket_id")
         .withColumn("_u", u)
