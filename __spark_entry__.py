@@ -58,4 +58,6 @@ def oracle_sql() -> dict[str, str]:
     # lazy: synthesizes the deterministic phash corpus into a temp
     # parquet the SQL reads, so DuckDB brute-forces the same input
     o["phash_neardup"] = driver_queries.phash_oracle_sql()
+    # lazy for the same reason: writes the shared vertex parquet
+    o["coastal_transects"] = driver_queries.transects_oracle_sql()
     return o

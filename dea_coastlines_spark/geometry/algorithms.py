@@ -339,3 +339,43 @@ def chainage_along(line: np.ndarray, pts: np.ndarray) -> np.ndarray:
     k = dist.argmin(axis=1)
     rows = np.arange(len(pts))
     return cum[k] + t[rows, k] * seg_len[k]
+
+
+def douglas_peucker(line: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (shapely
+    ``.simplify(tol)`` analog; reference coastlines/validation.py:403
+    simplifies the coastline union before cutting transects).
+
+    Iterative stack form (no recursion-depth limit on long coastlines).
+    Distance criterion is perpendicular distance to the infinite line
+    through the span endpoints — the classic DP rule GEOS implements.
+    Keeps endpoints; preserves vertex order; O(n log n) typical.
+    """
+    line = np.asarray(line, np.float64)
+    n = len(line)
+    if n <= 2:
+        return line.copy()
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = line[i], line[j]
+        seg = b - a
+        ll2 = float(seg @ seg)
+        pts = line[i + 1 : j]
+        if ll2 == 0.0:
+            d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+        else:
+            d = np.abs(
+                seg[0] * (pts[:, 1] - a[1]) - seg[1] * (pts[:, 0] - a[0])
+            ) / np.sqrt(ll2)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return line[keep]

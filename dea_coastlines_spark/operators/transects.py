@@ -1,0 +1,257 @@
+"""Coastline simplification + validation-transect generation
+(reference coastlines/validation.py:362-460: ``perpendicular_line``,
+``generate_transects``, ``coastal_transects``).
+
+The reference builds its validation transect network by simplifying a
+coastline layer (shapely ``.simplify``), interpolating tangent chords
+every ``interval`` metres along it, rotating each chord 90° into a
+fixed-length perpendicular transect, then orienting every transect
+away from land using point-in-polygon tests of its two endpoints.
+
+Spark-first shape: every step is per-line (or per-transect) local
+math — no shuffle anywhere. Each operator is one ``mapInPandas``
+pass whose Arrow batch is processed with vectorized numpy kernels
+from ``geometry/algorithms``; land polygons for orientation are a
+small broadcast dimension. At 10^12-image scale the coastline table
+partitions by line id and the whole chain is embarrassingly parallel.
+
+Geometry identities used instead of shapely constructions:
+
+* ``perpendicular_line`` (validation.py:362-369) offsets the tangent
+  chord ``length/2`` to each side and joins the two offset centroids.
+  For a 2-point chord with unit direction ``t`` and midpoint ``m``
+  the left/right offset centroids are exactly ``m ± (length/2)·n``
+  with ``n = (-t_y, t_x)`` — so the transect is computed closed-form.
+* ``line.interpolate(d)`` == ``geometry.algorithms.interpolate_along``
+  (arc-length clamp semantics match shapely).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geometry import wkb
+from ..geometry.algorithms import (
+    douglas_peucker,
+    interpolate_along,
+    points_in_polygon,
+    polyline_length,
+)
+
+
+def simplify_lines(
+    df: DataFrame, tol: float, geom_col: str = "geometry"
+) -> DataFrame:
+    """Douglas-Peucker simplify a WKB LineString column in place
+    (``gdf.geometry.simplify(tol)``, reference validation.py:403).
+
+    Per-row local; schema unchanged; no shuffle.
+    """
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.copy()
+                pdf[geom_col] = [
+                    wkb.linestring(douglas_peucker(wkb.coords_of(bytes(g)), tol))
+                    for g in pdf[geom_col]
+                ]
+            yield pdf
+
+    return df.mapInPandas(kernel, fields)
+
+
+def _transects_for_line(
+    coords: np.ndarray, length: float, interval: float, buffer: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dists, end1 xy, end2 xy) for one polyline — the closed-form
+    ``generate_transects`` math (validation.py:372-387)."""
+    total = polyline_length(coords)
+    dists = np.arange(buffer, total, interval, dtype=np.float64)
+    if len(dists) == 0:
+        z = np.zeros((0,))
+        return z, np.zeros((0, 2)), np.zeros((0, 2))
+    pm = interpolate_along(coords, dists - buffer)
+    pp = interpolate_along(coords, dists + buffer)
+    chord = np.hypot(pp[:, 0] - pm[:, 0], pp[:, 1] - pm[:, 1])
+    # reference drops tangents whose chord rounds longer than 2*buffer
+    # (multi-part jump artefacts); also drop degenerate zero chords
+    ok = (np.round(chord, 1) <= 2 * buffer) & (chord > 0)
+    dists, pm, pp, chord = dists[ok], pm[ok], pp[ok], chord[ok]
+    mid = (pm + pp) / 2.0
+    tx = (pp[:, 0] - pm[:, 0]) / chord
+    ty = (pp[:, 1] - pm[:, 1]) / chord
+    nx, ny = -ty, tx
+    half = length / 2.0
+    e1 = np.stack([mid[:, 0] + half * nx, mid[:, 1] + half * ny], axis=1)
+    e2 = np.stack([mid[:, 0] - half * nx, mid[:, 1] - half * ny], axis=1)
+    return dists, e1, e2
+
+
+def generate_transects(
+    df: DataFrame,
+    length: float = 400.0,
+    interval: float = 200.0,
+    buffer: float = 20.0,
+    line_id: str = "line_id",
+    geom_col: str = "geometry",
+) -> DataFrame:
+    """Cut perpendicular validation transects along each WKB LineString
+    (reference ``generate_transects``, validation.py:372-387).
+
+    Out: (line_id, transect_id, dist_along, x1, y1, x2, y2, geometry)
+    — one row per transect, ``transect_id`` dense 0..k-1 in order of
+    distance along the line, endpoints also exposed as scalar columns
+    so downstream orientation / export never re-parses WKB.
+
+    One mapInPandas pass, rows expand per line (UDTF shape); no
+    shuffle. Deterministic for a given input partitioning or not —
+    output is a pure function of each input row.
+    """
+    id_field = next(f for f in df.schema.fields if f.name == line_id)
+    out_schema = (
+        f"`{line_id}` {id_field.dataType.simpleString()}, transect_id int, "
+        "dist_along double, x1 double, y1 double, x2 double, y2 double, "
+        "geometry binary"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for lid, g in zip(pdf[line_id], pdf[geom_col]):
+                coords = wkb.coords_of(bytes(g))
+                dists, e1, e2 = _transects_for_line(
+                    coords, length, interval, buffer
+                )
+                for k in range(len(dists)):
+                    out.append(
+                        {
+                            line_id: lid,
+                            "transect_id": k,
+                            "dist_along": float(dists[k]),
+                            "x1": float(e1[k, 0]),
+                            "y1": float(e1[k, 1]),
+                            "x2": float(e2[k, 0]),
+                            "y2": float(e2[k, 1]),
+                            "geometry": wkb.linestring(
+                                np.array([e1[k], e2[k]])
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    line_id,
+                    "transect_id",
+                    "dist_along",
+                    "x1",
+                    "y1",
+                    "x2",
+                    "y2",
+                    "geometry",
+                ],
+            )
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def orient_transects(
+    transects: DataFrame,
+    land_polys: DataFrame,
+    geom_col: str = "geometry",
+) -> DataFrame:
+    """Orient transects away from land and drop invalid ones
+    (reference ``coastal_transects``, validation.py:440-455).
+
+    Endpoint 1 / endpoint 2 are PIP-tested against the union of land
+    polygons; transects whose endpoints agree (land-land or
+    water-water) are dropped; those starting in water are reversed so
+    every surviving transect runs land → water.
+
+    land_polys is a small dimension (WKB polygon rows) — collected and
+    closure-broadcast into one mapInPandas pass over the transects;
+    the big side never shuffles.
+    """
+    rings = [
+        wkb.coords_of(bytes(r[0]))
+        for r in land_polys.select(geom_col).collect()
+    ]
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in transects.schema.fields
+    )
+
+    def in_land(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        hit = np.zeros(len(px), bool)
+        for ring in rings:
+            hit |= points_in_polygon(px, py, ring)
+        return hit
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            p1 = in_land(pdf["x1"].to_numpy(), pdf["y1"].to_numpy())
+            p2 = in_land(pdf["x2"].to_numpy(), pdf["y2"].to_numpy())
+            keep = p1 != p2
+            pdf = pdf.loc[keep].copy()
+            flip = (~p1[keep]) & p2[keep]  # p1 < p2 in the reference
+            if flip.any():
+                fx1 = pdf.loc[flip, "x1"].copy()
+                fy1 = pdf.loc[flip, "y1"].copy()
+                pdf.loc[flip, "x1"] = pdf.loc[flip, "x2"].to_numpy()
+                pdf.loc[flip, "y1"] = pdf.loc[flip, "y2"].to_numpy()
+                pdf.loc[flip, "x2"] = fx1.to_numpy()
+                pdf.loc[flip, "y2"] = fy1.to_numpy()
+                pdf.loc[flip, "geometry"] = [
+                    wkb.linestring(
+                        np.array([[r.x1, r.y1], [r.x2, r.y2]], np.float64)
+                    )
+                    for r in pdf.loc[flip].itertuples()
+                ]
+            yield pdf
+
+    return transects.mapInPandas(kernel, fields)
+
+
+def lines_from_vertices(
+    verts: DataFrame,
+    line_id: str = "line_id",
+    seq: str = "seq",
+) -> DataFrame:
+    """Assemble (line_id, geometry WKB LineString) from an exploded
+    vertex table (line_id, seq, x, y) — one groupBy shuffle on line_id,
+    then a local sort + WKB build per group."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq)
+        return pd.DataFrame(
+            {
+                line_id: [pdf[line_id].iloc[0]],
+                "geometry": [
+                    wkb.linestring(
+                        np.stack(
+                            [
+                                pdf["x"].to_numpy(np.float64),
+                                pdf["y"].to_numpy(np.float64),
+                            ],
+                            axis=1,
+                        )
+                    )
+                ],
+            }
+        )
+
+    id_field = next(f for f in verts.schema.fields if f.name == line_id)
+    return verts.groupBy(line_id).applyInPandas(
+        build, f"`{line_id}` {id_field.dataType.simpleString()}, geometry binary"
+    )

@@ -2132,6 +2132,156 @@ FROM geom ORDER BY c_custkey
 """
 
 
+def _transect_verts():
+    """Deterministic synthetic coastline vertex table (line_id, seq,
+    x, y) shared by q_coastal_transects and its oracle — both sides
+    consume byte-identical doubles, so the only independently-derived
+    math is the arc-length interpolation + perpendicular construction
+    itself."""
+    import numpy as _np
+    import pandas as _pd
+
+    j = _np.arange(400, dtype=_np.float64)
+    frames = []
+    for li in range(3):
+        x = j * 5.0 + 2.0 * _np.sin(0.13 * j + li)
+        y = 120.0 * _np.sin(0.021 * j + 0.8 * li) + 0.5 * j + 300.0 * li
+        frames.append(
+            _pd.DataFrame(
+                {
+                    "line_id": f"line{li}",
+                    "seq": j.astype(_np.int32),
+                    "x": x,
+                    "y": y,
+                }
+            )
+        )
+    return _pd.concat(frames, ignore_index=True)
+
+
+_TRANSECT_LEN, _TRANSECT_INTERVAL, _TRANSECT_BUFFER = 300.0, 100.0, 10.0
+
+
+def q_coastal_transects(spark, sf_dir):
+    """Validation-transect generation (reference validation.py:372-420):
+    assemble coastline polylines from an exploded vertex table, then
+    cut a fixed-length perpendicular transect every `interval` metres.
+    Hash-verified: the oracle re-derives the arc-length interpolation
+    (window cumsum + segment range join) and the perpendicular-offset
+    closed form entirely in DuckDB SQL over the same vertex parquet."""
+    from ..operators.transects import generate_transects, lines_from_vertices
+
+    verts = spark.createDataFrame(_transect_verts())
+    lines = lines_from_vertices(verts)
+    t = generate_transects(
+        lines,
+        length=_TRANSECT_LEN,
+        interval=_TRANSECT_INTERVAL,
+        buffer=_TRANSECT_BUFFER,
+    )
+    return t.select(
+        "line_id",
+        "transect_id",
+        F.round("dist_along", 6).alias("dist_along"),
+        F.round("x1", 6).alias("x1"),
+        F.round("y1", 6).alias("y1"),
+        F.round("x2", 6).alias("x2"),
+        F.round("y2", 6).alias("y2"),
+    ).orderBy("line_id", "transect_id")
+
+
+def transects_oracle_sql() -> str:
+    """SQL-only re-derivation of q_coastal_transects: segment lengths
+    via lead(), exclusive-prefix cumsum windows, a range join to find
+    the segment containing each clamped arc distance (mirroring
+    interpolate_along's searchsorted semantics incl. the dist==total
+    endpoint), then the midpoint ± (len/2)·normal perpendicular.
+    The chord-length drop filter (round(chord,1) <= 2*buffer) is a
+    no-op for connected polylines — chord ≤ arc = 2*buffer always —
+    so only chord > 0 is enforced, matching the operator."""
+    import os
+    import tempfile
+
+    pdf = _transect_verts()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_transect_verts_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    b, iv, ln = _TRANSECT_BUFFER, _TRANSECT_INTERVAL, _TRANSECT_LEN
+    return f"""
+WITH verts AS (SELECT * FROM read_parquet('{path}')),
+seg AS (
+  SELECT line_id, seq, x AS ax, y AS ay,
+         lead(x) OVER w AS bx, lead(y) OVER w AS by
+  FROM verts
+  WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+),
+seg2 AS (
+  SELECT line_id, seq, ax, ay, bx, by,
+         sqrt((bx-ax)*(bx-ax) + (by-ay)*(by-ay)) AS len
+  FROM seg WHERE bx IS NOT NULL
+),
+seg3 AS (
+  SELECT *,
+         COALESCE(SUM(len) OVER (PARTITION BY line_id ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum0,
+         MAX(seq) OVER (PARTITION BY line_id) AS last_seq
+  FROM seg2
+),
+seg4 AS (
+  SELECT *, MAX(cum0 + len) OVER (PARTITION BY line_id) AS total FROM seg3
+),
+lines AS (SELECT line_id, MAX(cum0 + len) AS total FROM seg3 GROUP BY line_id),
+dists AS (
+  SELECT l.line_id, CAST(r.range AS INTEGER) AS tid,
+         {b} + r.range * {iv} AS d, l.total
+  FROM lines l, range(0, 100000) r
+  WHERE {b} + r.range * {iv} < l.total
+),
+pm AS (
+  SELECT d.line_id, d.tid, d.d,
+         s.ax + (CASE WHEN s.len = 0 THEN 0
+                 ELSE ((d.d - {b}) - s.cum0)/s.len END) * (s.bx - s.ax) AS px,
+         s.ay + (CASE WHEN s.len = 0 THEN 0
+                 ELSE ((d.d - {b}) - s.cum0)/s.len END) * (s.by - s.ay) AS py
+  FROM dists d JOIN seg4 s ON s.line_id = d.line_id
+   AND (((d.d - {b}) >= s.cum0 AND (d.d - {b}) < s.cum0 + s.len)
+        OR (s.seq = s.last_seq AND (d.d - {b}) >= s.cum0 + s.len))
+),
+pp AS (
+  SELECT d.line_id, d.tid,
+         s.ax + (CASE WHEN s.len = 0 THEN 0
+                 ELSE (LEAST(d.d + {b}, d.total) - s.cum0)/s.len END)
+               * (s.bx - s.ax) AS px,
+         s.ay + (CASE WHEN s.len = 0 THEN 0
+                 ELSE (LEAST(d.d + {b}, d.total) - s.cum0)/s.len END)
+               * (s.by - s.ay) AS py
+  FROM dists d JOIN seg4 s ON s.line_id = d.line_id
+   AND ((LEAST(d.d + {b}, d.total) >= s.cum0
+         AND LEAST(d.d + {b}, d.total) < s.cum0 + s.len)
+        OR (s.seq = s.last_seq
+            AND LEAST(d.d + {b}, d.total) >= s.cum0 + s.len))
+),
+t AS (
+  SELECT pm.line_id, pm.tid, pm.d,
+         pm.px AS pmx, pm.py AS pmy, pp.px AS ppx, pp.py AS ppy,
+         sqrt((pp.px-pm.px)*(pp.px-pm.px) + (pp.py-pm.py)*(pp.py-pm.py)) AS chord
+  FROM pm JOIN pp ON pm.line_id = pp.line_id AND pm.tid = pp.tid
+)
+SELECT line_id, tid AS transect_id,
+       ROUND(d, 6) AS dist_along,
+       ROUND((pmx+ppx)/2 + ({ln}/2)*(-(ppy-pmy)/chord), 6) AS x1,
+       ROUND((pmy+ppy)/2 + ({ln}/2)*((ppx-pmx)/chord), 6) AS y1,
+       ROUND((pmx+ppx)/2 - ({ln}/2)*(-(ppy-pmy)/chord), 6) AS x2,
+       ROUND((pmy+ppy)/2 - ({ln}/2)*((ppx-pmx)/chord), 6) AS y2
+FROM t WHERE chord > 0
+ORDER BY line_id, transect_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -2191,6 +2341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
+    "coastal_transects": q_coastal_transects,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,210 @@
+"""Transect generation + line simplification vs brute-force scalar
+reference implementations (reference validation.py:362-460 semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dea_coastlines_spark.geometry import wkb
+from dea_coastlines_spark.geometry.algorithms import (
+    douglas_peucker,
+    interpolate_along,
+    points_to_polyline_distance,
+    polyline_length,
+)
+from dea_coastlines_spark.operators.transects import (
+    generate_transects,
+    lines_from_vertices,
+    orient_transects,
+    simplify_lines,
+)
+
+
+def _dp_recursive(line: np.ndarray, tol: float) -> np.ndarray:
+    """Textbook recursive Douglas-Peucker — the independent oracle."""
+    if len(line) <= 2:
+        return line.copy()
+    a, b = line[0], line[-1]
+    seg = b - a
+    ll = np.hypot(*seg)
+    pts = line[1:-1]
+    if ll == 0:
+        d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+    else:
+        d = (
+            np.abs(seg[0] * (pts[:, 1] - a[1]) - seg[1] * (pts[:, 0] - a[0]))
+            / ll
+        )
+    k = int(np.argmax(d))
+    if d[k] <= tol:
+        return np.array([a, b])
+    left = _dp_recursive(line[: k + 2], tol)
+    right = _dp_recursive(line[k + 1 :], tol)
+    return np.vstack([left[:-1], right])
+
+
+def _wiggle(n: int, seed: int, scale: float = 100.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(rng.uniform(0.5, 2.0, n)) * scale / n
+    y = np.sin(x / 7.0) * scale / 4 + rng.normal(0, scale / 50, n)
+    return np.stack([x, y], axis=1)
+
+
+def test_douglas_peucker_matches_recursive_reference():
+    for seed in range(5):
+        line = _wiggle(60, seed)
+        for tol in (0.5, 2.0, 10.0):
+            got = douglas_peucker(line, tol)
+            want = _dp_recursive(line, tol)
+            np.testing.assert_allclose(got, want)
+
+
+def test_douglas_peucker_tolerance_invariant():
+    line = _wiggle(200, 42)
+    tol = 3.0
+    simp = douglas_peucker(line, tol)
+    d, _ = points_to_polyline_distance(line[:, 0], line[:, 1], simp)
+    assert d.max() <= tol + 1e-9
+    np.testing.assert_allclose(simp[0], line[0])
+    np.testing.assert_allclose(simp[-1], line[-1])
+
+
+def test_simplify_lines_spark(spark):
+    lines = [_wiggle(80, s) for s in range(3)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": [f"l{s}" for s in range(3)],
+                "geometry": [wkb.linestring(c) for c in lines],
+            }
+        )
+    )
+    out = {
+        r["line_id"]: wkb.coords_of(bytes(r["geometry"]))
+        for r in simplify_lines(df, 2.0).collect()
+    }
+    for s in range(3):
+        np.testing.assert_allclose(
+            out[f"l{s}"], douglas_peucker(lines[s], 2.0)
+        )
+
+
+def _brute_transects(coords, length, interval, buffer):
+    """Scalar per-distance re-derivation of the reference math."""
+    total = polyline_length(coords)
+    rows = []
+    d = buffer
+    while d < total:
+        pm = interpolate_along(coords, np.array([d - buffer]))[0]
+        pp = interpolate_along(coords, np.array([d + buffer]))[0]
+        chord = float(np.hypot(pp[0] - pm[0], pp[1] - pm[1]))
+        if round(chord, 1) <= 2 * buffer and chord > 0:
+            mx, my = (pm[0] + pp[0]) / 2, (pm[1] + pp[1]) / 2
+            tx, ty = (pp[0] - pm[0]) / chord, (pp[1] - pm[1]) / chord
+            nx, ny = -ty, tx
+            h = length / 2
+            rows.append(
+                (d, mx + h * nx, my + h * ny, mx - h * nx, my - h * ny)
+            )
+        d += interval
+    return rows
+
+
+def test_generate_transects_matches_brute(spark):
+    lines = {f"l{s}": _wiggle(50, 100 + s, scale=400.0) for s in range(3)}
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": list(lines),
+                "geometry": [wkb.linestring(c) for c in lines.values()],
+            }
+        )
+    )
+    got = (
+        generate_transects(df, length=60.0, interval=40.0, buffer=5.0)
+        .orderBy("line_id", "transect_id")
+        .collect()
+    )
+    by_line: dict[str, list] = {}
+    for r in got:
+        by_line.setdefault(r["line_id"], []).append(r)
+    for lid, coords in lines.items():
+        want = _brute_transects(coords, 60.0, 40.0, 5.0)
+        have = by_line.get(lid, [])
+        assert len(have) == len(want)
+        for r, (d, x1, y1, x2, y2) in zip(have, want):
+            np.testing.assert_allclose(
+                [r["dist_along"], r["x1"], r["y1"], r["x2"], r["y2"]],
+                [d, x1, y1, x2, y2],
+                atol=1e-9,
+            )
+            # WKB column mirrors the scalar endpoint columns
+            np.testing.assert_allclose(
+                wkb.coords_of(bytes(r["geometry"])),
+                [[r["x1"], r["y1"]], [r["x2"], r["y2"]]],
+            )
+
+
+def test_transect_perpendicular_and_length(spark):
+    coords = _wiggle(40, 7, scale=300.0)
+    df = spark.createDataFrame(
+        pd.DataFrame({"line_id": ["a"], "geometry": [wkb.linestring(coords)]})
+    )
+    rows = generate_transects(df, length=80.0, interval=30.0, buffer=4.0).collect()
+    assert rows
+    for r in rows:
+        tlen = np.hypot(r["x2"] - r["x1"], r["y2"] - r["y1"])
+        np.testing.assert_allclose(tlen, 80.0, rtol=1e-12)
+        # perpendicular to the local tangent chord
+        pm = interpolate_along(coords, np.array([r["dist_along"] - 4.0]))[0]
+        pp = interpolate_along(coords, np.array([r["dist_along"] + 4.0]))[0]
+        dot = (r["x2"] - r["x1"]) * (pp[0] - pm[0]) + (r["y2"] - r["y1"]) * (
+            pp[1] - pm[1]
+        )
+        assert abs(dot) < 1e-6
+
+
+def test_orient_transects_land_water(spark):
+    # horizontal shoreline y=0; land is the half-plane-ish box y<0
+    coords = np.stack([np.linspace(0, 100, 21), np.zeros(21)], axis=1)
+    df = spark.createDataFrame(
+        pd.DataFrame({"line_id": ["a"], "geometry": [wkb.linestring(coords)]})
+    )
+    t = generate_transects(df, length=20.0, interval=10.0, buffer=2.0)
+    land = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "geometry": [
+                    wkb.polygon(
+                        np.array(
+                            [[-10, -50], [110, -50], [110, 0], [-10, 0], [-10, -50]],
+                            float,
+                        )
+                    )
+                ]
+            }
+        )
+    )
+    out = orient_transects(t, land).collect()
+    assert len(out) == t.count()  # every transect crosses the shoreline
+    for r in out:
+        assert r["y1"] < 0 < r["y2"]  # start on land, end in water
+
+
+def test_lines_from_vertices_roundtrip(spark):
+    coords = _wiggle(30, 11)
+    verts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": ["z"] * len(coords),
+                "seq": np.arange(len(coords)),
+                "x": coords[:, 0],
+                "y": coords[:, 1],
+            }
+        )
+    ).repartition(8)
+    out = lines_from_vertices(verts).collect()
+    assert len(out) == 1
+    np.testing.assert_allclose(wkb.coords_of(bytes(out[0]["geometry"])), coords)
