@@ -2282,6 +2282,70 @@ ORDER BY line_id, transect_id
 """
 
 
+def q_cell_rollup(spark, sf_dir):
+    """Multi-resolution grid-cell pyramid (hierarchical rollup):
+    deterministic planar coords from lineitem keys, binned at 16 m
+    cells and rolled up 3 more levels by re-aggregating each level's
+    aggregates (never rescanning raw rows — the 100 TB-safe pyramid
+    shape). Oracle mirrors the same level chain as nested CTE
+    group-bys."""
+    from ..operators.rollup import hierarchical_rollup
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        ((F.col("l_partkey") % 97) * 3.7).alias("px"),
+        ((F.col("l_suppkey") % 59) * 7.3).alias("py"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    r = hierarchical_rollup(pts, "px", "py", "qty", base_size=16.0, levels=4)
+    return r.select(
+        "level",
+        "cell_x",
+        "cell_y",
+        "n",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+        F.round("mean_v", 6).alias("mean_v"),
+    ).orderBy("level", "cell_x", "cell_y")
+
+
+ORACLE_CELL_ROLLUP = """
+WITH base AS (
+  SELECT CAST(FLOOR(((l_partkey % 97) * 3.7) / 16.0) AS BIGINT) AS cell_x,
+         CAST(FLOOR(((l_suppkey % 59) * 7.3) / 16.0) AS BIGINT) AS cell_y,
+         CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem),
+l0 AS (SELECT cell_x, cell_y, COUNT(*) AS n, SUM(v) AS sum_v,
+              MIN(v) AS min_v, MAX(v) AS max_v
+       FROM base GROUP BY cell_x, cell_y),
+l1 AS (SELECT CAST(FLOOR(cell_x / 2.0) AS BIGINT) AS cell_x,
+              CAST(FLOOR(cell_y / 2.0) AS BIGINT) AS cell_y,
+              CAST(SUM(n) AS BIGINT) AS n, SUM(sum_v) AS sum_v,
+              MIN(min_v) AS min_v, MAX(max_v) AS max_v
+       FROM l0 GROUP BY 1, 2),
+l2 AS (SELECT CAST(FLOOR(cell_x / 2.0) AS BIGINT) AS cell_x,
+              CAST(FLOOR(cell_y / 2.0) AS BIGINT) AS cell_y,
+              CAST(SUM(n) AS BIGINT) AS n, SUM(sum_v) AS sum_v,
+              MIN(min_v) AS min_v, MAX(max_v) AS max_v
+       FROM l1 GROUP BY 1, 2),
+l3 AS (SELECT CAST(FLOOR(cell_x / 2.0) AS BIGINT) AS cell_x,
+              CAST(FLOOR(cell_y / 2.0) AS BIGINT) AS cell_y,
+              CAST(SUM(n) AS BIGINT) AS n, SUM(sum_v) AS sum_v,
+              MIN(min_v) AS min_v, MAX(max_v) AS max_v
+       FROM l2 GROUP BY 1, 2),
+u AS (
+  SELECT 0 AS level, * FROM l0
+  UNION ALL SELECT 1, * FROM l1
+  UNION ALL SELECT 2, * FROM l2
+  UNION ALL SELECT 3, * FROM l3)
+SELECT CAST(level AS INTEGER) AS level, cell_x, cell_y, n,
+       ROUND(sum_v, 4) AS sum_v, ROUND(min_v, 4) AS min_v,
+       ROUND(max_v, 4) AS max_v, ROUND(sum_v / n, 6) AS mean_v
+FROM u ORDER BY level, cell_x, cell_y
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -2342,6 +2406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "coastal_transects": q_coastal_transects,
+    "cell_rollup": q_cell_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2389,6 +2454,7 @@ ORACLES: dict[str, str] = {
     "dedup_lines": ORACLE_DEDUP_LINES,
     "asof_join": ORACLE_ASOF_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
+    "cell_rollup": ORACLE_CELL_ROLLUP,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check
