@@ -60,4 +60,7 @@ def oracle_sql() -> dict[str, str]:
     o["phash_neardup"] = driver_queries.phash_oracle_sql()
     # lazy for the same reason: writes the shared vertex parquet
     o["coastal_transects"] = driver_queries.transects_oracle_sql()
+    # lazy: embeds seeded hyperplanes / refit centroids as literals
+    o["lsh_ann_topk"] = driver_queries.lsh_ann_oracle_sql()
+    o["ivf_ann_topk"] = driver_queries.ivf_ann_oracle_sql()
     return o

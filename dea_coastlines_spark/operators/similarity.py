@@ -322,7 +322,17 @@ def train_ivf_centroids(
         .toPandas()
     )
     x = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return kmeans_fit(x, n_clusters, n_iter, seed)
+
+
+def kmeans_fit(
+    x: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 0
+) -> np.ndarray:
+    """Spherical k-means on a local sample (shared by the Spark
+    trainer above and the driver-query oracle, which refits the same
+    centroids from the same deterministic sample)."""
+    x = np.asarray(x, np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=n_clusters, replace=False)]
     for _ in range(n_iter):

@@ -2346,6 +2346,129 @@ FROM u ORDER BY level, cell_x, cell_y
 """
 
 
+def _sql_double_list(vals) -> str:
+    """Round-trip-exact DOUBLE[] literal (repr keeps all 17 digits)."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def lsh_ann_oracle_sql() -> str:
+    """Full hash-verified oracle for q_lsh_ann_topk. The hyperplanes
+    are a pure function of the seed (default_rng(100+t)), so they are
+    embedded as DOUBLE[] literals and DuckDB *independently recomputes*
+    the whole LSH path: per-(vector, table) bucket id from the sign
+    pattern of 10 plane dot products, candidate generation as the
+    (table, bucket) equi-join, exact cosine rerank, deterministic
+    rank-window top-k. Nothing but the plane constants is shared with
+    the Spark implementation."""
+    import numpy as np
+
+    n_planes, n_tables, dim = 10, 4, 64
+    rows = []
+    for t in range(n_tables):
+        planes = np.random.default_rng(100 + t).standard_normal((n_planes, dim))
+        for p in range(n_planes):
+            rows.append(
+                f"({t}, {p}, CAST({_sql_double_list(planes[p])} AS DOUBLE[]))"
+            )
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, p, plane) AS (VALUES
+{values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl),
+qs AS (SELECT vec_id AS query_id, tbl, bucket FROM sig WHERE vec_id < 10),
+cands AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS item_id
+  FROM qs q JOIN sig s ON q.tbl = s.tbl AND q.bucket = s.bucket
+  WHERE s.vec_id != q.query_id),
+scored AS (
+  SELECT c.query_id, c.item_id,
+         ROUND(LIST_COSINE_SIMILARITY(eq.v, ei.v), 6) AS cosine
+  FROM cands c
+  JOIN emb eq ON eq.vec_id = c.query_id
+  JOIN emb ei ON ei.vec_id = c.item_id),
+r AS (
+  SELECT query_id, item_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, item_id) AS rank
+  FROM scored)
+SELECT query_id, rank, item_id, cosine FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def ivf_ann_oracle_sql() -> str:
+    """Hash-verified oracle for q_ivf_ann_topk. The coarse quantizer is
+    deterministic (sample = lowest-20000 vec_ids, seeded spherical
+    k-means), so the oracle refits it in numpy from the same parquet
+    (shared constants, like the phash corpus), embeds the 16 centroids
+    as DOUBLE[] literals, and DuckDB independently recomputes item
+    assignment (argmax similarity), the nprobe=4 probe set, the
+    (cluster) candidate equi-join, and the exact-cosine rank-window
+    top-k. Reads the sf0.01 embeddings table the driver registers for
+    oracle runs (override dir via SPARK_GRAFT_ORACLE_SF_DIR)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import kmeans_fit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = pdf.sort_values("vec_id").head(20_000)
+    x = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    cents = kmeans_fit(x, n_clusters=16, n_iter=10, seed=0)
+    values = ",\n".join(
+        f"({c}, CAST({_sql_double_list(cents[c])} AS DOUBLE[]))"
+        for c in range(len(cents))
+    )
+    return f"""
+WITH cents(cluster, c) AS (VALUES
+{values}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, c.cluster, list_dot_product(e.v, c.c) AS sim
+  FROM emb e CROSS JOIN cents c),
+item_assign AS (
+  SELECT vec_id AS item_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cluster) AS rn
+    FROM sims) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cluster) AS rn
+    FROM sims WHERE vec_id < 10) WHERE rn <= 4),
+cands AS (
+  SELECT DISTINCT p.query_id, i.item_id
+  FROM probes p JOIN item_assign i ON p.cluster = i.cluster
+  WHERE i.item_id != p.query_id),
+scored AS (
+  SELECT c.query_id, c.item_id,
+         ROUND(LIST_COSINE_SIMILARITY(eq.v, ei.v), 6) AS cosine
+  FROM cands c
+  JOIN emb eq ON eq.vec_id = c.query_id
+  JOIN emb ei ON ei.vec_id = c.item_id),
+r AS (
+  SELECT query_id, item_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, item_id) AS rank
+  FROM scored)
+SELECT query_id, rank, item_id, cosine FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
