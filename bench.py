@@ -100,6 +100,7 @@ def main() -> None:
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
+        "coastal_transects", "cell_rollup",
     ]
     # best-of-2 after a warmup pass: this sandbox host shows bursty
     # vCPU steal; a single timed run can read 2-3x high across the board

@@ -2346,6 +2346,53 @@ FROM u ORDER BY level, cell_x, cell_y
 """
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Per-(zone, year) statistics of the composite MNDWI raster inside
+    AOI polygons — zonal stats as partial-per-tile + one (zone, year)
+    combine shuffle (operators/zonal.py). Rows-only by design (raster
+    decode has no SQL analog); numeric parity vs an independent
+    rectangle-comparison brute force is pinned by tests/test_zonal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators.composite import annual_composites
+    from ..operators.zonal import zonal_stats
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=13)
+    comp = annual_composites(
+        _corpus.generate_spark(spark, spec), apply_tide_filter=False
+    )
+    ox, oy = spec.tile_origin(0, 0)
+    sz = spec.tile_px * spec.res_m
+
+    def rect(x0, y0, x1, y1):
+        return _wkb.polygon(
+            np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+        )
+
+    zones = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"zone_id": "west", "geometry": rect(ox - 10, oy - 3 * sz, ox + 1.4 * sz, oy + 2 * sz)},
+                {"zone_id": "east", "geometry": rect(ox + 1.4 * sz, oy - 3 * sz, ox + 4 * sz, oy + 2 * sz)},
+                {"zone_id": "mid", "geometry": rect(ox + 0.7 * sz, oy - 1.6 * sz, ox + 2.3 * sz, oy + 0.6 * sz)},
+            ]
+        )
+    )
+    r = zonal_stats(comp, zones)
+    return r.select(
+        "zone_id", "year", "n",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("mean_v", 6).alias("mean_v"),
+    ).orderBy("zone_id", "year")
+
+
 def _sql_double_list(vals) -> str:
     """Round-trip-exact DOUBLE[] literal (repr keeps all 17 digits)."""
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
@@ -2530,6 +2577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "coastal_transects": q_coastal_transects,
     "cell_rollup": q_cell_rollup,
+    "zonal_stats": q_zonal_stats,
 }
 
 ORACLES: dict[str, str] = {
