@@ -142,3 +142,57 @@ def validation_stats(errors: DataFrame, by: list[str] | None = None) -> DataFram
         F.round(F.stddev("error_m"), 6).alias("stdev"),
         F.round(F.corr("surveyed_m", "chainage_m"), 6).alias("corr"),
     )
+
+
+def transect_rates(
+    transects: DataFrame,
+    shorelines: DataFrame,
+    initial_year: int,
+) -> DataFrame:
+    """End-to-end validation-network rates: generated transects
+    (operators/transects.py output) x annual shorelines -> one chainage
+    per (transect, year) -> robust change_regress rates per transect —
+    the reference's full transect workflow (validation.py:372-460
+    network construction + the vector.py:967-1055 regression applied
+    along it).
+
+    Only clean single-crossing rows feed the regression
+    (n_crossings == 1, the reference's MultiPoint drop). point_id for
+    the rates kernel is a 64-bit hash of the transect key; the readable
+    key is joined back onto the result (broadcast — the key map is one
+    row per transect).
+    """
+    from .rates import rates_of_change
+
+    t = transects.select(
+        F.concat_ws(
+            "_", "line_id", F.col("transect_id").cast("string")
+        ).alias("id"),
+        "geometry",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+    )
+    ch = transect_chainages(t.select("id", "geometry"), shorelines)
+    attrs = t.drop("geometry").withColumn("_tid", F.xxhash64("id"))
+    signed = (
+        ch.filter(F.col("n_crossings") == 1)
+        .join(attrs, "id")
+        .select(
+            F.col("_tid").alias("point_id"),
+            "year",
+            F.col("chainage_m").alias("dist"),
+            F.pmod(
+                F.degrees(
+                    F.atan2(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
+                ),
+                F.lit(360.0),
+            ).alias("bearing"),
+            F.col("x1").alias("x"),
+            F.col("y1").alias("y"),
+        )
+    )
+    rates = rates_of_change(signed, initial_year)
+    key_map = attrs.select("id", F.col("_tid").alias("point_id"))
+    return rates.join(F.broadcast(key_map), "point_id").drop("point_id")

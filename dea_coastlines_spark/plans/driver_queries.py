@@ -2346,6 +2346,80 @@ FROM u ORDER BY level, cell_x, cell_y
 """
 
 
+def q_transect_rates(spark, sf_dir):
+    """End-to-end validation network: simplify a wiggly synthetic
+    coastline, cut perpendicular transects, orient them off land,
+    intersect with five years of retreating shorelines, and regress
+    chainage per transect (operators/transects.py +
+    operators/validation.py:transect_rates). Rows-only by design
+    (line x line intersection has no SQL analog); the constant-retreat
+    closed form is pinned by tests/test_transects.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..geometry import wkb as _wkb
+    from ..operators.transects import (
+        generate_transects,
+        orient_transects,
+        simplify_lines,
+    )
+    from ..operators.validation import transect_rates
+
+    xs = np.linspace(0.0, 2000.0, 201)
+    base = np.stack([xs, 40.0 * np.sin(xs / 150.0)], axis=1)
+    lines = spark.createDataFrame(
+        pd.DataFrame(
+            {"line_id": ["coast"], "geometry": [_wkb.linestring(base)]}
+        )
+    )
+    t = generate_transects(
+        simplify_lines(lines, 5.0), length=400.0, interval=100.0, buffer=10.0
+    )
+    land = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "geometry": [
+                    _wkb.polygon(
+                        np.array(
+                            [[-100, -500], [2100, -500], [2100, 0],
+                             [-100, 0], [-100, -500]],
+                            float,
+                        )
+                    )
+                ]
+            }
+        )
+    )
+    t = orient_transects(t, land)
+    years = range(2000, 2005)
+    sl = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "year": list(years),
+                "geometry": [
+                    _wkb.linestring(
+                        np.stack(
+                            [xs, 40.0 * np.sin(xs / 150.0)
+                             + 3.0 * (y - 2000) + 60.0],
+                            axis=1,
+                        )
+                    )
+                    for y in years
+                ],
+            }
+        )
+    )
+    out = transect_rates(t, sl, 2000)
+    return out.select(
+        "id",
+        (F.col("rate_time") + 0.0).alias("rate_time"),
+        (F.col("se_time") + 0.0).alias("se_time"),
+        "valid_obs", "valid_span",
+        (F.round("sce", 3) + 0.0).alias("sce"),
+        "max_year", "min_year",
+    ).orderBy("id")
+
+
 def q_zonal_stats(spark, sf_dir):
     """Per-(zone, year) statistics of the composite MNDWI raster inside
     AOI polygons — zonal stats as partial-per-tile + one (zone, year)
@@ -2578,6 +2652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coastal_transects": q_coastal_transects,
     "cell_rollup": q_cell_rollup,
     "zonal_stats": q_zonal_stats,
+    "transect_rates": q_transect_rates,
 }
 
 ORACLES: dict[str, str] = {

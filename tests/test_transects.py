@@ -208,3 +208,66 @@ def test_lines_from_vertices_roundtrip(spark):
     out = lines_from_vertices(verts).collect()
     assert len(out) == 1
     np.testing.assert_allclose(wkb.coords_of(bytes(out[0]["geometry"])), coords)
+
+
+def test_transect_rates_constant_retreat(spark):
+    """Horizontal coastline retreating +2.5 m/yr northward; oriented
+    transects (land south) must regress chainage at exactly +2.5 m/yr
+    with zero stderr and significant fit."""
+    from dea_coastlines_spark.operators.transects import (
+        generate_transects as gen_t,
+        orient_transects as orient_t,
+    )
+    from dea_coastlines_spark.operators.validation import transect_rates
+
+    base = np.stack([np.linspace(0, 400, 41), np.zeros(41)], axis=1)
+    lines = spark.createDataFrame(
+        pd.DataFrame({"line_id": ["c0"], "geometry": [wkb.linestring(base)]})
+    )
+    t = gen_t(lines, length=60.0, interval=25.0, buffer=2.0)
+    land = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "geometry": [
+                    wkb.polygon(
+                        np.array(
+                            [[-50, -200], [450, -200], [450, 0], [-50, 0], [-50, -200]],
+                            float,
+                        )
+                    )
+                ]
+            }
+        )
+    )
+    t = orient_t(t, land)
+    years = range(2000, 2005)
+    sl = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "year": list(years),
+                "geometry": [
+                    wkb.linestring(
+                        np.stack(
+                            [
+                                np.linspace(-10, 410, 43),
+                                np.full(43, 2.5 * (y - 2000) + 0.3),
+                            ],
+                            axis=1,
+                        )
+                    )
+                    for y in years
+                ],
+            }
+        )
+    )
+    out = transect_rates(t, sl, 2000).toPandas()
+    assert len(out) == t.count()
+    np.testing.assert_allclose(out["rate_time"], 2.5, atol=1e-9)
+    np.testing.assert_allclose(out["se_time"], 0.0, atol=1e-9)
+    assert (out["valid_obs"] == 5).all()
+    # chainage at year 2000 is 30.3 (transect start at y=-30 on land,
+    # shoreline at y=0.3); change_regress intercepts at calendar year 0
+    np.testing.assert_allclose(out["incpt_time"], 30.3 - 2.5 * 2000, atol=1e-6)
+    # reference semantics: sce = max-min spread, nsm = -dist(initial_year)
+    np.testing.assert_allclose(out["sce"], 10.0, atol=1e-9)  # 4 yr x 2.5 m
+    np.testing.assert_allclose(out["nsm"], -30.3, atol=1e-9)
