@@ -134,6 +134,18 @@ def coords_of(buf: bytes) -> np.ndarray:
     raise ValueError(f"unsupported type {t}")
 
 
+def polygon_rings(buf: bytes) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """WKB Polygon/MultiPolygon -> [(shell, holes), ...] — the shape
+    point-in-polygon consumers need (coords_of flattens rings, which is
+    wrong for PIP: phantom edges between shell and holes)."""
+    t, payload = parse(buf)
+    if t == POLYGON:
+        return [(payload[0], list(payload[1:]))]
+    if t == MULTIPOLYGON:
+        return [(p[0], list(p[1:])) for p in payload]
+    raise ValueError(f"expected (Multi)Polygon, got type {t}")
+
+
 def map_coords(buf: bytes, fn) -> bytes:
     """Rebuild a geometry with fn((n,2) ndarray) -> (n,2) applied to all
     vertices (the gpd `to_crs`-style coordinate rewrite primitive)."""

@@ -56,14 +56,23 @@ def simplify_lines(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
 
+    def simp_one(g: bytes) -> bytes:
+        t, payload = wkb.parse(bytes(g))
+        if t == wkb.LINESTRING:
+            return wkb.linestring(douglas_peucker(payload, tol))
+        if t == wkb.MULTILINESTRING:
+            # simplify each part independently — flattening would invent
+            # a phantom segment between parts and simplify across it
+            return wkb.multilinestring(
+                [douglas_peucker(p, tol) for p in payload]
+            )
+        raise ValueError(f"simplify_lines expects (Multi)LineString, got {t}")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
                 pdf = pdf.copy()
-                pdf[geom_col] = [
-                    wkb.linestring(douglas_peucker(wkb.coords_of(bytes(g)), tol))
-                    for g in pdf[geom_col]
-                ]
+                pdf[geom_col] = [simp_one(g) for g in pdf[geom_col]]
             yield pdf
 
     return df.mapInPandas(kernel, fields)
@@ -180,8 +189,8 @@ def orient_transects(
     closure-broadcast into one mapInPandas pass over the transects;
     the big side never shuffles.
     """
-    rings = [
-        wkb.coords_of(bytes(r[0]))
+    polys = [
+        wkb.polygon_rings(bytes(r[0]))
         for r in land_polys.select(geom_col).collect()
     ]
     fields = ", ".join(
@@ -191,8 +200,14 @@ def orient_transects(
 
     def in_land(px: np.ndarray, py: np.ndarray) -> np.ndarray:
         hit = np.zeros(len(px), bool)
-        for ring in rings:
-            hit |= points_in_polygon(px, py, ring)
+        for rings in polys:
+            for shell, holes in rings:
+                inside = points_in_polygon(px, py, shell)
+                for h in holes:
+                    inside &= ~points_in_polygon(
+                        px, py, h, boundary_counts=False
+                    )
+                hit |= inside
         return hit
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

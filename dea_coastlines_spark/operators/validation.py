@@ -45,6 +45,24 @@ def transect_chainages(
         if wkb.geom_type(bytes(g)) != wkb.LINESTRING:
             raise ValueError("transects must be LineStrings")
     t_ids = t_pdf[transect_id].tolist()
+    # per-transect bboxes, vectorized once: each shoreline part then
+    # tests ALL transects with four numpy comparisons and only the
+    # overlapping few pay the segment-intersection loop. Keeps the
+    # kernel near-linear for generated networks (one transect per
+    # `interval` m of coastline), not just hand-digitised survey sets.
+    # The transect table itself stays a driver-side broadcast — fine to
+    # ~10^6 transects (a continent at 200 m spacing); beyond that, pair
+    # tiles to transects with the cell-cover join in spatial_join.py
+    # and run this kernel per pair group.
+    if t_lines:
+        _tb = np.array(
+            [
+                [l[:, 0].min(), l[:, 1].min(), l[:, 0].max(), l[:, 1].max()]
+                for l in t_lines
+            ]
+        )
+    else:
+        _tb = np.zeros((0, 4))
 
     out_schema = f"{transect_id} string, year int, chainage_m double"
 
@@ -60,8 +78,17 @@ def transect_chainages(
                 year = int(pdf["year"].iloc[i])
                 t, payload = wkb.parse(bytes(pdf["geometry"].iloc[i]))
                 parts = payload if t == wkb.MULTILINESTRING else [payload]
-                for tid, tline in zip(t_ids, t_lines):
-                    for part in parts:
+                for part in parts:
+                    px0, py0 = part[:, 0].min(), part[:, 1].min()
+                    px1, py1 = part[:, 0].max(), part[:, 1].max()
+                    cand = np.nonzero(
+                        (_tb[:, 0] <= px1)
+                        & (_tb[:, 2] >= px0)
+                        & (_tb[:, 1] <= py1)
+                        & (_tb[:, 3] >= py0)
+                    )[0]
+                    for k in cand:
+                        tid, tline = t_ids[k], t_lines[k]
                         pts = ga.polyline_polyline_intersections(tline, part)
                         if len(pts):
                             ch = ga.chainage_along(tline, pts)
@@ -176,6 +203,23 @@ def transect_rates(
     )
     ch = transect_chainages(t.select("id", "geometry"), shorelines)
     attrs = t.drop("geometry").withColumn("_tid", F.xxhash64("id"))
+    # one 64-bit hash keys the regression; a collision would merge two
+    # transects' observations into one bogus fit, so verify injectivity
+    # up front (one O(n) agg over the transect dimension — cheap next
+    # to the intersection pass). Expected collisions ~ n^2/2^65: none
+    # below ~10^8 transects; the raise is the honest failure mode.
+    dup = (
+        attrs.groupBy("_tid")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise RuntimeError(
+            "transect_rates: xxhash64 collision between transect ids; "
+            "disambiguate ids (e.g. prefix by region) and rerun"
+        )
     signed = (
         ch.filter(F.col("n_crossings") == 1)
         .join(attrs, "id")

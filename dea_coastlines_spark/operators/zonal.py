@@ -43,16 +43,6 @@ from ..geometry import wkb
 from ..geometry.algorithms import points_in_polygon
 
 
-def _zone_rings(buf: bytes) -> list[tuple[np.ndarray, list[np.ndarray]]]:
-    """WKB Polygon/MultiPolygon -> [(shell, holes), ...]."""
-    t, payload = wkb.parse(buf)
-    if t == 3:
-        return [(payload[0], list(payload[1:]))]
-    if t == 6:
-        return [(p[0], list(p[1:])) for p in payload]
-    raise ValueError(f"zone geometry must be (Multi)Polygon, got type {t}")
-
-
 def zonal_stats(
     composites: DataFrame,
     zones: DataFrame,
@@ -72,11 +62,17 @@ def zonal_stats(
     """
     zrows = zones.select(zone_id_col, geom_col).collect()
     zdata = [
-        (r[0], _zone_rings(bytes(r[1])), wkb.bbox(bytes(r[1]))) for r in zrows
+        (r[0], wkb.polygon_rings(bytes(r[1])), wkb.bbox(bytes(r[1])))
+        for r in zrows
     ]
 
+    zid_type = next(
+        f.dataType.simpleString()
+        for f in zones.schema.fields
+        if f.name == zone_id_col
+    )
     out_schema = (
-        "zone_id string, year int, n long, sum_v double, "
+        f"zone_id {zid_type}, year int, n long, sum_v double, "
         "min_v double, max_v double"
     )
 

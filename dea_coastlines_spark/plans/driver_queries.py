@@ -2271,7 +2271,11 @@ t AS (
          sqrt((pp.px-pm.px)*(pp.px-pm.px) + (pp.py-pm.py)*(pp.py-pm.py)) AS chord
   FROM pm JOIN pp ON pm.line_id = pp.line_id AND pm.tid = pp.tid
 )
-SELECT line_id, tid AS transect_id,
+SELECT line_id,
+       -- renumber densely AFTER the chord filter, exactly as the
+       -- operator does (ids stay aligned even if a row drops)
+       CAST(ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY tid) - 1
+            AS INTEGER) AS transect_id,
        ROUND(d, 6) AS dist_along,
        ROUND((pmx+ppx)/2 + ({ln}/2)*(-(ppy-pmy)/chord), 6) AS x1,
        ROUND((pmy+ppy)/2 + ({ln}/2)*((ppx-pmx)/chord), 6) AS y1,
