@@ -208,3 +208,65 @@ def test_image_export_job(spark, tmp_path, capsys):
     ]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < out2["n_out"] < len(pdf)
+
+
+def test_transects_job(spark, tmp_path, capsys):
+    import run_transects
+
+    from dea_coastlines_spark.geometry import wkb as _wkb
+
+    xs = np.linspace(0.0, 500.0, 51).tolist()
+    coast = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"id": "c"},
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[x, 0.0] for x in xs],
+                },
+            }
+        ],
+    }
+    land = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-50, -300], [550, -300], [550, 0], [-50, 0], [-50, -300]]
+                    ],
+                },
+            }
+        ],
+    }
+    cpath, lpath = tmp_path / "coast.json", tmp_path / "land.json"
+    cpath.write_text(json.dumps(coast))
+    lpath.write_text(json.dumps(land))
+    out_dir = tmp_path / "transects_out"
+    assert run_transects.main([
+        "--coastline-geojson", str(cpath),
+        "--land-geojson", str(lpath),
+        "--output", str(out_dir),
+        "--interval", "50", "--length", "80", "--buffer", "5",
+        "--simplify", "1",
+    ]) == 0
+    stdout = capsys.readouterr().out
+    summary = json.loads(stdout.strip().splitlines()[-1])
+    assert summary["job"] == "transects"
+    # straight 500 m coastline at 50 m interval, buffer 5 -> 10 transects
+    assert summary["n_transects"] == 10
+    feats = [
+        json.loads(line)
+        for line in spark.read.text(str(out_dir)).toPandas()["value"]
+    ]
+    assert len(feats) == 10
+    for f in feats:
+        (x1, y1), (x2, y2) = f["geometry"]["coordinates"]
+        assert y1 < 0 < y2  # oriented land -> water
+        np.testing.assert_allclose(np.hypot(x2 - x1, y2 - y1), 80.0)
+        assert f["properties"]["id"].startswith("c_")
