@@ -240,3 +240,71 @@ def transect_rates(
     rates = rates_of_change(signed, initial_year)
     key_map = attrs.select("id", F.col("_tid").alias("point_id"))
     return rates.join(F.broadcast(key_map), "point_id").drop("point_id")
+
+
+def transect_chainages_dist(
+    transects: DataFrame,
+    shorelines: DataFrame,
+    res: int = 12,
+    transect_id: str = "id",
+) -> DataFrame:
+    """Distributed transect_chainages for networks too large to
+    broadcast (the >10^6-transect continental case): both sides explode
+    to covering grid cells (bbox polyfill, the spatial_join.py cell
+    machinery), candidate (transect, shoreline-row) pairs come from ONE
+    cell_id equi join, each pair pays a single polyline x polyline
+    intersection in an Arrow kernel, and the same global (id, year)
+    distinct-chainage dedupe the broadcast form already needs (tile
+    seams) also collapses pairs that met in more than one cell — so
+    duplicated candidates cost a little recompute, never a wrong count.
+
+    Output contract identical to transect_chainages:
+    (id, year, chainage_m, n_crossings).
+    """
+    from .spatial_join import explode_polygons_to_cells
+
+    t_cells = explode_polygons_to_cells(
+        transects.select(transect_id, "geometry"), res
+    ).withColumnRenamed("geometry", "_tg")
+    s_cells = explode_polygons_to_cells(
+        shorelines.select("year", "geometry"), res
+    ).withColumnRenamed("geometry", "_sg")
+    pairs = t_cells.join(s_cells, "cell_id").drop("cell_id")
+
+    tid_type = next(
+        f.dataType.simpleString()
+        for f in transects.schema.fields
+        if f.name == transect_id
+    )
+    out_schema = f"`{transect_id}` {tid_type}, year int, chainage_m double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            # positional access: itertuples renames underscore columns
+            for tg, sg, tid, year in zip(
+                pdf["_tg"], pdf["_sg"], pdf[transect_id], pdf["year"]
+            ):
+                tline = wkb.parse(bytes(tg))[1]
+                t, payload = wkb.parse(bytes(sg))
+                parts = payload if t == wkb.MULTILINESTRING else [payload]
+                for part in parts:
+                    pts = ga.polyline_polyline_intersections(tline, part)
+                    if len(pts):
+                        for c in ga.chainage_along(tline, pts):
+                            rows.append(
+                                {
+                                    transect_id: tid,
+                                    "year": int(year),
+                                    "chainage_m": round(float(c), 9),
+                                }
+                            )
+            yield pd.DataFrame(
+                rows, columns=[transect_id, "year", "chainage_m"]
+            )
+
+    partial = pairs.mapInPandas(kernel, out_schema)
+    return partial.groupBy(transect_id, "year").agg(
+        F.min("chainage_m").alias("chainage_m"),
+        F.count_distinct("chainage_m").cast("int").alias("n_crossings"),
+    )

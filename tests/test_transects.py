@@ -271,3 +271,39 @@ def test_transect_rates_constant_retreat(spark):
     # reference semantics: sce = max-min spread, nsm = -dist(initial_year)
     np.testing.assert_allclose(out["sce"], 10.0, atol=1e-9)  # 4 yr x 2.5 m
     np.testing.assert_allclose(out["nsm"], -30.3, atol=1e-9)
+
+
+def test_transect_chainages_dist_parity(spark):
+    """Cell-cover distributed chainage join == broadcast form, row for
+    row, on a wiggly multi-year fixture (incl. n_crossings flags)."""
+    from pyspark.sql import functions as F
+
+    from dea_coastlines_spark.operators.transects import generate_transects as gen_t
+    from dea_coastlines_spark.operators.validation import (
+        transect_chainages,
+        transect_chainages_dist,
+    )
+
+    base = _wiggle(60, 5, scale=600.0)
+    lines = spark.createDataFrame(
+        pd.DataFrame({"line_id": ["c"], "geometry": [wkb.linestring(base)]})
+    )
+    t = gen_t(lines, length=120.0, interval=40.0, buffer=5.0).select(
+        "transect_id", "geometry"
+    ).withColumn("id", F.col("transect_id").cast("string")).drop("transect_id")
+    years = range(2000, 2003)
+    sl = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "year": list(years),
+                "geometry": [
+                    wkb.linestring(base + np.array([0.0, 8.0 * (y - 2000)]))
+                    for y in years
+                ],
+            }
+        )
+    )
+    a = transect_chainages(t, sl).orderBy("id", "year").toPandas()
+    b = transect_chainages_dist(t, sl, res=10).orderBy("id", "year").toPandas()
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
