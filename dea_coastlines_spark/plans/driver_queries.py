@@ -2424,6 +2424,36 @@ def q_transect_rates(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_group_percentiles(spark, sf_dir):
+    """Exact interpolated per-group percentiles (Spark `percentile` ==
+    SQL percentile_cont semantics), hash-verified. Exact percentiles
+    buffer each group's values — right for bounded-cardinality report
+    groups like this; for percentiles over 100 TB facts use
+    approx_percentile (t-digest-style sketch, map-side combinable),
+    whose engine-specific estimates make it rows-only-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_GROUP_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
+       ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p95,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_zonal_stats(spark, sf_dir):
     """Per-(zone, year) statistics of the composite MNDWI raster inside
     AOI polygons — zonal stats as partial-per-tile + one (zone, year)
@@ -2657,6 +2687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_rollup": q_cell_rollup,
     "zonal_stats": q_zonal_stats,
     "transect_rates": q_transect_rates,
+    "group_percentiles": q_group_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -2705,6 +2736,7 @@ ORACLES: dict[str, str] = {
     "asof_join": ORACLE_ASOF_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "cell_rollup": ORACLE_CELL_ROLLUP,
+    "group_percentiles": ORACLE_GROUP_PERCENTILES,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check
