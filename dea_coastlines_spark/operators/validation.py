@@ -167,7 +167,17 @@ def validation_stats(errors: DataFrame, by: list[str] | None = None) -> DataFram
         F.round(F.avg(F.abs(F.col("error_m"))), 6).alias("mae"),
         F.round(F.sqrt(F.avg(F.pow(F.col("error_m"), 2))), 6).alias("rmse"),
         F.round(F.stddev("error_m"), 6).alias("stdev"),
-        F.round(F.corr("surveyed_m", "chainage_m"), 6).alias("corr"),
+        # Pearson corr as try_divide(covar, sx*sy): F.corr throws
+        # DIVIDE_BY_ZERO under ANSI when either series is constant
+        # (e.g. a perfectly stable shoreline); SQL corr returns NULL
+        # there — match that.
+        F.round(
+            F.try_divide(
+                F.covar_samp("surveyed_m", "chainage_m"),
+                F.stddev("surveyed_m") * F.stddev("chainage_m"),
+            ),
+            6,
+        ).alias("corr"),
     )
 
 
@@ -259,9 +269,13 @@ def transect_chainages_dist(
     duplicated candidates cost a little recompute, never a wrong count.
 
     Output contract identical to transect_chainages:
-    (id, year, chainage_m, n_crossings).
+    (id, year, chainage_m, n_crossings) — with one domain caveat: the
+    cell index covers the EPSG:3577-scale planar world frame
+    (|coord| < 2^22 m); geometries outside it get an empty cell cover
+    and silently drop, so out-of-frame CRSs must use the broadcast
+    form (or reproject first).
     """
-    from .spatial_join import explode_polygons_to_cells
+    from .spatial_join import _rebatched, explode_polygons_to_cells
 
     t_cells = explode_polygons_to_cells(
         transects.select(transect_id, "geometry"), res
@@ -281,14 +295,45 @@ def transect_chainages_dist(
     def kernel(batches):
         for pdf in batches:
             rows = []
-            # positional access: itertuples renames underscore columns
+            # parse each distinct geometry ONCE per batch: a shoreline
+            # row paired with hundreds of transects (and vice versa in
+            # dense cells) must not re-parse per pair row — same
+            # rationale as _points_in_polygons_dist's group-by-geometry
+            t_cache: dict[bytes, np.ndarray] = {}
+            s_cache: dict[bytes, list] = {}
             for tg, sg, tid, year in zip(
                 pdf["_tg"], pdf["_sg"], pdf[transect_id], pdf["year"]
             ):
-                tline = wkb.parse(bytes(tg))[1]
-                t, payload = wkb.parse(bytes(sg))
-                parts = payload if t == wkb.MULTILINESTRING else [payload]
-                for part in parts:
+                tg, sg = bytes(tg), bytes(sg)
+                tline = t_cache.get(tg)
+                if tline is None:
+                    t, tline = wkb.parse(tg)
+                    if t != wkb.LINESTRING:
+                        raise ValueError("transects must be LineStrings")
+                    t_cache[tg] = tline
+                parts = s_cache.get(sg)
+                if parts is None:
+                    t, payload = wkb.parse(sg)
+                    raw = payload if t == wkb.MULTILINESTRING else [payload]
+                    # per-part bbox, computed once, prunes transects
+                    # that share a cell but not an extent (same filter
+                    # the broadcast form applies)
+                    parts = [
+                        (
+                            p,
+                            p[:, 0].min(), p[:, 1].min(),
+                            p[:, 0].max(), p[:, 1].max(),
+                        )
+                        for p in raw
+                    ]
+                    s_cache[sg] = parts
+                tb = (
+                    tline[:, 0].min(), tline[:, 1].min(),
+                    tline[:, 0].max(), tline[:, 1].max(),
+                )
+                for part, px0, py0, px1, py1 in parts:
+                    if px0 > tb[2] or px1 < tb[0] or py0 > tb[3] or py1 < tb[1]:
+                        continue
                     pts = ga.polyline_polyline_intersections(tline, part)
                     if len(pts):
                         for c in ga.chainage_along(tline, pts):
@@ -303,7 +348,11 @@ def transect_chainages_dist(
                 rows, columns=[transect_id, "year", "chainage_m"]
             )
 
-    partial = pairs.mapInPandas(kernel, out_schema)
+    # rebatch: session arrow batches are small (256 rows); one Python
+    # crossing per 64k pair rows instead
+    partial = pairs.mapInPandas(
+        lambda it: kernel(_rebatched(it)), out_schema
+    )
     return partial.groupBy(transect_id, "year").agg(
         F.min("chainage_m").alias("chainage_m"),
         F.count_distinct("chainage_m").cast("int").alias("n_crossings"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -47,8 +48,18 @@ def main(argv=None) -> int:
     from dea_coastlines_spark.sources.table import SnapshotTable
 
     survey = read_csv_survey(spark, args.survey_csv)
-    gj = json.load(open(args.transects_geojson))
-    feats = gj["features"] if gj.get("type") == "FeatureCollection" else [gj]
+    if os.path.isdir(args.transects_geojson):
+        # GeoJSONSeq directory as written by jobs/run_transects.py /
+        # write_geojsonseq: newline-delimited features across part files
+        feats = [
+            json.loads(line)
+            for r in spark.read.text(args.transects_geojson).collect()
+            for line in [r[0]]
+            if line.strip()
+        ]
+    else:
+        gj = json.load(open(args.transects_geojson))
+        feats = gj["features"] if gj.get("type") == "FeatureCollection" else [gj]
     transects = spark.createDataFrame(
         pd.DataFrame(
             {

@@ -270,3 +270,74 @@ def test_transects_job(spark, tmp_path, capsys):
         assert y1 < 0 < y2  # oriented land -> water
         np.testing.assert_allclose(np.hypot(x2 - x1, y2 - y1), 80.0)
         assert f["properties"]["id"].startswith("c_")
+
+
+def test_validation_reads_transect_job_output(spark, tmp_path, capsys):
+    """run_transects -> GeoJSONSeq dir -> run_validation consumes the
+    directory directly (the documented composition)."""
+    import run_transects
+    import run_validation as rv
+
+    from dea_coastlines_spark.geometry import wkb as _wkb
+    from dea_coastlines_spark.sources.table import SnapshotTable
+
+    xs = np.linspace(0.0, 300.0, 31).tolist()
+    coast = {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature", "properties": {"id": "c"},
+            "geometry": {"type": "LineString",
+                         "coordinates": [[x, 0.0] for x in xs]},
+        }],
+    }
+    land = {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": [
+                [[-50, -300], [350, -300], [350, 0], [-50, 0], [-50, -300]]
+            ]},
+        }],
+    }
+    (tmp_path / "coast.json").write_text(json.dumps(coast))
+    (tmp_path / "land.json").write_text(json.dumps(land))
+    t_dir = tmp_path / "transects_seq"
+    assert run_transects.main([
+        "--coastline-geojson", str(tmp_path / "coast.json"),
+        "--land-geojson", str(tmp_path / "land.json"),
+        "--output", str(t_dir),
+        "--interval", "60", "--length", "80", "--buffer", "5",
+        "--simplify", "0",
+    ]) == 0
+
+    # shorelines at y = 10.3 every year; surveyed chainage must match
+    # transect-start(y=-40) -> 50.3 exactly
+    years = [2000, 2001]
+    sl = spark.createDataFrame(pd.DataFrame({
+        "year": years,
+        "geometry": [
+            _wkb.linestring(np.stack(
+                [np.linspace(-10, 310, 33), np.full(33, 10.3)], axis=1))
+            for _ in years
+        ],
+    }))
+    SnapshotTable(spark, str(tmp_path / "sl")).create(sl, partition_by=["year"])
+
+    feats = [json.loads(l) for l in
+             spark.read.text(str(t_dir)).toPandas()["value"]]
+    pd.DataFrame(
+        [(f["properties"]["id"], f"{y}-06-15", 50.3, 0.0)
+         for f in feats for y in years],
+        columns=["site", "date", "distance", "z"],
+    ).assign(id=lambda d: d["site"]).to_csv(tmp_path / "survey.csv", index=False)
+
+    assert rv.main([
+        "--shorelines-table", str(tmp_path / "sl"),
+        "--survey-csv", str(tmp_path / "survey.csv"),
+        "--transects-geojson", str(t_dir),
+        "--output", str(tmp_path / "stats.json"),
+    ]) == 0
+    stats = json.load(open(tmp_path / "stats.json"))
+    assert stats["overall"]["n"] == len(feats) * len(years)
+    assert abs(stats["overall"]["bias"]) < 1e-6
+    assert abs(stats["overall"]["rmse"]) < 1e-6
