@@ -185,6 +185,8 @@ def transect_rates(
     transects: DataFrame,
     shorelines: DataFrame,
     initial_year: int,
+    distributed: bool = False,
+    cell_res: int = 12,
 ) -> DataFrame:
     """End-to-end validation-network rates: generated transects
     (operators/transects.py output) x annual shorelines -> one chainage
@@ -198,6 +200,10 @@ def transect_rates(
     the rates kernel is a 64-bit hash of the transect key; the readable
     key is joined back onto the result (broadcast — the key map is one
     row per transect).
+
+    distributed=True swaps the broadcast chainage join for the
+    cell-cover equi join (transect_chainages_dist) — same output, no
+    driver-side transect collect — for networks past ~10^6 transects.
     """
     from .rates import rates_of_change
 
@@ -211,7 +217,9 @@ def transect_rates(
         "x2",
         "y2",
     )
-    ch = transect_chainages(t.select("id", "geometry"), shorelines)
+    chain = transect_chainages_dist if distributed else transect_chainages
+    kw = {"res": cell_res} if distributed else {}
+    ch = chain(t.select("id", "geometry"), shorelines, **kw)
     attrs = t.drop("geometry").withColumn("_tid", F.xxhash64("id"))
     # one 64-bit hash keys the regression; a collision would merge two
     # transects' observations into one bogus fit, so verify injectivity

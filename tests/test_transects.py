@@ -307,3 +307,37 @@ def test_transect_chainages_dist_parity(spark):
     b = transect_chainages_dist(t, sl, res=10).orderBy("id", "year").toPandas()
     assert len(a) > 0
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_transect_rates_distributed_parity(spark):
+    """transect_rates(distributed=True) == broadcast form end to end."""
+    from dea_coastlines_spark.operators.transects import (
+        generate_transects as gen_t,
+    )
+    from dea_coastlines_spark.operators.validation import transect_rates
+
+    base = _wiggle(50, 3, scale=500.0)
+    lines = spark.createDataFrame(
+        pd.DataFrame({"line_id": ["c"], "geometry": [wkb.linestring(base)]})
+    )
+    t = gen_t(lines, length=100.0, interval=60.0, buffer=5.0)
+    years = range(2000, 2004)
+    sl = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "year": list(years),
+                "geometry": [
+                    wkb.linestring(base + np.array([0.0, 4.0 * (y - 2000)]))
+                    for y in years
+                ],
+            }
+        )
+    )
+    a = transect_rates(t, sl, 2000).orderBy("id").toPandas()
+    b = transect_rates(t, sl, 2000, distributed=True, cell_res=10).orderBy(
+        "id"
+    ).toPandas()
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
