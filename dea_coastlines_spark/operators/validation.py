@@ -217,6 +217,10 @@ def transect_rates(
         "x2",
         "y2",
     )
+    # t feeds three branches (chainages, attrs, key map) and typically
+    # sits on a generate/orient kernel chain; materialize it once
+    # (lazy) instead of re-running those kernels per branch
+    t = t.localCheckpoint(eager=False)
     chain = transect_chainages_dist if distributed else transect_chainages
     kw = {"res": cell_res} if distributed else {}
     ch = chain(t.select("id", "geometry"), shorelines, **kw)
