@@ -65,6 +65,12 @@ def oracle_sql() -> dict[str, str]:
         # ivf additionally reads the sf0.01 embeddings parquet
         "lsh_ann_topk": driver_queries.lsh_ann_oracle_sql,
         "ivf_ann_topk": driver_queries.ivf_ann_oracle_sql,
+        # recomputes the composite median driver-side and writes core
+        # pixels to parquet; DuckDB does rectangle PIP + aggregation
+        "zonal_stats": driver_queries.zonal_oracle_sql,
+        # decodes the deterministic corpus driver-side; DuckDB does the
+        # per-image mean/std/nodata aggregation
+        "multimodal_decode_stats": driver_queries.multimodal_oracle_sql,
     }
     for name, build in lazy.items():
         # a failed builder (missing testdata dir, read-only tmp) must

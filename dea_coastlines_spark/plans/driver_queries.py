@@ -2457,9 +2457,11 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def q_zonal_stats(spark, sf_dir):
     """Per-(zone, year) statistics of the composite MNDWI raster inside
     AOI polygons — zonal stats as partial-per-tile + one (zone, year)
-    combine shuffle (operators/zonal.py). Rows-only by design (raster
-    decode has no SQL analog); numeric parity vs an independent
-    rectangle-comparison brute force is pinned by tests/test_zonal.py."""
+    combine shuffle (operators/zonal.py). Hash-verified:
+    zonal_oracle_sql() recomputes the composite pixels driver-side and
+    DuckDB independently does the rectangle PIP + full aggregation;
+    numeric parity vs an independent rectangle-comparison brute force
+    is also pinned by tests/test_zonal.py."""
     import numpy as np
     import pandas as pd
 
@@ -2499,6 +2501,148 @@ def q_zonal_stats(spark, sf_dir):
         F.round("max_v", 6).alias("max_v"),
         F.round("mean_v", 6).alias("mean_v"),
     ).orderBy("zone_id", "year")
+
+
+def zonal_oracle_sql() -> str:
+    """Full hash-verified oracle for q_zonal_stats. The corpus is a
+    deterministic function of CorpusSpec(seed=13), so recompute the
+    per-(tile, year) composite median driver-side (same pure helpers
+    the grouped kernel uses: codec decode + _nan_median_std_count),
+    write every finite core pixel as a (x, y, year, v) row to a temp
+    parquet, and let DuckDB independently do the zone assignment
+    (the query's zones are axis-aligned rectangles, so PIP reduces to
+    BETWEEN comparisons — a different algorithm from the kernel's
+    general ring-crossing test), the full aggregation (no partial +
+    combine split), the mean, and the rounding. Checks the distributed
+    orchestration, the per-tile partial / (zone, year) combine
+    algebra, and the PIP against an independent formulation."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs import image as _img
+    from ..operators.composite import _nan_median_std_count
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=13)
+    halo, res = spec.halo_px, spec.res_m
+    recs: list[dict] = []
+    for tx in range(spec.tiles_x):
+        for ty in range(spec.tiles_y):
+            ox, oy = spec.tile_origin(tx, ty)
+            # GDAL affine of the halo-inclusive image (make_row)
+            c = ox - halo * res
+            f = oy + (spec.tile_px + halo) * res
+            for year in spec.years:
+                stack = np.stack([
+                    _img.decode_tile(r["bytes"], r["fmt"])
+                    for r in (
+                        _corpus.make_row(spec, tx, ty, year, obs)
+                        for obs in range(spec.obs_per_year)
+                    )
+                ])
+                med, _, _ = _nan_median_std_count(stack)
+                core = med[halo:med.shape[0] - halo, halo:med.shape[1] - halo]
+                ny, nx = core.shape
+                xs = c + (np.arange(halo, halo + nx) + 0.5) * res
+                ys = f + (np.arange(halo, halo + ny) + 0.5) * -res
+                gx, gy = np.meshgrid(xs, ys)
+                keep = np.isfinite(core)
+                recs.extend(
+                    {"x": float(px), "y": float(py), "year": year,
+                     "v": float(pv)}
+                    for px, py, pv in zip(gx[keep], gy[keep], core[keep])
+                )
+    pdf = pd.DataFrame(recs)
+    # per-process filename + atomic rename (phash_oracle_sql pattern)
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zonal_oracle_{os.getpid()}.parquet"
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+    ox, oy = spec.tile_origin(0, 0)
+    sz = spec.tile_px * spec.res_m
+    zones = [
+        ("west", ox - 10, oy - 3 * sz, ox + 1.4 * sz, oy + 2 * sz),
+        ("east", ox + 1.4 * sz, oy - 3 * sz, ox + 4 * sz, oy + 2 * sz),
+        ("mid", ox + 0.7 * sz, oy - 1.6 * sz, ox + 2.3 * sz, oy + 0.6 * sz),
+    ]
+    vals = ", ".join(
+        f"('{zid}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for zid, x0, y0, x1, y1 in zones
+    )
+    return f"""
+WITH zones(zone_id, x0, y0, x1, y1) AS (VALUES {vals})
+SELECT z.zone_id, CAST(p.year AS INTEGER) AS year, COUNT(*) AS n,
+       ROUND(SUM(p.v), 4) AS sum_v,
+       ROUND(MIN(p.v), 6) AS min_v,
+       ROUND(MAX(p.v), 6) AS max_v,
+       ROUND(SUM(p.v) / COUNT(*), 6) AS mean_v
+FROM read_parquet('{path}') p
+JOIN zones z
+  ON p.x BETWEEN z.x0 AND z.x1 AND p.y BETWEEN z.y0 AND z.y1
+GROUP BY z.zone_id, p.year
+ORDER BY z.zone_id, year
+"""
+
+
+def multimodal_oracle_sql() -> str:
+    """Full hash-verified oracle for q_multimodal_decode_stats. The
+    corpus is a deterministic function of CorpusSpec(seed=5), so decode
+    every image driver-side (same codec the Arrow kernel uses — the
+    codecs carry their own PSNR/round-trip pytest gates), write the
+    FINITE pixels as (image_id, v) rows to a temp parquet, and let
+    DuckDB independently compute the per-image mean / population std /
+    nodata fraction (via a literal per-image pixel-count table) plus
+    the rounding — checking the distributed mapInPandas path against a
+    plain SQL aggregation."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs import image as _img
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=2, tiles_y=1,
+                              year0=2000, year1=2001, obs_per_year=2, seed=5,
+                              fmt="mixed")
+    recs: list[dict] = []
+    totals: list[tuple[str, int]] = []
+    for key in _corpus.iter_keys(spec):
+        row = _corpus.make_row(spec, *key)
+        arr = _img.decode_tile(row["bytes"], row["fmt"])
+        totals.append((row["image_id"], int(arr.size)))
+        v = arr[np.isfinite(arr)].astype(np.float64)
+        recs.extend({"image_id": row["image_id"], "v": float(x)} for x in v)
+    pdf = pd.DataFrame(recs, columns=["image_id", "v"])
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mmstats_oracle_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+    vals = ", ".join(f"('{iid}', {n})" for iid, n in totals)
+    return f"""
+WITH tot(image_id, npx) AS (VALUES {vals})
+SELECT t.image_id,
+       ROUND(AVG(p.v), 6) AS px_mean,
+       ROUND(STDDEV_POP(p.v), 6) AS px_std,
+       1.0 - COUNT(p.v) / CAST(t.npx AS DOUBLE) AS nodata_frac
+FROM tot t
+LEFT JOIN read_parquet('{path}') p USING (image_id)
+GROUP BY t.image_id, t.npx
+ORDER BY t.image_id
+"""
 
 
 def _sql_double_list(vals) -> str:
