@@ -164,11 +164,21 @@ def global_components(
     mask_col: str = "mask_bytes",
     connectivity: int = 2,
     max_iter: int = 100,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """(tile_x, tile_y, label) -> global component id + global size.
 
     Component id = min node_id over the component (deterministic).
-    """
+
+    The seam-equivalence graph (one node per PER-TILE component, one
+    edge per cross-tile label adjacency) is orders of magnitude smaller
+    than the pixel data; when it fits in driver memory the min-label
+    fixpoint is solved there with a vectorized union-find
+    (operators/graph.py:_components_driver) instead of paying ~3
+    shuffle jobs of fixed latency per propagation round — the same
+    auto physical-strategy pick as connected_components_pairs. The
+    distributed loop remains the path for corpus-scale tile graphs;
+    set small_graph_edges=0 to force it."""
     parts = tile_components(tiles_mask, mask_col, connectivity)
     parts = parts.withColumn(
         "node_id", NODE(F.col("tile_x"), F.col("tile_y"), F.col("label"))
@@ -185,6 +195,27 @@ def global_components(
     edges = edges.unionByName(
         edges.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
     ).distinct().localCheckpoint(eager=True)
+
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        import pandas as pd
+
+        from .graph import _components_driver
+
+        spark = edges.sparkSession
+        epdf = edges.select(
+            F.col("na").alias("u"), F.col("nb").alias("v")
+        ).toPandas()
+        ids, cl = _components_driver(epdf)
+        mapping = spark.createDataFrame(
+            pd.DataFrame({"node_id": ids, "comp": cl}),
+            "node_id long, comp long",
+        )
+        # isolated per-tile components (no seam edge) stay their own id
+        comp = nodes.select("node_id").join(mapping, "node_id", "left").select(
+            "node_id", F.coalesce("comp", F.col("node_id")).alias("comp")
+        )
+        edges.unpersist()
+        return _components_out(nodes, comp)
 
     # min-label propagation to fixpoint. Converges in O(graph diameter)
     # rounds; each round's tables are node-count-sized (tiny next to
@@ -231,7 +262,13 @@ def global_components(
         )
     edges.unpersist()
 
-    out = (
+    return _components_out(nodes, comp)
+
+
+def _components_out(nodes: DataFrame, comp: DataFrame) -> DataFrame:
+    """(node rows, node_id -> comp labeling) -> the output layout:
+    one row per member with the component's global id and pixel sum."""
+    return (
         nodes.join(comp, "node_id")
         .groupBy("comp")
         .agg(
@@ -245,4 +282,3 @@ def global_components(
             F.col("m.label").alias("label"), F.col("m.n_px").alias("n_px"),
         )
     )
-    return out

@@ -89,3 +89,12 @@ def test_components_parallelism_invariant(spark):
         return sorted((r.component_id, r.tile_x, r.tile_y, r.label) for r in rows)
 
     assert run(2) == run(16)
+
+
+def test_global_components_driver_path_equals_distributed(spark):
+    """The auto small-graph driver union-find and the distributed
+    min-label loop must produce identical output rows."""
+    tiles = tiles_from_world(spark, world_mask())
+    fast = global_components(tiles).collect()
+    slow = global_components(tiles, small_graph_edges=0).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))

@@ -56,7 +56,9 @@ def test_components_chain_needs_propagation(spark):
     n = 40
     edges = [(i, i + 1) for i in range(n)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = graph.connected_components_pairs(df, max_rounds=50).collect()
+    got = graph.connected_components_pairs(
+        df, max_rounds=50, small_graph_edges=0
+    ).collect()
     assert all(r.cluster_id == 0 for r in got)
     assert {r.node_id for r in got} == set(range(n + 1))
 
@@ -83,7 +85,9 @@ def test_components_raise_on_round_cap(spark):
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components_pairs(df, max_rounds=2).collect()
+        graph.connected_components_pairs(
+            df, max_rounds=2, small_graph_edges=0
+        ).collect()
 
 
 def test_components_log_rounds_on_long_chain(spark):
@@ -92,6 +96,38 @@ def test_components_log_rounds_on_long_chain(spark):
     n = 1000
     edges = [(i, i + 1) for i in range(n)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = graph.connected_components_pairs(df, max_rounds=15).collect()
+    got = graph.connected_components_pairs(
+        df, max_rounds=15, small_graph_edges=0
+    ).collect()
     assert all(r.cluster_id == 0 for r in got)
     assert {r.node_id for r in got} == set(range(n + 1))
+
+
+def test_components_driver_path_equals_distributed(spark):
+    """The auto small-graph driver union-find and the distributed
+    min-label loop must produce the identical labeling (same schema,
+    same rows) on the same input."""
+    rng = np.random.default_rng(23)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 300, 450), rng.integers(0, 300, 450))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = graph.connected_components_pairs(df)
+    slow = graph.connected_components_pairs(df, small_graph_edges=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+
+
+def test_components_driver_path_string_ids(spark):
+    """Driver path handles non-numeric node ids (doc-id strings)."""
+    pairs = [("d1", "d2"), ("d2", "d3"), ("x9", "x2")]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        r.node_id: r.cluster_id
+        for r in graph.connected_components_pairs(df).collect()
+    }
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x9": "x2", "x2": "x2"}
