@@ -20,11 +20,9 @@ from dea_coastlines_spark.synth import corpus
 
 # Flagship corpus: small but multi-tile/multi-year so the full plan
 # (broadcast tide cutoffs, grouped-map composite, vectorize, halo clip)
-# executes end-to-end.
-_FLAGSHIP_SPEC = corpus.CorpusSpec(
-    tile_px=96, halo_px=6, tiles_x=3, tiles_y=2,
-    year0=2000, year1=2002, obs_per_year=5, cloud_frac=0.04, seed=7,
-)
+# executes end-to-end. One definition shared with the sequential
+# recompute oracle (driver_queries.shorelines_oracle_sql).
+_FLAGSHIP_SPEC = driver_queries._flagship_spec()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,6 +57,18 @@ def oracle_sql() -> dict[str, str]:
     # parquet the SQL reads, so DuckDB brute-forces the same input
     lazy = {
         "phash_neardup": driver_queries.phash_oracle_sql,
+        # independent whole-mosaic BFS (no tiling/seam stitch); DuckDB
+        # re-derives component sums + canonical representative
+        "global_components": driver_queries.components_oracle_sql,
+        # scalar textbook-formula recompute of the audio features
+        "audio_features": driver_queries.audio_oracle_sql,
+        # single-threaded sequential recompute of the raster->vector
+        # path (plain loops replace every distributed construct);
+        # DuckDB re-derives hexing/rounding/aggregation
+        "shorelines_annual": driver_queries.shorelines_oracle_sql,
+        "multilevel_shorelines": driver_queries.multilevel_oracle_sql,
+        "masked_shorelines": driver_queries.masked_shorelines_oracle_sql,
+        "shorelines_in_aoi": driver_queries.shorelines_in_aoi_oracle_sql,
         # writes the shared vertex parquet for the SQL to read
         "coastal_transects": driver_queries.transects_oracle_sql,
         # embeds seeded hyperplanes / refit centroids as literals;

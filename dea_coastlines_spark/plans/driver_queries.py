@@ -1009,6 +1009,298 @@ def _beach_spec():
     )
 
 
+def _flagship_spec():
+    """The flagship corpus (also __spark_entry__.entry): multi-tile /
+    multi-year so broadcast tide cutoffs, grouped composite, vectorize,
+    and halo clip all execute."""
+    from ..synth.corpus import CorpusSpec
+
+    return CorpusSpec(
+        tile_px=96, halo_px=6, tiles_x=3, tiles_y=2,
+        year0=2000, year1=2002, obs_per_year=5, cloud_frac=0.04, seed=7,
+    )
+
+
+def _sequential_shoreline_rows(
+    spec,
+    apply_tide_filter: bool = True,
+    levels=None,
+    min_vertices: int = 10,
+    masked: bool = False,
+):
+    """Single-threaded pandas/numpy recompute of the raster->vector
+    path for the shoreline oracle builders: corpus -> caption parse ->
+    tide window -> per-(tile, year) composite -> (optional
+    contours_preprocess masking) -> marching-squares pieces. Runs NO
+    Spark — a plain dict-of-lists group loop stands in for the
+    broadcast tide join, the grouped-map shuffle, and the mapInPandas
+    batching, so the driver compare verifies the distributed
+    orchestration end to end (the numeric kernels are shared and carry
+    their own pytest parity gates; the staged TIFF round trip is
+    skipped — float32 TIFF is lossless, pinned by test_codecs).
+    Returns a list of row dicts; geometry is raw WKB bytes."""
+    import json as _json
+    from collections import defaultdict
+
+    from ..codecs import image as _img
+    from ..index import cells as _cells
+    from ..operators.composite import _nan_median_std_count
+    from ..operators.contours import DEFAULT_CELL_RES, extract_shorelines_tile
+    from ..synth import corpus as _corpus
+
+    pdf = _corpus.generate_pandas(spec)
+    recs = []
+    for i in range(len(pdf)):
+        m = _json.loads(pdf["caption"].iloc[i])
+        recs.append({
+            "tile_x": int(m["tile_x"]), "tile_y": int(m["tile_y"]),
+            "year": int(m["year"]), "tide_m": float(m["tide_m"]),
+            "transform": list(m["transform"]), "halo_px": int(m["halo_px"]),
+            "bytes": pdf["bytes"].iloc[i], "fmt": pdf["fmt"].iloc[i],
+        })
+    if apply_tide_filter:
+        lohi: dict = defaultdict(lambda: [float("inf"), float("-inf")])
+        for r in recs:
+            k = (r["tile_x"], r["tile_y"])
+            lohi[k][0] = min(lohi[k][0], r["tide_m"])
+            lohi[k][1] = max(lohi[k][1], r["tide_m"])
+        kept = []
+        for r in recs:
+            lo, hi = lohi[(r["tile_x"], r["tile_y"])]
+            centre, halfwin = (lo + hi) / 2.0, (hi - lo) * 0.25
+            if centre - halfwin <= r["tide_m"] <= centre + halfwin:
+                kept.append(r)
+        recs = kept
+
+    groups: dict = {}
+    for r in recs:
+        groups.setdefault((r["tile_x"], r["tile_y"], r["year"]), []).append(r)
+    comps: dict = {}
+    for key, rs in sorted(groups.items()):
+        stack = np.stack(
+            [_img.decode_tile(bytes(r["bytes"]), r["fmt"]) for r in rs]
+        )
+        med, std, cnt = _nan_median_std_count(stack)
+        comps[key] = {
+            "mndwi": med, "stdev": std, "count": cnt,
+            "transform": list(rs[0]["transform"]),
+            "halo_px": int(rs[0]["halo_px"]),
+        }
+
+    if masked:
+        from ..operators.masking import preprocess_tile_stack
+
+        # gapfill composite per (tile, year): all obs in year +- 1
+        gf_groups: dict = {}
+        years_present = sorted({k[2] for k in comps})
+        for r in recs:
+            for ty in (r["year"] - 1, r["year"], r["year"] + 1):
+                if ty in years_present:
+                    gf_groups.setdefault(
+                        (r["tile_x"], r["tile_y"], ty), []
+                    ).append(r)
+        gf_med: dict = {}
+        for key, rs in sorted(gf_groups.items()):
+            stack = np.stack(
+                [_img.decode_tile(bytes(r["bytes"]), r["fmt"]) for r in rs]
+            )
+            gf_med[key] = _nan_median_std_count(stack)[0]
+        for (tx, ty) in sorted({(k[0], k[1]) for k in comps}):
+            years = sorted(k[2] for k in comps if k[:2] == (tx, ty))
+            ann = {y: comps[(tx, ty, y)]["mndwi"] for y in years}
+            cnt = {y: comps[(tx, ty, y)]["count"] for y in years}
+            gap = {
+                y: gf_med.get(
+                    (tx, ty, y), np.full_like(ann[y], np.nan)
+                )
+                for y in years
+            }
+            msk = preprocess_tile_stack(years, ann, cnt, gap)
+            for y in years:
+                comps[(tx, ty, y)]["mndwi"] = msk[y]
+
+    rows = []
+    for (tx, ty, yr), c in sorted(comps.items()):
+        for lev in (levels if levels is not None else [0.0]):
+            for piece in extract_shorelines_tile(
+                c["mndwi"], c["stdev"], c["count"], c["transform"],
+                c["halo_px"], level=float(lev), min_vertices=min_vertices,
+            ):
+                cell = int(
+                    _cells.xy_to_cell(
+                        np.array([piece.pop("_rep_x")]),
+                        np.array([piece.pop("_rep_y")]),
+                        DEFAULT_CELL_RES,
+                    )[0]
+                )
+                row = {"cell_id": cell, "tile_x": tx, "tile_y": ty, "year": yr}
+                if levels is not None:
+                    row["level"] = float(lev)
+                row.update(piece)
+                rows.append(row)
+    return rows
+
+
+def _write_oracle_parquet(pdf, stem: str) -> str:
+    """Temp-parquet handoff shared by the recompute oracles: per-process
+    filename + atomic rename (the phash_oracle_sql pattern)."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{stem}_{os.getpid()}.parquet"
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+def shorelines_oracle_sql() -> str:
+    """Full hash-verified oracle for the FLAGSHIP query
+    (shorelines_annual): _sequential_shoreline_rows recomputes the
+    whole tiles -> composites -> vectorize path single-threaded with
+    plain Python loops in place of every distributed construct; DuckDB
+    applies the hexing, rounding, and ordering independently."""
+    import pandas as pd
+
+    rows = _sequential_shoreline_rows(_flagship_spec(), apply_tide_filter=True)
+    pdf = pd.DataFrame([
+        {
+            "cell_id": r["cell_id"], "tile_x": r["tile_x"],
+            "tile_y": r["tile_y"], "year": r["year"],
+            "geometry": bytes(r["geometry"]),
+            "n_vertices": r["n_vertices"], "length_m": r["length_m"],
+            "certainty": r["certainty"],
+        }
+        for r in rows
+    ])
+    path = _write_oracle_parquet(pdf, "shorelines_oracle")
+    return f"""
+SELECT cell_id, tile_x, tile_y, year,
+       hex(geometry) AS geometry_wkb_hex,
+       n_vertices, ROUND(length_m, 3) AS length_m, certainty
+FROM read_parquet('{path}')
+ORDER BY year, cell_id, length_m
+"""
+
+
+def multilevel_oracle_sql() -> str:
+    """Full hash-verified oracle for q_multilevel_shorelines: the same
+    single-threaded recompute run once per contour level."""
+    import pandas as pd
+
+    from ..synth.corpus import CorpusSpec
+
+    spec = CorpusSpec(tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
+                      year0=2000, year1=2001, obs_per_year=5,
+                      cloud_frac=0.04, seed=7)
+    rows = _sequential_shoreline_rows(
+        spec, apply_tide_filter=True, levels=[-0.2, 0.0, 0.2]
+    )
+    pdf = pd.DataFrame([
+        {
+            "cell_id": r["cell_id"], "tile_x": r["tile_x"],
+            "tile_y": r["tile_y"], "year": r["year"], "level": r["level"],
+            "geometry": bytes(r["geometry"]),
+            "n_vertices": r["n_vertices"], "length_m": r["length_m"],
+        }
+        for r in rows
+    ])
+    path = _write_oracle_parquet(pdf, "multilevel_oracle")
+    return f"""
+SELECT cell_id, tile_x, tile_y, year, level,
+       hex(geometry) AS geometry_wkb_hex,
+       n_vertices, ROUND(length_m, 3) AS length_m
+FROM read_parquet('{path}')
+ORDER BY year, level, cell_id, length_m
+"""
+
+
+def masked_shorelines_oracle_sql() -> str:
+    """Full hash-verified oracle for q_masked_shorelines: sequential
+    recompute including the gapfill stack and the contours_preprocess
+    per-tile masking, with plain loops in place of the annual+gapfill
+    join and the per-tile grouped map."""
+    import pandas as pd
+
+    rows = _sequential_shoreline_rows(
+        _beach_spec(), apply_tide_filter=False, masked=True
+    )
+    pdf = pd.DataFrame([
+        {
+            "cell_id": r["cell_id"], "tile_x": r["tile_x"],
+            "tile_y": r["tile_y"], "year": r["year"],
+            "geometry": bytes(r["geometry"]),
+            "n_vertices": r["n_vertices"], "length_m": r["length_m"],
+            "certainty": r["certainty"],
+        }
+        for r in rows
+    ])
+    path = _write_oracle_parquet(pdf, "masked_shorelines_oracle")
+    return f"""
+SELECT cell_id, tile_x, tile_y, year,
+       hex(geometry) AS geometry_wkb_hex,
+       n_vertices, ROUND(length_m, 3) AS length_m, certainty
+FROM read_parquet('{path}')
+ORDER BY year, cell_id, length_m
+"""
+
+
+def shorelines_in_aoi_oracle_sql() -> str:
+    """Full hash-verified oracle for q_shorelines_in_aoi: sequential
+    shoreline recompute, then a plain per-piece loop PIP against the
+    three AOI rectangles (the ray-casting kernel is shared and
+    pytest-gated; the fused broadcast kernel, the bbox pruning, and the
+    distributed aggregation are what this verifies). DuckDB re-derives
+    frac_inside and the rounding."""
+    import pandas as pd
+
+    from ..geometry import algorithms as _ga
+    from ..geometry import wkb as _wkb
+
+    rows = _sequential_shoreline_rows(_flagship_spec(), apply_tide_filter=True)
+    rects = {
+        "cover": (-10.0, -2000.0, 9000.0, 2000.0),
+        "west_half": (-10.0, -2000.0, 4000.0, 2000.0),
+        "east_quarter": (6500.0, -2000.0, 9000.0, 2000.0),
+    }
+    shells = {
+        aid: np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        )
+        for aid, (x0, y0, x1, y1) in rects.items()
+    }
+    recs = []
+    for r in rows:
+        c = _wkb.coords_of(bytes(r["geometry"]))
+        n = len(c)
+        if n == 0:
+            continue
+        for aid, shell in shells.items():
+            n_in = int(_ga.points_in_polygon(c[:, 0], c[:, 1], shell).sum())
+            if n_in > 0:
+                recs.append({
+                    "tile_x": r["tile_x"], "tile_y": r["tile_y"],
+                    "year": r["year"], "aoi_id": aid, "n_inside": n_in,
+                    "n_vertices_total": n, "frac_inside": n_in / n,
+                })
+    pdf = pd.DataFrame(
+        recs,
+        columns=["tile_x", "tile_y", "year", "aoi_id", "n_inside",
+                 "n_vertices_total", "frac_inside"],
+    )
+    path = _write_oracle_parquet(pdf, "shorelines_in_aoi_oracle")
+    return f"""
+SELECT tile_x, tile_y, year, aoi_id,
+       CAST(n_inside AS BIGINT) AS n_inside,
+       CAST(n_vertices_total AS BIGINT) AS n_vertices_total,
+       ROUND(frac_inside, 6) AS frac_inside
+FROM read_parquet('{path}')
+ORDER BY year, tile_x, tile_y, aoi_id, n_inside, n_vertices_total
+"""
+
+
 def q_rates_of_change(spark, sf_dir):
     """Full rates-of-change pipeline (reference entry point 2):
     composites -> shorelines -> baseline points -> kNN distances ->
@@ -1096,13 +1388,12 @@ def q_multilevel_shorelines(spark, sf_dir):
     )
 
 
-def q_global_components(spark, sf_dir):
-    """Distributed cross-tile connected components (beyond-reference:
-    removes the halo-size limit) on a deterministic multi-tile mask."""
+def _components_world():
+    """Deterministic 96x96 multi-tile mask shared by q_global_components
+    and its oracle: a cross spanning all 9 tiles plus two isolated
+    blobs. Returns (world bool array, tile rows) with world[0] = the
+    TOP pixel row (tile_y counts up from the bottom row of tiles)."""
     import numpy as np
-    import pandas as pd
-
-    from ..operators.components import global_components
 
     W = H = 32
     world = np.zeros((96, 96), bool)
@@ -1116,11 +1407,39 @@ def q_global_components(spark, sf_dir):
             block = world[(2 - ty) * H:(3 - ty) * H, tx * W:(tx + 1) * W]
             rows.append({"tile_x": tx, "tile_y": ty, "w": W, "h": H,
                          "mask_bytes": block.astype(np.uint8).tobytes()})
+    return world, rows
+
+
+def q_global_components(spark, sf_dir):
+    """Distributed cross-tile connected components (beyond-reference:
+    removes the halo-size limit) on a deterministic multi-tile mask.
+    The opaque min-xxhash64 component id is re-keyed to the component's
+    lexicographically smallest (tile_x, tile_y, label) member — a
+    hash-free canonical representative the DuckDB oracle can recompute
+    independently (components_oracle_sql: whole-mosaic BFS, no tiling,
+    no seam stitch)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..operators.components import global_components
+
+    _, rows = _components_world()
     tiles = spark.createDataFrame(
         pd.DataFrame(rows), "tile_x int, tile_y int, w int, h int, mask_bytes binary"
     )
-    return global_components(tiles).orderBy(
-        "component_id", "tile_x", "tile_y", "label"
+    gc = global_components(tiles)
+    rep = F.min(F.struct("tile_x", "tile_y", "label")).over(
+        Window.partitionBy("component_id")
+    )
+    return (
+        gc.withColumn("_rep", rep)
+        .select(
+            F.col("_rep.tile_x").alias("comp_tx"),
+            F.col("_rep.tile_y").alias("comp_ty"),
+            F.col("_rep.label").alias("comp_label"),
+            "component_px", "tile_x", "tile_y", "label", "n_px",
+        )
+        .orderBy("comp_tx", "comp_ty", "comp_label", "tile_x", "tile_y", "label")
     )
 
 
@@ -2642,6 +2961,156 @@ FROM tot t
 LEFT JOIN read_parquet('{path}') p USING (image_id)
 GROUP BY t.image_id, t.npx
 ORDER BY t.image_id
+"""
+
+
+def components_oracle_sql() -> str:
+    """Full hash-verified oracle for q_global_components. The input
+    mask is a pure function of _components_world(), so the driver
+    recomputes the grouping INDEPENDENTLY of the distributed path: an
+    8-connected breadth-first flood fill over the WHOLE 96x96 mosaic —
+    no tiling, no seam extraction, no label propagation (the parts the
+    distributed operator could get wrong). Per-tile labels reuse
+    functions/label.py (the same kernel the grouped stage runs; it
+    carries its own pytest parity) only to NAME the members; each
+    (tile, label) is then mapped to its whole-mosaic component through
+    any member pixel. DuckDB independently re-derives the component
+    pixel sums and the canonical (tile_x, tile_y, label) representative
+    via window aggregation over the member rows."""
+    import os
+    import tempfile
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import label as _label
+
+    world, rows = _components_world()
+    H = W = 32
+
+    # independent whole-mosaic labeling: BFS flood fill, 8-connected
+    wcomp = np.zeros(world.shape, np.int64)
+    nxt = 0
+    hh, ww = world.shape
+    for r0 in range(hh):
+        for c0 in range(ww):
+            if world[r0, c0] and wcomp[r0, c0] == 0:
+                nxt += 1
+                wcomp[r0, c0] = nxt
+                dq = deque([(r0, c0)])
+                while dq:
+                    r, c = dq.popleft()
+                    for dr in (-1, 0, 1):
+                        for dc in (-1, 0, 1):
+                            rr, cc = r + dr, c + dc
+                            if (0 <= rr < hh and 0 <= cc < ww
+                                    and world[rr, cc] and wcomp[rr, cc] == 0):
+                                wcomp[rr, cc] = nxt
+                                dq.append((rr, cc))
+
+    recs = []
+    for t in rows:
+        tx, ty = t["tile_x"], t["tile_y"]
+        block = (
+            np.frombuffer(t["mask_bytes"], np.uint8).reshape(H, W) > 0
+        )
+        labels, n = _label.label(block, 2)
+        if n == 0:
+            continue
+        sizes = _label.region_sizes(labels, n)
+        for lab in range(1, n + 1):
+            rs, cs = np.nonzero(labels == lab)
+            # any member pixel names the whole-mosaic component
+            wr, wc = (2 - ty) * H + int(rs[0]), tx * W + int(cs[0])
+            recs.append({
+                "tile_x": tx, "tile_y": ty, "label": int(lab),
+                "n_px": int(sizes[lab]), "wcomp": int(wcomp[wr, wc]),
+            })
+    pdf = pd.DataFrame(recs, columns=["tile_x", "tile_y", "label", "n_px", "wcomp"])
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_components_oracle_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+    # (tile_x, tile_y, label) each < 2^20, so the packed key preserves
+    # lexicographic order and MIN(key) is the canonical representative
+    return f"""
+WITH m AS (SELECT * FROM read_parquet('{path}')),
+agg AS (
+  SELECT *,
+         CAST(SUM(n_px) OVER (PARTITION BY wcomp) AS BIGINT) AS component_px,
+         MIN((CAST(tile_x AS BIGINT) << 40)
+             + (CAST(tile_y AS BIGINT) << 20)
+             + label) OVER (PARTITION BY wcomp) AS repkey
+  FROM m)
+SELECT CAST(repkey >> 40 AS INTEGER) AS comp_tx,
+       CAST((repkey >> 20) & 1048575 AS INTEGER) AS comp_ty,
+       CAST(repkey & 1048575 AS INTEGER) AS comp_label,
+       component_px, tile_x, tile_y, label, CAST(n_px AS BIGINT) AS n_px
+FROM agg
+ORDER BY comp_tx, comp_ty, comp_label, tile_x, tile_y, label
+"""
+
+
+def audio_oracle_sql() -> str:
+    """Full hash-verified oracle for q_audio_features. The clip set is
+    a pure function of the query (sine mixtures, f0 = 200 + 100*i), so
+    the driver re-derives every feature single-threaded from the
+    textbook definitions — RMS, sign-change rate, rfft
+    magnitude-weighted mean frequency — over the SAME pcm16
+    quantization (codecs/wav.py round-trip, which carries its own
+    closed-form pytest gates). DuckDB applies the rounding and ordering
+    independently, checking the distributed mapInPandas path against a
+    scalar recompute."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs import wav as _wav
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    recs = []
+    for i in range(8):
+        f0 = 200.0 + 100.0 * i
+        x = (0.4 * np.sin(2 * np.pi * f0 * t)
+             + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)).astype(np.float32)
+        mono, r2 = _wav.decode_pcm16(_wav.encode_pcm16(x, rate))
+        mono = mono.mean(axis=1)
+        n = mono.shape[0]
+        rms = float(np.sqrt(np.mean(mono ** 2)))
+        zcr = float(np.mean(np.diff(np.signbit(mono)) != 0)) * r2
+        mag = np.abs(np.fft.rfft(mono))
+        freqs = np.fft.rfftfreq(n, d=1.0 / r2)
+        tot = float(mag.sum())
+        centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+        recs.append({
+            "audio_id": f"clip{i:02d}", "sample_rate": int(r2),
+            "duration_s": n / r2, "rms": rms, "zcr_hz": zcr,
+            "spectral_centroid_hz": centroid,
+        })
+    pdf = pd.DataFrame(recs)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_audio_oracle_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return f"""
+SELECT audio_id, CAST(sample_rate AS INTEGER) AS sample_rate,
+       ROUND(duration_s, 6) AS duration_s,
+       ROUND(rms, 6) AS rms,
+       ROUND(zcr_hz, 2) AS zcr_hz,
+       ROUND(spectral_centroid_hz, 2) AS spectral_centroid_hz
+FROM read_parquet('{path}')
+ORDER BY audio_id
 """
 
 
