@@ -69,6 +69,11 @@ def oracle_sql() -> dict[str, str]:
         "multilevel_shorelines": driver_queries.multilevel_oracle_sql,
         "masked_shorelines": driver_queries.masked_shorelines_oracle_sql,
         "shorelines_in_aoi": driver_queries.shorelines_in_aoi_oracle_sql,
+        "rates_of_change": driver_queries.rates_oracle_sql,
+        "hotspots": driver_queries.hotspots_oracle_sql,
+        "validation_stats": driver_queries.validation_oracle_sql,
+        "transect_rates": driver_queries.transect_rates_oracle_sql,
+        "contour_certainty": driver_queries.contour_certainty_oracle_sql,
         # writes the shared vertex parquet for the SQL to read
         "coastal_transects": driver_queries.transects_oracle_sql,
         # embeds seeded hyperplanes / refit centroids as literals;

@@ -1021,31 +1021,15 @@ def _flagship_spec():
     )
 
 
-def _sequential_shoreline_rows(
-    spec,
-    apply_tide_filter: bool = True,
-    levels=None,
-    min_vertices: int = 10,
-    masked: bool = False,
-):
-    """Single-threaded pandas/numpy recompute of the raster->vector
-    path for the shoreline oracle builders: corpus -> caption parse ->
-    tide window -> per-(tile, year) composite -> (optional
-    contours_preprocess masking) -> marching-squares pieces. Runs NO
-    Spark — a plain dict-of-lists group loop stands in for the
-    broadcast tide join, the grouped-map shuffle, and the mapInPandas
-    batching, so the driver compare verifies the distributed
-    orchestration end to end (the numeric kernels are shared and carry
-    their own pytest parity gates; the staged TIFF round trip is
-    skipped — float32 TIFF is lossless, pinned by test_codecs).
-    Returns a list of row dicts; geometry is raw WKB bytes."""
+def _sequential_composites(spec, apply_tide_filter: bool = True):
+    """Single-threaded recompute of tiles -> per-(tile, year) composite
+    for the oracle builders. Returns (comps dict keyed (tx, ty, year)
+    with mndwi/stdev/count/transform/halo_px, filtered obs recs)."""
     import json as _json
     from collections import defaultdict
 
     from ..codecs import image as _img
-    from ..index import cells as _cells
     from ..operators.composite import _nan_median_std_count
-    from ..operators.contours import DEFAULT_CELL_RES, extract_shorelines_tile
     from ..synth import corpus as _corpus
 
     pdf = _corpus.generate_pandas(spec)
@@ -1086,8 +1070,38 @@ def _sequential_shoreline_rows(
             "transform": list(rs[0]["transform"]),
             "halo_px": int(rs[0]["halo_px"]),
         }
+    return comps, recs
+
+
+def _sequential_shoreline_rows(
+    spec,
+    apply_tide_filter: bool = True,
+    levels=None,
+    min_vertices: int = 10,
+    masked: bool = False,
+    _precomputed=None,
+):
+    """Single-threaded pandas/numpy recompute of the raster->vector
+    path for the shoreline oracle builders: corpus -> caption parse ->
+    tide window -> per-(tile, year) composite -> (optional
+    contours_preprocess masking) -> marching-squares pieces. Runs NO
+    Spark — a plain dict-of-lists group loop stands in for the
+    broadcast tide join, the grouped-map shuffle, and the mapInPandas
+    batching, so the driver compare verifies the distributed
+    orchestration end to end (the numeric kernels are shared and carry
+    their own pytest parity gates; the staged TIFF round trip is
+    skipped — float32 TIFF is lossless, pinned by test_codecs).
+    Returns a list of row dicts; geometry is raw WKB bytes."""
+    from ..index import cells as _cells
+    from ..operators.contours import DEFAULT_CELL_RES, extract_shorelines_tile
+
+    comps, recs = _precomputed or _sequential_composites(
+        spec, apply_tide_filter
+    )
 
     if masked:
+        from ..codecs import image as _img
+        from ..operators.composite import _nan_median_std_count
         from ..operators.masking import preprocess_tile_stack
 
         # gapfill composite per (tile, year): all obs in year +- 1
@@ -1154,6 +1168,476 @@ def _write_oracle_parquet(pdf, stem: str) -> str:
     pdf.to_parquet(tmp, index=False)
     os.replace(tmp, path)
     return path
+
+
+def _seq_baseline_points(sl_rows, baseline_year: int, spacing: float):
+    """Sequential baseline_points (rates.py:54-101): spaced points along
+    the baseline year's pieces, deduped per res-29 point_id by the same
+    min-(x, y, tile_x, tile_y) winner the distributed agg picks.
+    Returns {point_id: (x, y, tile_x, tile_y)}."""
+    from ..geometry import algorithms as _ga
+    from ..geometry import wkb as _wkb
+    from ..index import cells as _cells
+    from ..operators.rates import POINT_ID_RES
+
+    best: dict = {}
+    for r in sl_rows:
+        if r["year"] != baseline_year:
+            continue
+        line = _wkb.parse(bytes(r["geometry"]))[1]
+        length = _ga.polyline_length(line)
+        dists = np.arange(0.0, length, spacing, dtype=np.float64)
+        if dists.size == 0:
+            dists = np.array([0.0])
+        p = _ga.interpolate_along(line, dists)
+        ids = _cells.xy_to_cell(p[:, 0], p[:, 1], POINT_ID_RES)
+        for pid, (x, y) in zip(ids, p):
+            cand = (float(x), float(y), r["tile_x"], r["tile_y"])
+            prev = best.get(int(pid))
+            if prev is None or cand < prev:
+                best[int(pid)] = cand
+    return best
+
+
+def _seq_signed_distances(spec, baseline_year: int, spacing: float = 30.0):
+    """Sequential recompute of the whole rates front half: composites,
+    pieces, baseline points, per-(point, year) nearest contour +
+    bearing, raster-sampled sign (rates.py:110-240) — plain loops in
+    place of the two cogrouped kernels and the dedup shuffle.
+    Returns (points dict, signed rows list, sl_rows)."""
+    from ..geometry import algorithms as _ga
+    from ..geometry import wkb as _wkb
+    from ..operators.rates import bilinear_sample
+
+    comps, recs = _sequential_composites(spec, apply_tide_filter=False)
+    sl_rows = _sequential_shoreline_rows(
+        spec, apply_tide_filter=False, _precomputed=(comps, recs)
+    )
+    pts = _seq_baseline_points(sl_rows, baseline_year, spacing)
+
+    pts_by_tile: dict = {}
+    for pid, (x, y, tx, ty) in pts.items():
+        pts_by_tile.setdefault((tx, ty), []).append((pid, x, y))
+    conts: dict = {}
+    for r in sl_rows:
+        conts.setdefault((r["tile_x"], r["tile_y"]), {}).setdefault(
+            r["year"], []
+        ).append(r["geometry"])
+
+    signed_rows = []
+    for tile, plist in sorted(pts_by_tile.items()):
+        plist.sort()
+        pids = [p[0] for p in plist]
+        px = np.array([p[1] for p in plist], float)
+        py = np.array([p[2] for p in plist], float)
+        tf = None
+        for key, c in comps.items():
+            if key[:2] == tile:
+                tf = c["transform"]
+        base = comps.get((tile[0], tile[1], baseline_year))
+        base_arr = base["mndwi"] if base else None
+        for year, geoms in sorted(conts.get(tile, {}).items()):
+            best_d = np.full(px.size, np.inf)
+            best_xy = np.zeros((px.size, 2))
+            for g in geoms:
+                line = _wkb.parse(bytes(g))[1]
+                if len(line) < 2:
+                    continue
+                d, near = _ga.points_to_polyline_distance(px, py, line)
+                upd = d < best_d
+                best_d[upd] = d[upd]
+                best_xy[upd] = near[upd]
+            bearing = np.mod(
+                _ga.bearing_deg(px, py, best_xy[:, 0], best_xy[:, 1]), 180.0
+            )
+            bearing = np.where(np.isinf(best_d), np.nan, bearing)
+            dist_raw = np.where(best_d < 1000.0, best_d, np.nan)
+            comp = comps.get((tile[0], tile[1], year))
+            if comp is None or base_arr is None or tf is None:
+                sgn = np.full(dist_raw.size, np.nan)
+            else:
+                p1 = bilinear_sample(comp["mndwi"], tf, px, py)
+                p2 = bilinear_sample(base_arr, tf, best_xy[:, 0], best_xy[:, 1])
+                lg = np.where(p2 > p1, 1.0, -1.0)
+                lg = np.where(np.isnan(p1) | np.isnan(p2), np.nan, lg)
+                sgn = dist_raw * lg
+            if year == baseline_year:
+                sgn = np.zeros(dist_raw.size)
+            dist = np.round(sgn, 2)
+            for i, pid in enumerate(pids):
+                signed_rows.append({
+                    "point_id": pid, "x": float(px[i]), "y": float(py[i]),
+                    "year": year, "dist": float(dist[i]),
+                    "bearing": float(bearing[i]),
+                })
+    return pts, signed_rows, sl_rows
+
+
+def rates_oracle_sql() -> str:
+    """Full hash-verified oracle for q_rates_of_change: sequential
+    recompute of the entire rates pipeline — composites, vectorize,
+    baseline points, nearest-contour distances, raster-sampled sign,
+    then the shared change_regress / all_time_stats kernels (their math
+    is pinned by scipy-parity pytest) and the certainty cascade as a
+    plain if-chain. What the driver compare verifies end to end: the
+    cogrouped tile kernels, the dedup and regression shuffles, and the
+    JVM CASE cascade. DuckDB re-derives the rounding and ordering."""
+    import pandas as pd
+
+    from ..functions import stats as _stats
+
+    spec = _beach_spec()
+    baseline_year = 2000
+    _, signed_rows, _ = _seq_signed_distances(spec, baseline_year)
+    years_all = list(spec.years)
+    initial_year = min(years_all)
+    thresh = int(len(years_all) * 0.75)
+    token = str(baseline_year)
+
+    by_pt: dict = {}
+    for r in signed_rows:
+        by_pt.setdefault(r["point_id"], []).append(r)
+    recs = []
+    for pid, obs in sorted(by_pt.items()):
+        obs.sort(key=lambda o: o["year"])
+        years = np.array([o["year"] for o in obs], np.int64)
+        dists = np.array([o["dist"] for o in obs], float)
+        bearings = np.array([o["bearing"] for o in obs], float)
+        reg = _stats.change_regress(dists, years, years)
+        at = _stats.all_time_stats(years, dists, reg["outliers"], initial_year)
+        bs = bearings[~np.isnan(bearings)]
+        angle_std = int(np.round(_stats.circstd_deg(bs))) if bs.size else 0
+        if at["valid_obs"] < thresh:
+            cert = "insufficient observations"
+        elif angle_std > 30:
+            cert = "high angular variability"
+        elif abs(reg["slope"]) > 50:
+            cert = "extreme value (> 50 m)"
+        elif token in str(reg["outliers"]).split(" "):
+            cert = "baseline outlier"
+        else:
+            cert = "good"
+        recs.append({
+            "point_id": pid, "x": obs[0]["x"], "y": obs[0]["y"],
+            "rate_time": reg["slope"], "sig_time": reg["pvalue"],
+            "se_time": reg["stderr"], "outl_time": reg["outliers"],
+            "valid_obs": at["valid_obs"], "sce": at["sce"], "nsm": at["nsm"],
+            "certainty": cert,
+        })
+    pdf = pd.DataFrame(recs)
+    path = _write_oracle_parquet(pdf, "rates_oracle")
+    return f"""
+SELECT point_id, ROUND(x, 2) + 0.0 AS x, ROUND(y, 2) + 0.0 AS y,
+       ROUND(rate_time, 3) + 0.0 AS rate_time,
+       ROUND(sig_time, 3) + 0.0 AS sig_time,
+       ROUND(se_time, 3) + 0.0 AS se_time,
+       outl_time, CAST(valid_obs AS INTEGER) AS valid_obs,
+       ROUND(sce, 3) + 0.0 AS sce, ROUND(nsm, 3) + 0.0 AS nsm, certainty
+FROM read_parquet('{path}')
+ORDER BY point_id
+"""
+    # Spark's ROUND (BigDecimal HALF_UP) never emits -0.0; DuckDB's
+    # keeps it, so every rounded double above is +0.0-normalized.
+
+
+def _spark_median(vals: np.ndarray) -> float:
+    """Spark's exact median (percentile 0.5): v[lo] + (v[hi]-v[lo])*frac
+    over the sorted values with NaN ordered last — matching Spark's
+    interpolation arithmetic bit-for-bit (np.median computes
+    (a+b)*0.5, a different rounding)."""
+    v = np.sort(np.asarray(vals, float))
+    pos = 0.5 * (v.size - 1)
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    if frac == 0.0:
+        return float(v[lo])
+    return float(v[lo] + (v[lo + 1] - v[lo]) * frac)
+
+
+def hotspots_oracle_sql() -> str:
+    """Full hash-verified oracle for q_hotspots: the same sequential
+    rates front half, then plain loops in place of the disc-containment
+    radius join (np.hypot <= r, the refine kernel's own formula), the
+    per-(hotspot, year) exact median (Spark percentile interpolation),
+    the member count, and the regression + insufficient-points rule
+    (hotspots.py:39-165)."""
+    import pandas as pd
+
+    from ..functions import stats as _stats
+
+    spec = _beach_spec()
+    baseline_year, radius_m = 2000, 1000.0
+    pts, signed_rows, sl_rows = _seq_signed_distances(spec, baseline_year)
+    centers = _seq_baseline_points(sl_rows, baseline_year, radius_m / 2.0)
+
+    dist_by_py: dict = {}
+    for r in signed_rows:
+        dist_by_py[(r["point_id"], r["year"])] = r["dist"]
+
+    pid_arr = np.array(sorted(pts.keys()), np.int64)
+    px = np.array([pts[p][0] for p in pid_arr], float)
+    py = np.array([pts[p][1] for p in pid_arr], float)
+    years = sorted({r["year"] for r in signed_rows})
+
+    recs = []
+    for hid, (hx, hy, _, _) in sorted(centers.items()):
+        member = pid_arr[np.hypot(px - hx, py - hy) <= radius_m]
+        if member.size == 0:
+            continue
+        yr_list, med_list = [], []
+        for year in years:
+            vals = [
+                dist_by_py[(int(p), year)]
+                for p in member
+                if (int(p), year) in dist_by_py
+            ]
+            if vals:
+                yr_list.append(year)
+                med_list.append(_spark_median(np.array(vals)))
+        reg = _stats.change_regress(
+            np.array(med_list, float), np.array(yr_list, np.int64),
+            np.array(yr_list, np.int64),
+        )
+        n = int(member.size)
+        recs.append({
+            "hotspot_id": int(hid), "rate_time": reg["slope"],
+            "n_points": n,
+            "certainty": "insufficient points" if n < radius_m / 30.0 else "good",
+        })
+    pdf = pd.DataFrame(recs)
+    path = _write_oracle_parquet(pdf, "hotspots_oracle")
+    return f"""
+SELECT hotspot_id, ROUND(rate_time, 3) + 0.0 AS rate_time,
+       CAST(n_points AS INTEGER) AS n_points, certainty
+FROM read_parquet('{path}')
+ORDER BY hotspot_id
+"""
+
+
+def validation_oracle_sql() -> str:
+    """Full hash-verified oracle for q_validation_stats: sequential
+    shoreline recompute, a plain loop over (transect, shoreline-row)
+    intersections in place of the broadcast chainage kernel and its
+    global distinct-chainage dedupe, then numpy re-derivations of the
+    JVM aggregates (bias/MAE/RMSE/sample stdev/Pearson corr with the
+    try_divide NULL-on-constant-series contract). DuckDB applies the
+    rounding and the mae_under_px flag."""
+    import pandas as pd
+
+    from ..geometry import algorithms as _ga
+    from ..geometry import wkb as _wkb
+    from ..synth import corpus as _corpus
+
+    spec = _beach_spec()
+    sl_rows = _sequential_shoreline_rows(spec, apply_tide_filter=False)
+    xs = [700.0, 2500.0, 4300.0]
+    y_lo = -2000.0
+    tlines = {
+        f"t{i}": np.array([[x, y_lo], [x, 2000.0]]) for i, x in enumerate(xs)
+    }
+    acc: dict = {}
+    for r in sl_rows:
+        t, payload = _wkb.parse(bytes(r["geometry"]))
+        parts = payload if t == _wkb.MULTILINESTRING else [payload]
+        for part in parts:
+            for tid, tline in tlines.items():
+                pts = _ga.polyline_polyline_intersections(tline, part)
+                if len(pts):
+                    acc.setdefault((tid, r["year"]), set()).update(
+                        round(float(c), 9)
+                        for c in _ga.chainage_along(tline, pts)
+                    )
+    engine = {k: min(v) for k, v in acc.items() if len(v) == 1}
+
+    pairs: dict = {}
+    for i, x in enumerate(xs):
+        for year in spec.years:
+            ch = engine.get((f"t{i}", year))
+            if ch is None:
+                continue
+            truth = float(_corpus.y_coast(spec, np.array([x]), year, 0.0)[0]) - y_lo
+            pairs.setdefault(f"t{i}", []).append((truth, ch))
+    recs = []
+    for tid, rows_ in sorted(pairs.items()):
+        s = np.array([a for a, _ in rows_], float)
+        c = np.array([b for _, b in rows_], float)
+        err = s - c
+        n = err.size
+        stdev = float(np.std(err, ddof=1)) if n > 1 else None
+        corr = None
+        if n > 1:
+            denom = float(np.std(s, ddof=1)) * float(np.std(c, ddof=1))
+            if denom != 0.0:
+                cov = float(((s - s.mean()) * (c - c.mean())).sum() / (n - 1))
+                corr = cov / denom
+        recs.append({
+            "id": tid, "n": int(n), "bias": float(err.mean()),
+            "mae": float(np.abs(err).mean()),
+            "rmse": float(np.sqrt((err ** 2).mean())),
+            "stdev": stdev, "corr": corr,
+        })
+    pdf = pd.DataFrame(recs)
+    path = _write_oracle_parquet(pdf, "validation_oracle")
+    return f"""
+SELECT id, CAST(n AS BIGINT) AS n,
+       ROUND(bias, 6) + 0.0 AS bias,
+       ROUND(mae, 6) + 0.0 AS mae,
+       ROUND(rmse, 6) + 0.0 AS rmse,
+       ROUND(stdev, 6) + 0.0 AS stdev,
+       ROUND(corr, 6) + 0.0 AS corr,
+       ROUND(mae, 6) < 30.0 AS mae_under_px
+FROM read_parquet('{path}')
+ORDER BY id
+"""
+
+
+def transect_rates_oracle_sql() -> str:
+    """Full hash-verified oracle for q_transect_rates: sequential
+    recompute of the whole validation-network chain — Douglas-Peucker
+    simplify, closed-form perpendicular transects, land-orientation
+    flip, per-(transect, year) single-crossing chainage, change_regress
+    + all_time_stats — with plain loops in place of the mapInPandas
+    passes, the chainage dedupe shuffle, and the regression UDAF."""
+    import pandas as pd
+
+    from ..functions import stats as _stats
+    from ..geometry.algorithms import (
+        chainage_along,
+        douglas_peucker,
+        points_in_polygon,
+        polyline_polyline_intersections,
+    )
+    from ..operators.transects import _transects_for_line
+
+    xs = np.linspace(0.0, 2000.0, 201)
+    base = np.stack([xs, 40.0 * np.sin(xs / 150.0)], axis=1)
+    simp = douglas_peucker(base, 5.0)
+    _, e1, e2 = _transects_for_line(simp, 400.0, 100.0, 10.0)
+    land = np.array(
+        [[-100, -500], [2100, -500], [2100, 0], [-100, 0], [-100, -500]],
+        float,
+    )
+    p1 = points_in_polygon(e1[:, 0], e1[:, 1], land)
+    p2 = points_in_polygon(e2[:, 0], e2[:, 1], land)
+    years = list(range(2000, 2005))
+    slines = {
+        y: np.stack(
+            [xs, 40.0 * np.sin(xs / 150.0) + 3.0 * (y - 2000) + 60.0], axis=1
+        )
+        for y in years
+    }
+    recs = []
+    for k in np.nonzero(p1 != p2)[0]:
+        a, b = e1[k], e2[k]
+        if (not p1[k]) and p2[k]:  # starts in water: flip land-first
+            a, b = b, a
+        tline = np.array([a, b])
+        yr_list, d_list = [], []
+        for y in years:
+            pts = polyline_polyline_intersections(tline, slines[y])
+            if not len(pts):
+                continue
+            chs = {round(float(c), 9) for c in chainage_along(tline, pts)}
+            if len(chs) != 1:
+                continue
+            yr_list.append(y)
+            d_list.append(min(chs))
+        if not yr_list:
+            continue
+        ya = np.array(yr_list, np.int64)
+        reg = _stats.change_regress(np.array(d_list, float), ya, ya)
+        at = _stats.all_time_stats(
+            ya, np.array(d_list, float), reg["outliers"], 2000
+        )
+        recs.append({
+            "id": f"coast_{int(k)}",
+            "rate_time": reg["slope"], "se_time": reg["stderr"],
+            "valid_obs": at["valid_obs"], "valid_span": at["valid_span"],
+            "sce": at["sce"],
+            "max_year": at["max_year"] if at["max_year"] is not None else -1,
+            "min_year": at["min_year"] if at["min_year"] is not None else -1,
+        })
+    pdf = pd.DataFrame(recs)
+    path = _write_oracle_parquet(pdf, "transect_rates_oracle")
+    return f"""
+SELECT id, rate_time + 0.0 AS rate_time, se_time + 0.0 AS se_time,
+       CAST(valid_obs AS INTEGER) AS valid_obs,
+       CAST(valid_span AS INTEGER) AS valid_span,
+       ROUND(sce, 3) + 0.0 AS sce,
+       CAST(max_year AS INTEGER) AS max_year,
+       CAST(min_year AS INTEGER) AS min_year
+FROM read_parquet('{path}')
+ORDER BY id
+"""
+
+
+def contour_certainty_oracle_sql() -> str:
+    """Full hash-verified oracle for q_contour_certainty: sequential
+    shoreline recompute, plain per-(piece, same-year polygon) loop in
+    place of the year-matched distributed overlay (the clip kernel is
+    shared and pytest-gated), length-weighted centroid, and the
+    Pinatubo rule as a plain conditional."""
+    import pandas as pd
+
+    from ..geometry import algorithms as _ga
+    from ..geometry import wkb as _wkb
+    from ..synth.corpus import CorpusSpec
+
+    spec = CorpusSpec(
+        tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
+        year0=1991, year1=1994, obs_per_year=5,
+        cloud_frac=0.0, noise_sd=0.04, tide_amp_m=8.0, seed=21,
+    )
+    sl_rows = _sequential_shoreline_rows(spec, apply_tide_filter=False)
+    years = list(range(spec.year0, spec.year1 + 1))
+    x0, y0, x1, y1 = -1e5, -1e5, 1e7, 1e7
+    half = 4000.0
+    polys = []
+    for y in years:
+        for pid, cert, corners in (
+            ("w", "good", [[x0, y0], [half, y0], [half, y1], [x0, y1]]),
+            ("e", "unstable data", [[half, y0], [x1, y0], [x1, y1], [half, y1]]),
+        ):
+            # round-trip through WKB so the ring closure matches the
+            # query's polygon construction exactly
+            shell = _wkb.parse(_wkb.polygon(np.array(corners, float)))[1][0]
+            polys.append((f"{pid}{y}", y, cert, shell))
+
+    recs = []
+    for r in sl_rows:
+        line = _wkb.parse(bytes(r["geometry"]))[1]
+        for pid, py_, cert, shell in polys:
+            if py_ != r["year"]:
+                continue
+            for piece in _ga.clip_polyline_by_polygon(
+                line, shell, [], keep_inside=True
+            ):
+                p = np.asarray(piece, np.float64)
+                seg = np.hypot(np.diff(p[:, 0]), np.diff(p[:, 1]))
+                sw = seg.sum()
+                if sw == 0.0:
+                    cy = float(p[:, 1].mean())
+                else:
+                    mid = (p[1:] + p[:-1]) / 2.0
+                    cy = float((mid[:, 1] * seg).sum()) / sw
+                out_cert = (
+                    "aerosol issues"
+                    if r["year"] in (1991, 1992) and cy * 1e-5 > -23.0
+                    else cert
+                )
+                recs.append({
+                    "year": r["year"], "poly_id": pid, "certainty": out_cert,
+                    "piece_len_m": _ga.polyline_length(piece), "cy": cy,
+                })
+    pdf = pd.DataFrame(recs)
+    path = _write_oracle_parquet(pdf, "contour_certainty_oracle")
+    return f"""
+SELECT year, poly_id, certainty,
+       ROUND(piece_len_m, 2) + 0.0 AS piece_len_m,
+       ROUND(cy, 2) + 0.0 AS cy
+FROM read_parquet('{path}')
+ORDER BY year, poly_id, piece_len_m
+"""
 
 
 def shorelines_oracle_sql() -> str:
