@@ -3721,6 +3721,77 @@ ORDER BY query_id, rank
 """
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Iceberg-style row-level write path end-to-end: create a
+    partitioned snapshot table from orders, copy-on-write MERGE a
+    source that updates overlapping keys and inserts new ones, then a
+    partition-scoped row-level DELETE, and aggregate the final table
+    content. The oracle recomputes the upsert+delete relationally
+    (anti-join union + filter) straight from the parquet — verifying
+    the resulting TABLE CONTENT, not just that commits succeeded.
+    (Reference analog: annual re-supply of recomputed shoreline
+    layers; SnapshotTable.merge/delete_where, sources/table.py.)"""
+    import tempfile
+
+    from ..sources import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") <= 600).select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    source = orders.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 900)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_custkey") + F.lit(1000000)).alias("o_custkey"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="merge_upsert_") + "/t"
+    )
+    t.create(target, partition_by=["o_orderpriority"])
+    t.merge(source, on=["o_orderkey"])
+    t.delete_where(
+        "o_orderkey % 10 = 0",
+        where={"o_orderpriority": ["1-URGENT", "2-HIGH"]},
+    )
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_custkey").alias("sum_cust"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH target AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey
+  FROM orders WHERE o_orderkey <= 600
+), source AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey + 1000000 AS o_custkey
+  FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 900
+), merged AS (
+  SELECT * FROM source
+  UNION ALL
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+), final AS (
+  SELECT * FROM merged
+  WHERE NOT (o_orderkey % 10 = 0
+             AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -3785,6 +3856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "transect_rates": q_transect_rates,
     "group_percentiles": q_group_percentiles,
+    "merge_upsert": q_merge_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -3834,6 +3906,7 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
+    "merge_upsert": ORACLE_MERGE_UPSERT,
     # lsh_ann_topk / ivf_ann_topk (data-dependent centroids) /
     # multimodal_decode_stats (image decode): no SQL analog ->
     # rows-only driver check

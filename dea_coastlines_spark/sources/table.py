@@ -181,7 +181,12 @@ class SnapshotTable:
                 for seg in os.path.relpath(root, stage_dir).split(os.sep):
                     if "=" in seg:
                         k, val = seg.split("=", 1)
-                        part[k] = val
+                        # Hive-escaped dir names (space -> %20, %-> %25,
+                        # ...) must be DECODED into the manifest, or a
+                        # later CoW rewrite re-escapes the literal '%'
+                        # and every merge/delete cycle compounds the
+                        # escaping ("4-NOT SPECIFIED" -> %20 -> %2520)
+                        part[k] = _unescape_partition(val)
                 entries.append(
                     {
                         "path": rel,
@@ -239,6 +244,100 @@ class SnapshotTable:
             expected_version=m["version"],
         )
 
+    def merge(self, source: DataFrame, on: list[str]) -> int:
+        """MERGE INTO (upsert, copy-on-write — the Iceberg MoR/CoW
+        row-level-update analog, CoW variant): every source row lands in
+        the table; a target row whose `on` key matches a source row is
+        REPLACED by it, all other target rows survive unchanged.
+
+        Scale shape: only AFFECTED data files are rewritten. For a
+        partitioned table the source's distinct partition tuples are
+        collected (bounded by partitions touched, not rows) and files
+        outside them carry over in the manifest untouched — at 10^12
+        rows an annual-update merge rewrites the handful of (cell, year)
+        partitions it touches, never the table. The matched/unmatched
+        split is one anti join on the key (broadcast/AQE decide the
+        strategy). NULL key semantics match SQL MERGE: a NULL never
+        equals anything, so NULL-keyed target rows are kept and
+        NULL-keyed source rows insert. Unpartitioned tables rewrite
+        fully (documented CoW cost; the production path partitions).
+
+        Commit carries expected_version, so a concurrent writer raises
+        CommitConflictError instead of silently losing rows."""
+        m = self._metadata()
+        part_cols = m["partition_by"]
+        schema_cols = [
+            f["name"] for f in json.loads(m["schema_json"])["fields"]
+        ]
+        missing = [c for c in schema_cols if c not in source.columns]
+        if missing:
+            raise ValueError(f"merge source missing columns {missing}")
+        bad_keys = [k for k in on if k not in schema_cols]
+        if bad_keys:
+            raise KeyError(f"merge keys not in table schema: {bad_keys}")
+        source = source.select(*schema_cols)
+        if part_cols:
+            touched = {
+                tuple(sorted((k, str(v)) for k, v in r.asDict().items()))
+                for r in source.select(*part_cols).distinct().collect()
+            }
+            affected = [
+                e for e in m["files"]
+                if tuple(sorted(e["partition"].items())) in touched
+            ]
+            kept = [
+                e for e in m["files"]
+                if tuple(sorted(e["partition"].items())) not in touched
+            ]
+        else:
+            affected, kept = m["files"], []
+        target = self._read_entries(m, affected)
+        merged = source.unionByName(
+            target.join(source.select(*on).distinct(), on, "left_anti")
+        )
+        new = self._write_files(merged, part_cols)
+        return self._commit(
+            "merge", kept + new, m["schema_json"], part_cols,
+            expected_version=m["version"],
+        )
+
+    def delete_where(
+        self, condition: str, where: dict[str, object] | None = None
+    ) -> int:
+        """Row-level DELETE (copy-on-write): drop rows where `condition`
+        (a Spark SQL boolean expression) evaluates TRUE; NULL keeps the
+        row, matching SQL DELETE semantics.
+
+        `where` (same partition-predicate form as read()) scopes the
+        rewrite to manifest-pruned files; files outside it carry over
+        untouched — the caller-supplied stand-in for the column-stats
+        file pruning a production Iceberg DELETE gets from manifests.
+        Unscoped deletes rewrite every file (documented CoW cost)."""
+        m = self._metadata()
+        files = m["files"]
+        affected = files
+        if where:
+            for col, want in where.items():
+                if col not in m["partition_by"]:
+                    raise KeyError(f"{col} is not a partition column")
+                affected = [
+                    f for f in affected
+                    if _part_match(f["partition"].get(col), want)
+                ]
+        affected_paths = {e["path"] for e in affected}
+        kept = [e for e in files if e["path"] not in affected_paths]
+        target = self._read_entries(m, affected)
+        # NOT coalesce(cond, false): rows where the predicate is NULL
+        # survive (plain ~expr would silently delete them)
+        remaining = target.filter(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
+        new = self._write_files(remaining, m["partition_by"])
+        return self._commit(
+            "delete", kept + new, m["schema_json"], m["partition_by"],
+            expected_version=m["version"],
+        )
+
     # ---------------------------------------------------------------- read
 
     def read(
@@ -258,6 +357,11 @@ class SnapshotTable:
                 if col not in m["partition_by"]:
                     raise KeyError(f"{col} is not a partition column")
                 files = [f for f in files if _part_match(f["partition"].get(col), want)]
+        return self._read_entries(m, files)
+
+    def _read_entries(self, m: dict, files: list[dict]) -> DataFrame:
+        """Read an explicit manifest-entry list from snapshot metadata m
+        (the path read() and the copy-on-write rewrites share)."""
         if not files:
             from pyspark.sql.types import StructType
 
@@ -275,11 +379,26 @@ class SnapshotTable:
             # relative to each stage root instead.
             df = reader.parquet(*paths)
             for col in m["partition_by"]:
+                raw = F.regexp_extract(
+                    F.input_file_name(), f"/{col}=([^/]+)/", 1
+                )
+
+                # input_file_name() is a URI, so the dir segment is
+                # URI-encoded ON TOP of Hive path escaping (value "a%b"
+                # -> Hive dir "a%25b" -> URI "a%2525b"; space is NOT
+                # Hive-escaped but IS URI-encoded). Two decode passes
+                # invert both layers exactly; url_decode additionally
+                # maps '+' -> ' ' which neither layer produces, so
+                # shield literal '+' before each pass.
+                def _decode_once(c):
+                    return F.url_decode(
+                        F.regexp_replace(c, r"\+", "%2B")
+                    )
+
+                decoded = _decode_once(_decode_once(raw))
                 df = df.withColumn(
                     col,
-                    F.regexp_extract(
-                        F.input_file_name(), f"/{col}=([^/]+)/", 1
-                    ).cast(_partition_dtype(m["schema_json"], col)),
+                    decoded.cast(_partition_dtype(m["schema_json"], col)),
                 )
             # schema_json column ORDER, matching the empty-prune branch:
             # the withColumn loop appends partition columns last, and a
@@ -347,6 +466,17 @@ class SnapshotTable:
             ):
                 shutil.rmtree(full)
         return removed
+
+
+def _unescape_partition(s: str) -> str:
+    """Decode Hive path escaping (%XX) in a partition directory value.
+    Hive escapes a fixed ASCII set (space, '%', ':', '=', ...) char-by-
+    char, so plain %XX -> chr decoding is the exact inverse."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
 
 
 def _part_match(raw: str | None, want) -> bool:

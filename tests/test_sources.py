@@ -213,6 +213,122 @@ def test_with_tile_meta_is_jvm_only(spark, tile_spec):
     assert "Python" not in plan and "InPandas" not in plan
 
 
+def test_snapshot_merge_upsert(spark, tmp_path, sample_df):
+    """Copy-on-write MERGE: matched keys replaced, unmatched target rows
+    kept, new keys inserted — and files of untouched partitions carry
+    over in the manifest byte-identically (no rewrite)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    before = {e["path"] for e in t._metadata()["files"]}
+    # source touches only year=1: update ids 1,4 and insert id 100
+    src = spark.createDataFrame(
+        [(1, 1, "UPD1"), (4, 1, "UPD4"), (100, 1, "NEW")],
+        "id long, year int, val string",
+    )
+    v = t.merge(src, on=["id"])
+    assert v == 2
+    got = {(r.id, r.val) for r in t.read().collect()}
+    assert (1, "UPD1") in got and (4, "UPD4") in got and (100, "NEW") in got
+    assert (7, "v7") in got  # untouched row in the touched partition
+    assert (0, "v0") in got  # untouched partition
+    assert t.read().count() == 31
+    # untouched partitions' files were NOT rewritten
+    after = t._metadata()["files"]
+    untouched = {e["path"] for e in after if e["partition"].get("year") != "1"}
+    assert untouched <= before
+    touched = [e for e in after if e["partition"].get("year") == "1"]
+    assert all(e["path"] not in before for e in touched)
+    # time travel still sees the pre-merge rows
+    assert {(r.id, r.val) for r in t.read(snapshot=1).collect()} >= {(1, "v1")}
+
+
+def test_snapshot_merge_schema_and_key_validation(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    with pytest.raises(ValueError):
+        t.merge(spark.createDataFrame([(1, 1)], "id long, year int"), on=["id"])
+    with pytest.raises(KeyError):
+        t.merge(
+            spark.createDataFrame([(1, 1, "x")], "id long, year int, val string"),
+            on=["nope"],
+        )
+
+
+def test_snapshot_delete_where(spark, tmp_path, sample_df):
+    """Row-level CoW DELETE: scoped rewrite prunes by partition, rows
+    where the predicate is NULL survive (SQL DELETE semantics)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # val NULL for id 5 so the NULL-predicate path is exercised
+    df = sample_df.withColumn(
+        "val", F.when(F.col("id") == 5, F.lit(None)).otherwise(F.col("val"))
+    )
+    t.create(df, partition_by=["year"])
+    before = {e["path"] for e in t._metadata()["files"]}
+    # delete even ids, but only inside partition year=2; predicate on
+    # val is NULL for id 5 (year 2) -> that row must SURVIVE
+    v = t.delete_where(
+        "id % 2 = 0 AND length(val) > 0", where={"year": 2}
+    )
+    assert v == 2
+    got = t.read()
+    assert got.filter("year = 2 AND id % 2 = 0 AND id != 5").count() == 0
+    assert got.filter("id = 5").count() == 1  # NULL predicate keeps row
+    # other partitions untouched, files carried over
+    assert got.filter("year != 2").count() == 20
+    after = t._metadata()["files"]
+    untouched = {e["path"] for e in after if e["partition"].get("year") != "2"}
+    assert untouched <= before
+    assert [s["operation"] for s in t.snapshots()] == ["create", "delete"]
+
+
+def test_snapshot_partition_value_escaping_roundtrip(spark, tmp_path):
+    """Partition values with Hive-escaped characters (space, %, =, +)
+    must round-trip exactly through write -> manifest -> read, and must
+    NOT compound escaping across CoW rewrite cycles (merge/delete)."""
+    vals = ["4-NOT SPECIFIED", "a%b", "k=v", "p+q"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, pri string"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(df, partition_by=["pri"])
+    assert {r.pri for r in t.read().collect()} == set(vals)
+    # manifest stores DECODED values
+    assert {e["partition"]["pri"] for e in t._metadata()["files"]} == set(vals)
+    # two CoW cycles: values still exact, no %2520 compounding
+    t.merge(
+        spark.createDataFrame([(0, "4-NOT SPECIFIED")], "id long, pri string"),
+        on=["id"],
+    )
+    t.delete_where("id = 999")
+    assert {r.pri for r in t.read().collect()} == set(vals)
+    assert t.read().count() == 4
+
+
+def test_snapshot_merge_conflict(spark, tmp_path, sample_df):
+    """A merge whose base snapshot moved mid-flight must raise, not
+    silently drop the concurrent writer's rows."""
+    from dea_coastlines_spark.sources.table import CommitConflictError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    src = spark.createDataFrame(
+        [(1, 1, "UPD")], "id long, year int, val string"
+    )
+    orig_commit = t._commit
+
+    def racing_commit(*args, **kwargs):
+        # another writer lands v2 between merge's read and its commit
+        t2 = SnapshotTable(spark, str(tmp_path / "t"))
+        t2.append(
+            spark.createDataFrame([(200, 4, "c")], "id long, year int, val string")
+        )
+        return orig_commit(*args, **kwargs)
+
+    t._commit = racing_commit
+    with pytest.raises(CommitConflictError):
+        t.merge(src, on=["id"])
+
+
 def test_commit_conflict_detection(spark, tmp_path, sample_df):
     """Optimistic concurrency: a writer whose base snapshot moved must
     fail with CommitConflictError, not silently clobber."""
