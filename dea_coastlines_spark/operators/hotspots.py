@@ -100,15 +100,23 @@ def hotspots(
         "point_id", F.col("feat_id").cast("long").alias("hotspot_id")
     ).persist()
 
-    # per (hotspot, year): exact median of member-point signed distances
-    med = (
-        pairs.join(signed_dists.select("point_id", "year", "dist"), "point_id")
-        .groupBy("hotspot_id", "year")
-        .agg(F.median("dist").alias("med_dist"))
+    # per (hotspot, year): exact median of member-point signed distances.
+    # One explicit repartition on hotspot_id feeds BOTH aggregations
+    # below shuffle-free: HashPartitioning(hotspot_id) satisfies the
+    # (hotspot_id, year) grouping (subset rule) and — because the
+    # center/count joins are broadcasts that preserve partitioning —
+    # the final per-hotspot regression groupBy too. Three aggregation
+    # exchanges collapse into this one.
+    j = pairs.join(
+        signed_dists.select("point_id", "year", "dist"), "point_id"
+    ).repartition("hotspot_id")
+    med = j.groupBy("hotspot_id", "year").agg(
+        F.median("dist").alias("med_dist")
     )
-    n_points = pairs.groupBy("hotspot_id").agg(
-        F.countDistinct("point_id").alias("n")
-    )
+    # radius_join dedups (point, feature) pairs, so plain count(*) IS
+    # the distinct member count — countDistinct would add an Expand +
+    # second aggregation pass for the same number
+    n_points = pairs.groupBy("hotspot_id").agg(F.count("*").alias("n"))
 
     # join-back side reads the same persisted centers (one execution of
     # the baseline_points plan across both branches)
