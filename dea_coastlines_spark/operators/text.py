@@ -292,3 +292,121 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("rank").cast("int"), "term", "tf")
     )
+
+
+def word_ngram_list(text_col: F.Column, n: int) -> F.Column:
+    """Word n-grams as an array expression, DUPLICATES KEPT (repetition
+    signals need multiplicity; dedup wants array_distinct on top).
+    Tokenizes on WS_CLASS (see note above on \\x0B)."""
+    toks = F.filter(F.split(F.lower(text_col), WS_CLASS), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1 repetition filters —
+    public arXiv:2112.11446): per-document duplicate-line fraction,
+    duplicate-line character fraction, most-frequent-2-gram character
+    fraction, duplicate-5-gram character fraction, and a `repetitive`
+    label at the published thresholds (0.30 / 0.20 / 0.20 / 0.15).
+
+    Plan & scale: every signal is a JVM higher-order-function
+    expression over per-row arrays — zero Python, zero shuffle, pure
+    map-side work that whole-stage-codegens. Per-row cost is
+    O(distinct_elements * list_length) (the inner filter-count), which
+    is bounded by document length, never corpus size — embarrassingly
+    parallel at 10^12 documents. Formulas are deliberately ANSI-SQL
+    expressible (list_transform/list_filter lambdas) so the DuckDB
+    oracle replicates them exactly.
+
+    Definitions (denominators guard zero; thresholds compare the
+    UNROUNDED value, outputs are rounded to 6 dp for hash stability):
+      * dup_line_frac       = 1 - distinct_lines / lines (non-empty,
+                              trimmed, split on \\n)
+      * dup_line_char_frac  = chars in repeat occurrences (beyond the
+                              first) of each line / total line chars
+      * top2gram_char_frac  = count(top 2-gram) * len(top 2-gram)
+                              / len(text); ties break on gram ascending
+      * dup5gram_char_frac  = sum over 5-grams occurring >1 time of
+                              count * len / len(text) (overlaps counted,
+                              as in the published filter)
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    dup_line_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + (F.size(F.filter(lines, lambda x: x == d)) - 1) * F.length(d),
+    )
+    dup_line_char_frac = F.when(line_chars <= 0, F.lit(0.0)).otherwise(
+        dup_line_chars / line_chars
+    )
+
+    text_chars = F.greatest(F.length(t), F.lit(1))
+    grams2 = word_ngram_list(t, 2)
+    # argmax by (count desc, gram asc) via an ascending struct sort on
+    # (-count, gram) — field-wise struct comparison is identical in
+    # Spark and DuckDB, so the tie-break is engine-independent
+    best2 = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.array_distinct(grams2),
+                lambda d: F.struct(
+                    (-F.size(F.filter(grams2, lambda g: g == d))).alias("negcnt"),
+                    d.alias("gram"),
+                ),
+            )
+        ),
+        1,
+    )
+    top2gram_char_frac = F.when(F.size(grams2) <= 0, F.lit(0.0)).otherwise(
+        (-best2["negcnt"]) * F.length(best2["gram"]) / text_chars
+    )
+    grams5 = word_ngram_list(t, 5)
+    dup5_chars = F.aggregate(
+        F.array_distinct(grams5),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + F.when(
+            F.size(F.filter(grams5, lambda g: g == d)) > 1,
+            F.size(F.filter(grams5, lambda g: g == d)).cast("long") * F.length(d),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    dup5gram_char_frac = dup5_chars / text_chars
+
+    out = (
+        df.withColumn("_dlf", dup_line_frac)
+        .withColumn("_dlcf", dup_line_char_frac)
+        .withColumn("_t2f", top2gram_char_frac)
+        .withColumn("_d5f", dup5gram_char_frac)
+    )
+    return (
+        out.withColumn(
+            "repetitive",
+            (F.col("_dlf") > 0.30)
+            | (F.col("_dlcf") > 0.20)
+            | (F.col("_t2f") > 0.20)
+            | (F.col("_d5f") > 0.15),
+        )
+        .withColumn("dup_line_frac", F.round("_dlf", 6))
+        .withColumn("dup_line_char_frac", F.round("_dlcf", 6))
+        .withColumn("top2gram_char_frac", F.round("_t2f", 6))
+        .withColumn("dup5gram_char_frac", F.round("_d5f", 6))
+        .drop("_dlf", "_dlcf", "_t2f", "_d5f")
+    )

@@ -3792,6 +3792,128 @@ FROM final GROUP BY 1 ORDER BY 1
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (duplicate
+    lines, top-2-gram and duplicate-5-gram character fractions)."""
+    from ..operators.text import with_repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_repetition_signals(d)
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top2gram_char_frac",
+            "dup5gram_char_frac",
+            "repetitive",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Mirrors with_repetition_signals exactly: same whitespace class, same
+# struct-sort argmax tie-break (field-wise struct comparison is
+# identical in DuckDB and Spark), thresholds on UNROUNDED values.
+ORACLE_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                t -> t <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, text, lines,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+1], ' '))
+         ELSE [] END AS grams2,
+    CASE WHEN len(toks) >= 5
+         THEN list_transform(generate_series(1, len(toks) - 4),
+                             i -> array_to_string(toks[i:i+4], ' '))
+         ELSE [] END AS grams5
+  FROM base
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) <= 0 THEN 0.0
+         ELSE (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+    END AS dlf,
+    CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) <= 0
+         THEN 0.0
+         ELSE COALESCE(list_sum(list_transform(list_distinct(lines),
+                d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))), 0)::DOUBLE
+              / list_sum(list_transform(lines, l -> length(l)))
+    END AS dlcf,
+    CASE WHEN len(grams2) <= 0 THEN 0.0
+         ELSE (
+           SELECT (-b.negcnt) * length(b.gram)
+           FROM (SELECT list_sort(list_transform(list_distinct(g.grams2),
+                   d -> {'negcnt': -len(list_filter(g.grams2, x -> x = d)),
+                         'gram': d}))[1] AS b)
+         )::DOUBLE / GREATEST(length(text), 1)
+    END AS t2f,
+    COALESCE(list_sum(list_transform(list_distinct(grams5),
+        d -> CASE WHEN len(list_filter(grams5, x -> x = d)) > 1
+                  THEN len(list_filter(grams5, x -> x = d)) * length(d)
+                  ELSE 0 END)), 0)::DOUBLE
+      / GREATEST(length(text), 1) AS d5f
+  FROM g
+)
+SELECT doc_id,
+       ROUND(dlf, 6) AS dup_line_frac,
+       ROUND(dlcf, 6) AS dup_line_char_frac,
+       ROUND(t2f, 6) AS top2gram_char_frac,
+       ROUND(d5f, 6) AS dup5gram_char_frac,
+       (dlf > 0.30 OR dlcf > 0.20 OR t2f > 0.20 OR d5f > 0.15) AS repetitive
+FROM sig ORDER BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: eval split = doc_id % 17 == 0, train =
+    the rest; a train doc is contaminated when it shares >= 1 distinct
+    word 4-gram with any eval doc (eval gram vocabulary broadcast)."""
+    from ..operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    return (
+        decontaminate(tr, ev, text_col="text", id_col="doc_id", n=4, min_hits=1)
+        .select("doc_id", "hits", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                t -> t <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 3),
+           i -> array_to_string(toks[i:i+3], ' ')))) AS _g
+  FROM d WHERE len(toks) >= 4
+), ev AS (
+  SELECT DISTINCT _g FROM g WHERE doc_id % 17 = 0
+), h AS (
+  SELECT g.doc_id, COUNT(*) AS hits
+  FROM g JOIN ev USING (_g)
+  WHERE g.doc_id % 17 <> 0
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(h.hits, 0) AS hits,
+       COALESCE(h.hits, 0) >= 1 AS contaminated
+FROM documents t LEFT JOIN h ON t.doc_id = h.doc_id
+WHERE t.doc_id % 17 <> 0
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
@@ -3816,6 +3938,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_jaccard": q_charset_jaccard,
     "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
+    "repetition_signals": q_repetition_signals,
+    "decontaminate": q_decontaminate,
     "langid": q_langid,
     "token_stats": q_token_stats,
     "tfidf_topk": q_tfidf_topk,
@@ -3883,6 +4007,8 @@ ORACLES: dict[str, str] = {
     "charset_jaccard": ORACLE_CHARSET_JACCARD,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "text_quality": ORACLE_TEXT_QUALITY,
+    "repetition_signals": ORACLE_REPETITION,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "langid": _langid_sql(),
     "token_stats": ORACLE_TOKEN_STATS,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
