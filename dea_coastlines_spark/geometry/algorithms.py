@@ -38,7 +38,11 @@ def points_in_polygon(
     # crossing test
     cond = (y1[None, :] > py) != (y2[None, :] > py)
     denom = np.where(y2 - y1 == 0, 1e-300, y2 - y1)[None, :]
-    xint = x1[None, :] + (py - y1[None, :]) * (x2 - x1)[None, :] / denom
+    # horizontal edges (cond False) keep the 1e-300 sentinel; their xint
+    # may overflow to inf but is discarded by the where() below, so the
+    # warning is spurious — silence just overflow, not real FP errors
+    with np.errstate(over="ignore"):
+        xint = x1[None, :] + (py - y1[None, :]) * (x2 - x1)[None, :] / denom
     inside = (np.where(cond, px < xint, False)).sum(axis=1) % 2 == 1
     if boundary_counts:
         on_edge = _points_on_edges(px[:, 0], py[:, 0], ring)
