@@ -86,6 +86,10 @@ def oracle_sql() -> dict[str, str]:
         # decodes the deterministic corpus driver-side; DuckDB does the
         # per-image mean/std/nodata aggregation
         "multimodal_decode_stats": driver_queries.multimodal_oracle_sql,
+        # decodes the deterministic corpus driver-side into a pixel
+        # GRID parquet; DuckDB re-derives the Laplacian (coordinate
+        # self-joins), entropy (bin group-by) and thresholds
+        "image_quality": driver_queries.image_quality_oracle_sql,
     }
     for name, build in lazy.items():
         # a failed builder (missing testdata dir, read-only tmp) must

@@ -2348,6 +2348,127 @@ def q_multimodal_decode_stats(spark, sf_dir):
     ).withColumn("px_std", F.round("px_std", 6)).orderBy("image_id")
 
 
+def q_image_quality(spark, sf_dir):
+    """No-reference image-quality signals (Laplacian-variance blur
+    detector, histogram entropy, dynamic range, nodata fraction) over a
+    deterministic mixed-format tile corpus. Fully hash-verified:
+    image_quality_oracle_sql() writes the decoded pixel GRID to parquet
+    and DuckDB independently re-derives the Laplacian via coordinate
+    self-joins, the entropy via bin group-bys, and the thresholds."""
+    from ..operators.multimodal import image_quality
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2001, obs_per_year=3,
+                              cloud_frac=0.15, seed=11, fmt="mixed")
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    return image_quality(tiles).orderBy("image_id")
+
+
+def image_quality_oracle_sql() -> str:
+    """Full hash-verified oracle for q_image_quality. The corpus is a
+    deterministic function of CorpusSpec(seed=11), so decode every
+    image driver-side (same codec the Arrow kernel uses — the codecs
+    carry their own PSNR/round-trip pytest gates) and write the pixel
+    GRID as (image_id, x, y, v) rows (v NULL where non-finite) to a
+    temp parquet. DuckDB then independently recomputes everything the
+    kernel vectorizes: the 4-neighbour Laplacian by coordinate
+    self-joins (interior-ness falls out of inner-join existence),
+    VAR_POP over it, the 256-bin histogram entropy, min/max range, and
+    the low_quality threshold cascade on UNROUNDED values."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs import image as _img
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2001, obs_per_year=3,
+                              cloud_frac=0.15, seed=11, fmt="mixed")
+    frames: list[pd.DataFrame] = []
+    totals: list[tuple[str, int]] = []
+    for key in _corpus.iter_keys(spec):
+        row = _corpus.make_row(spec, *key)
+        arr = _img.decode_tile(row["bytes"], row["fmt"]).astype(np.float64)
+        h, w = arr.shape
+        totals.append((row["image_id"], int(arr.size)))
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames.append(pd.DataFrame({
+            "image_id": row["image_id"],
+            "x": xx.ravel().astype(np.int32),
+            "y": yy.ravel().astype(np.int32),
+            "v": np.where(np.isfinite(arr), arr, np.nan).ravel(),
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_imgq_oracle_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+    vals = ", ".join(f"('{iid}', {n})" for iid, n in totals)
+    return f"""
+WITH tot(image_id, npx) AS (VALUES {vals}),
+px AS (SELECT image_id, x, y, v FROM read_parquet('{path}')
+       WHERE v = v),  -- strips the NaN sentinel rows (NULL semantics)
+lap AS (
+  SELECT c.image_id,
+         4.0 * c.v - u.v - d.v - l.v - r.v AS lap
+  FROM px c
+  JOIN px u ON u.image_id = c.image_id AND u.x = c.x AND u.y = c.y - 1
+  JOIN px d ON d.image_id = c.image_id AND d.x = c.x AND d.y = c.y + 1
+  JOIN px l ON l.image_id = c.image_id AND l.x = c.x - 1 AND l.y = c.y
+  JOIN px r ON r.image_id = c.image_id AND r.x = c.x + 1 AND r.y = c.y
+),
+lv AS (SELECT image_id, VAR_POP(lap) AS lap_var FROM lap GROUP BY 1),
+rng AS (SELECT image_id, MIN(v) AS vmin, MAX(v) AS vmax,
+               COUNT(*) AS nfin
+        FROM px GROUP BY 1),
+bins AS (
+  SELECT p.image_id,
+         LEAST(CAST(FLOOR((p.v - r.vmin) / (r.vmax - r.vmin) * 256.0)
+                    AS INTEGER), 255) AS b,
+         COUNT(*) AS c
+  FROM px p JOIN rng r USING (image_id)
+  WHERE r.vmax > r.vmin
+  GROUP BY 1, 2
+),
+ent AS (
+  SELECT image_id,
+         -SUM((c::DOUBLE / nfin) * LN(c::DOUBLE / nfin)) AS entropy
+  FROM bins JOIN rng USING (image_id)
+  GROUP BY image_id
+),
+sig AS (
+  SELECT t.image_id,
+         lv.lap_var,
+         CASE WHEN r.image_id IS NULL THEN NULL
+              ELSE COALESCE(ent.entropy, 0.0) END AS entropy,
+         r.vmax - r.vmin AS rng,
+         1.0 - COALESCE(r.nfin, 0) / CAST(t.npx AS DOUBLE) AS nodata_frac
+  FROM tot t
+  LEFT JOIN lv ON lv.image_id = t.image_id
+  LEFT JOIN rng r ON r.image_id = t.image_id
+  LEFT JOIN ent ON ent.image_id = t.image_id
+)
+SELECT image_id,
+       ROUND(lap_var, 6) AS laplacian_var,
+       ROUND(entropy, 6) AS entropy,
+       ROUND(rng, 6) AS dynamic_range,
+       ROUND(nodata_frac, 6) AS nodata_frac,
+       (COALESCE(lap_var < 1e-6, TRUE)
+        OR COALESCE(entropy < 0.5, TRUE)
+        OR COALESCE(rng < 1e-3, TRUE)
+        OR nodata_frac > 0.5) AS low_quality
+FROM sig ORDER BY image_id
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """True sort-merge as-of join (backward, per-user): each 'query'
     event picks the most recent 'quote' event with ts <= its ts. Engine
@@ -3940,6 +4061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
+    "image_quality": q_image_quality,
     "langid": q_langid,
     "token_stats": q_token_stats,
     "tfidf_topk": q_tfidf_topk,
