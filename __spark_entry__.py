@@ -90,6 +90,9 @@ def oracle_sql() -> dict[str, str]:
         # GRID parquet; DuckDB re-derives the Laplacian (coordinate
         # self-joins), entropy (bin group-by) and thresholds
         "image_quality": driver_queries.image_quality_oracle_sql,
+        # sequential plain-Python replay of the ingest-gate checks
+        # (bytes-prefix sniff, json.loads, direct decode + hamming)
+        "corpus_integrity": driver_queries.integrity_oracle_sql,
     }
     for name, build in lazy.items():
         # a failed builder (missing testdata dir, read-only tmp) must

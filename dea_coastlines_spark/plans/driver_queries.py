@@ -2469,6 +2469,96 @@ FROM sig ORDER BY image_id
 """
 
 
+def q_corpus_integrity(spark, sf_dir):
+    """Corpus ingest-gate validation over a deterministically-corrupted
+    mixed-format tile corpus: magic-byte fmt sniff + caption-JSON parse
+    (pure JVM expressions), decode / declared-dims / perceptual-hash
+    checks in one Arrow kernel; zero shuffles. Fully hash-verified:
+    integrity_oracle_sql() replays the identical planted corruptions
+    sequentially in plain Python."""
+    from ..operators.integrity import plant_corruptions, validate_corpus
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2001, obs_per_year=3,
+                              cloud_frac=0.1, seed=13, fmt="mixed")
+    pdf = plant_corruptions(_corpus.generate_pandas(spec))
+    tiles = spark.createDataFrame(pdf)
+    return validate_corpus(tiles, check_phash=True, phash_tol=8).orderBy(
+        "image_id"
+    )
+
+
+def integrity_oracle_sql() -> str:
+    """Full hash-verified oracle for q_corpus_integrity: a sequential
+    plain-Python replay — same deterministic corpus, same
+    plant_corruptions (the planted truth is a shared fixture, the CHECK
+    LOGIC is re-derived independently: bytes-prefix sniff instead of
+    the JVM hex CASE, json.loads instead of from_json, direct decode +
+    hamming in a loop instead of the Arrow kernel). Rows go to a temp
+    parquet; the SQL is a plain ordered SELECT."""
+    import json
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from ..codecs import image as _img
+    from ..operators.integrity import plant_corruptions
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2001, obs_per_year=3,
+                              cloud_frac=0.1, seed=13, fmt="mixed")
+    pdf = plant_corruptions(_corpus.generate_pandas(spec))
+    out = []
+    for r in pdf.itertuples():
+        b = bytes(r.bytes)
+        if b[:4] == b"\x89PNG":
+            sniff = "png"
+        elif b[:3] == b"\xff\xd8\xff":
+            sniff = "jpeg"
+        elif b[:4] in (b"II*\x00", b"MM\x00*"):
+            sniff = "tiff"
+        else:
+            sniff = None
+        fmt_ok = sniff == r.fmt
+        try:
+            cap = json.loads(r.caption)
+            caption_ok = isinstance(cap, dict) and all(
+                cap.get(k) is not None
+                for k in ("crs", "year", "tile_x", "tile_y")
+            )
+        except Exception:
+            caption_ok = False
+        decode_ok = dims_ok = phash_ok = False
+        try:
+            arr = _img.decode_tile(b, r.fmt)
+            decode_ok = True
+            dims_ok = arr.shape[1] == r.w and arr.shape[0] == r.h
+            d = (_img.phash64(arr) ^ int(r.phash)) & ((1 << 64) - 1)
+            phash_ok = bin(d).count("1") <= 8
+        except Exception:
+            pass
+        out.append({
+            "image_id": r.image_id, "fmt_ok": fmt_ok,
+            "caption_ok": caption_ok, "decode_ok": decode_ok,
+            "dims_ok": dims_ok, "phash_ok": phash_ok,
+            "is_valid": fmt_ok and caption_ok and decode_ok and dims_ok
+            and phash_ok,
+        })
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_integrity_oracle_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pd.DataFrame(out).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return (
+        f"SELECT * FROM read_parquet('{path}') ORDER BY image_id"
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """True sort-merge as-of join (backward, per-user): each 'query'
     event picks the most recent 'quote' event with ts <= its ts. Engine
@@ -4062,6 +4152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
     "image_quality": q_image_quality,
+    "corpus_integrity": q_corpus_integrity,
     "langid": q_langid,
     "token_stats": q_token_stats,
     "tfidf_topk": q_tfidf_topk,
