@@ -96,6 +96,7 @@ def main() -> None:
         # training-data operators (dedup / text / ANN / sampling)
         "dedup_exact", "ngram_jaccard", "phash_neardup", "image_quality",
         "corpus_integrity", "repetition_signals", "decontaminate",
+        "dedup_passages",
         "langid", "token_counts", "ann_topk", "embedding_neardup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",

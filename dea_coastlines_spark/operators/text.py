@@ -294,6 +294,80 @@ def tfidf_topk(
     )
 
 
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicate-passage removal at token-window granularity — the
+    distributed form of ExactSubstr deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, which removes any substring repeated elsewhere in
+    the corpus; the reference implementation builds a suffix array,
+    which does not distribute — fixed-stride token windows are the
+    standard cluster-scale approximation, at the cost of missing
+    duplicates shorter than n tokens).
+
+    Semantics: tokenize on WS_CLASS; every length-n token window whose
+    exact text occurs >= min_count times ANYWHERE in the corpus
+    (cross-document or repeated within one document) marks its n token
+    positions as duplicated; a document's surviving tokens are
+    reassembled in order, single-space joined (text_clean is therefore
+    whitespace-normalized — same contract as dedup_lines). Documents
+    shorter than n tokens pass through untouched.
+
+    Plan & scale: two shuffles total — (1) groupBy on the window text
+    for the global occurrence count (map-side partial combine absorbs
+    hot boilerplate windows), (2) groupBy doc_id collecting the
+    duplicated window starts; span expansion, position filtering and
+    reassembly are JVM higher-order functions (zero Python). Grouping
+    on the window STRING keeps the count exact; at 100 TB swap the key
+    for a two-seed 128-bit hash to shrink shuffle rows (collision
+    probability < 1e-18 past 10^10 windows)."""
+    toks_of = lambda c: F.filter(F.split(c, WS_CLASS), lambda t: t != "")
+    base = df.withColumn("_toks", toks_of(F.col(text_col)))
+    wins = base.select(
+        id_col,
+        F.posexplode(word_ngram_list(F.col(text_col), n)).alias("pos", "gram"),
+    )
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    starts = (
+        wins.join(dup, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    out = base.join(starts, id_col, "left")
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    ntok = F.size(F.col("_toks"))
+    idx = F.when(ntok > 0, F.sequence(F.lit(0), ntok - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.filter(idx, lambda i: ~F.array_contains(cov, i))
+    clean = F.concat_ws(
+        " ", F.transform(kept, lambda i: F.element_at(F.col("_toks"), i + 1))
+    )
+    return (
+        out.withColumn("n_tokens", ntok.cast("long"))
+        .withColumn("n_removed", (ntok - F.size(kept)).cast("long"))
+        .withColumn("text_clean", clean)
+        .drop("_toks", "_starts")
+    )
+
+
 def word_ngram_list(text_col: F.Column, n: int) -> F.Column:
     """Word n-grams as an array expression, DUPLICATES KEPT (repetition
     signals need multiplicity; dedup wants array_distinct on top).

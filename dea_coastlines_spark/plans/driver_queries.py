@@ -4081,6 +4081,73 @@ FROM sig ORDER BY doc_id
 """
 
 
+def q_dedup_passages(spark, sf_dir):
+    """ExactSubstr-style duplicate-passage removal (token-window
+    approximation): every 6-token window occurring >= 2 times anywhere
+    in the corpus marks its positions; documents are reassembled from
+    surviving tokens."""
+    from ..operators.text import remove_duplicate_passages
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        remove_duplicate_passages(d, n=6, min_count=2)
+        .select("doc_id", "n_tokens", "n_removed", "text_clean")
+        .orderBy("doc_id")
+    )
+
+
+# Mirrors remove_duplicate_passages: windows over LOWERCASED tokens
+# (word_ngram_list lowercases; positions align because lowercasing
+# never changes whitespace), reassembly from original-case tokens.
+ORACLE_DEDUP_PASSAGES = r"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                t -> t <> '') AS toks,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                t -> t <> '') AS toksl
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toksl) - 5),
+                i -> {'pos': i - 1,
+                      'gram': array_to_string(toksl[i:i+5], ' ')}),
+                recursive := true)
+  FROM d WHERE len(toksl) >= 6
+), dup AS (
+  SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2
+), starts AS (
+  SELECT w.doc_id, list(DISTINCT w.pos) AS s
+  FROM w JOIN dup USING (gram) GROUP BY w.doc_id
+), cov AS (
+  SELECT doc_id, pos2 FROM (
+    SELECT doc_id,
+           unnest(flatten(list_transform(s,
+                  st -> generate_series(st, st + 5)))) AS pos2
+    FROM starts
+  ) GROUP BY doc_id, pos2
+), tok AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) - 1 AS ti
+  FROM d
+), kept AS (
+  SELECT t.doc_id, t.tok, t.ti
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos2 = t.ti
+  WHERE c.pos2 IS NULL
+)
+SELECT d.doc_id,
+       len(d.toks)::BIGINT AS n_tokens,
+       (len(d.toks) - COALESCE(k.cnt, 0))::BIGINT AS n_removed,
+       COALESCE(k.txt, '') AS text_clean
+FROM d
+LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt,
+                  string_agg(tok, ' ' ORDER BY ti) AS txt
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination: eval split = doc_id % 17 == 0, train =
     the rest; a train doc is contaminated when it shares >= 1 distinct
@@ -4151,6 +4218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
+    "dedup_passages": q_dedup_passages,
     "image_quality": q_image_quality,
     "corpus_integrity": q_corpus_integrity,
     "langid": q_langid,
@@ -4222,6 +4290,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "repetition_signals": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "dedup_passages": ORACLE_DEDUP_PASSAGES,
     "langid": _langid_sql(),
     "token_stats": ORACLE_TOKEN_STATS,
     "tfidf_topk": ORACLE_TFIDF_TOPK,

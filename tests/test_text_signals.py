@@ -193,3 +193,102 @@ def test_decontaminate_validates_params(spark):
         decontaminate(train, eval_df, n=0)
     with pytest.raises(ValueError):
         decontaminate(train, eval_df, min_hits=0)
+
+
+# ---------------------------------------------------------------- passages
+
+
+def _passages_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_dedup_passages_cross_doc_removal(spark):
+    from dea_coastlines_spark.operators.text import remove_duplicate_passages
+
+    shared = "alpha beta gamma delta"
+    # tokens adjacent to the shared passage differ between the docs, so
+    # only the one fully-shared 4-gram window is duplicated
+    texts = [
+        f"start one {shared} endA one",
+        f"start two {shared} endB two",
+        "totally unrelated content here now",
+    ]
+    out = (
+        remove_duplicate_passages(_passages_df(spark, texts), n=4, min_count=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # the shared 4-gram appears twice -> its 4 tokens vanish from both
+    assert out[0].text_clean == "start one endA one"
+    assert out[1].text_clean == "start two endB two"
+    assert out[0].n_removed == 4 and out[1].n_removed == 4
+    assert out[2].text_clean == texts[2] and out[2].n_removed == 0
+
+
+def test_dedup_passages_within_doc_repeat(spark):
+    from dea_coastlines_spark.operators.text import remove_duplicate_passages
+
+    # the same 3-gram twice INSIDE one doc counts toward min_count
+    t = "x y z pad1 pad2 x y z"
+    out = remove_duplicate_passages(
+        _passages_df(spark, [t]), n=3, min_count=2
+    ).collect()[0]
+    assert out.text_clean == "pad1 pad2"
+    assert out.n_removed == 6 and out.n_tokens == 8
+
+
+def test_dedup_passages_overlapping_windows_merge(spark):
+    from dea_coastlines_spark.operators.text import remove_duplicate_passages
+
+    # a 5-token duplicated passage with n=4 -> two overlapping windows,
+    # covered positions merge to exactly the 5 passage tokens
+    p = "a1 a2 a3 a4 a5"
+    texts = [f"{p} left", f"right {p}"]
+    out = (
+        remove_duplicate_passages(_passages_df(spark, texts), n=4, min_count=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0].text_clean == "left" and out[0].n_removed == 5
+    assert out[1].text_clean == "right" and out[1].n_removed == 5
+
+
+def test_dedup_passages_short_docs_untouched(spark):
+    from dea_coastlines_spark.operators.text import remove_duplicate_passages
+
+    texts = ["tiny doc", "tiny doc", ""]  # identical but < n tokens
+    out = (
+        remove_duplicate_passages(_passages_df(spark, texts), n=8, min_count=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r, t in zip(out, texts):
+        assert r.n_removed == 0
+        assert r.text_clean == t  # whitespace-normal already
+
+
+def test_dedup_passages_case_insensitive_match_original_case_output(spark):
+    from dea_coastlines_spark.operators.text import remove_duplicate_passages
+
+    texts = ["Foo Bar Baz Qux keepA", "foo bar baz qux keepB"]
+    out = (
+        remove_duplicate_passages(_passages_df(spark, texts), n=4, min_count=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # windows match case-insensitively; surviving tokens keep case
+    assert out[0].text_clean == "keepA"
+    assert out[1].text_clean == "keepB"
+
+
+def test_dedup_passages_no_python_stage(spark):
+    from dea_coastlines_spark.operators.text import remove_duplicate_passages
+
+    df = _passages_df(spark, ["a b c d e f g h", "a b c d e f x y"])
+    plan = (
+        remove_duplicate_passages(df, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
