@@ -392,12 +392,22 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Plan & scale: every signal is a JVM higher-order-function
     expression over per-row arrays — zero Python, zero shuffle, pure
-    map-side work that whole-stage-codegens. Per-row cost is
-    O(distinct_elements * list_length) (the inner filter-count), which
-    is bounded by document length, never corpus size — embarrassingly
-    parallel at 10^12 documents. Formulas are deliberately ANSI-SQL
-    expressible (list_transform/list_filter lambdas) so the DuckDB
-    oracle replicates them exactly.
+    map-side work. The token/line/n-gram arrays are MATERIALIZED as
+    intermediate columns first: higher-order functions evaluate
+    interpreted (no whole-stage codegen, no common-subexpression
+    elimination), so an n-gram array expression referenced inside a
+    per-distinct-element lambda would otherwise be rebuilt — split,
+    lower, concat_ws and all — on every lambda invocation, turning the
+    intended O(distinct * list_length) row cost into O(len^3) (measured
+    ~180 ms/row on 300-char docs; the materialized form is ~0.1 ms).
+    CollapseProject keeps the column boundary because the producers are
+    non-cheap and multiply referenced. Duplicate counting then runs as
+    RUN-LENGTH aggregates over array_sort'ed arrays — one native sort
+    plus one linear fold per signal instead of a per-distinct-element
+    filter scan — so per-row cost is O(L log L) in document length,
+    never corpus size: embarrassingly parallel at 10^12 documents. The
+    integer run counts are order-independent, so results are
+    bit-identical to the naive formulation the DuckDB oracle uses.
 
     Definitions (denominators guard zero; thresholds compare the
     UNROUNDED value, outputs are rounded to 6 dp for hash stability):
@@ -412,60 +422,133 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
                               as in the published filter)
     """
     t = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+
+    def grams_from(toks_col, n):
+        """n-grams from a MATERIALIZED token column (cheap per-element
+        slices; contrast word_ngram_list, which is fine when evaluated
+        once per row but not inside another lambda)."""
+        return F.when(
+            F.size(toks_col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks_col) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    staged = (
+        df.withColumn(
+            "_rs_toks",
+            F.filter(F.split(F.lower(t), WS_CLASS), lambda x: x != ""),
+        )
+        .withColumn(
+            "_rs_lines",
+            F.filter(
+                F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            ),
+        )
+        .withColumn("_rs_g2", grams_from(F.col("_rs_toks"), 2))
+        .withColumn("_rs_g5", grams_from(F.col("_rs_toks"), 5))
     )
+    zero_l = F.lit(0).cast("long")
+    one_l = F.lit(1).cast("long")
+
+    def dup_chars_sorted(arr_col, beyond_first: bool):
+        """Run-length fold over a sorted array: total characters in
+        duplicated elements — count*len per run of length >1 (or
+        (count-1)*len when beyond_first). '' is a safe run sentinel:
+        both lines and grams are non-empty by construction."""
+        sub = one_l if beyond_first else zero_l
+
+        def settle(acc):
+            return F.when(
+                (acc["prev"] != "") & (acc["run"] > 1),
+                acc["chars"] + (acc["run"] - sub) * F.length(acc["prev"]),
+            ).otherwise(acc["chars"])
+
+        return F.aggregate(
+            F.array_sort(arr_col),
+            F.struct(
+                F.lit("").alias("prev"),
+                zero_l.alias("run"),
+                zero_l.alias("chars"),
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(one_l)
+                .alias("run"),
+                F.when(g == acc["prev"], acc["chars"])
+                .otherwise(settle(acc))
+                .alias("chars"),
+            ),
+            settle,
+        )
+
+    lines = F.col("_rs_lines")
     n_lines = F.size(lines)
     dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
         (n_lines - F.size(F.array_distinct(lines))) / n_lines
     )
     line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        lines, zero_l, lambda acc, l: acc + F.length(l)
     )
-    dup_line_chars = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc
-        + (F.size(F.filter(lines, lambda x: x == d)) - 1) * F.length(d),
-    )
+    dup_line_chars = dup_chars_sorted(lines, beyond_first=True)
     dup_line_char_frac = F.when(line_chars <= 0, F.lit(0.0)).otherwise(
         dup_line_chars / line_chars
     )
 
     text_chars = F.greatest(F.length(t), F.lit(1))
-    grams2 = word_ngram_list(t, 2)
-    # argmax by (count desc, gram asc) via an ascending struct sort on
-    # (-count, gram) — field-wise struct comparison is identical in
-    # Spark and DuckDB, so the tie-break is engine-independent
-    best2 = F.element_at(
-        F.array_sort(
-            F.transform(
-                F.array_distinct(grams2),
-                lambda d: F.struct(
-                    (-F.size(F.filter(grams2, lambda g: g == d))).alias("negcnt"),
-                    d.alias("gram"),
-                ),
-            )
+    grams2 = F.col("_rs_g2")
+    # argmax by (count desc, gram asc): runs of the SORTED gram array
+    # are visited in ascending gram order, and only a strictly longer
+    # run displaces the incumbent — so ties keep the smallest gram,
+    # the same tie-break the oracle's (-count, gram) struct sort picks
+    best2_settle = lambda acc: F.struct(
+        F.when(
+            (acc["prev"] != "") & (acc["run"] > acc["bestcnt"]), acc["run"]
+        )
+        .otherwise(acc["bestcnt"])
+        .alias("bestcnt"),
+        F.when(
+            (acc["prev"] != "") & (acc["run"] > acc["bestcnt"]), acc["prev"]
+        )
+        .otherwise(acc["bestgram"])
+        .alias("bestgram"),
+    )
+    best2 = F.aggregate(
+        F.array_sort(grams2),
+        F.struct(
+            F.lit("").alias("prev"),
+            zero_l.alias("run"),
+            zero_l.alias("bestcnt"),
+            F.lit("").alias("bestgram"),
         ),
-        1,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(one_l)
+            .alias("run"),
+            best2_settle(acc)["bestcnt"].alias("bestcnt"),
+            best2_settle(acc)["bestgram"].alias("bestgram"),
+        ),
+        best2_settle,
     )
-    top2gram_char_frac = F.when(F.size(grams2) <= 0, F.lit(0.0)).otherwise(
-        (-best2["negcnt"]) * F.length(best2["gram"]) / text_chars
-    )
-    grams5 = word_ngram_list(t, 5)
-    dup5_chars = F.aggregate(
-        F.array_distinct(grams5),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc
-        + F.when(
-            F.size(F.filter(grams5, lambda g: g == d)) > 1,
-            F.size(F.filter(grams5, lambda g: g == d)).cast("long") * F.length(d),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    grams5 = F.col("_rs_g5")
+    dup5_chars = dup_chars_sorted(grams5, beyond_first=False)
     dup5gram_char_frac = dup5_chars / text_chars
 
+    staged2 = staged.withColumn("_rs_best2", best2)
+    top2gram_char_frac = F.when(
+        F.size(grams2) <= 0, F.lit(0.0)
+    ).otherwise(
+        F.col("_rs_best2")["bestcnt"]
+        * F.length(F.col("_rs_best2")["bestgram"])
+        / text_chars
+    )
+
     out = (
-        df.withColumn("_dlf", dup_line_frac)
+        staged2.withColumn("_dlf", dup_line_frac)
         .withColumn("_dlcf", dup_line_char_frac)
         .withColumn("_t2f", top2gram_char_frac)
         .withColumn("_d5f", dup5gram_char_frac)
@@ -482,5 +565,6 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_line_char_frac", F.round("_dlcf", 6))
         .withColumn("top2gram_char_frac", F.round("_t2f", 6))
         .withColumn("dup5gram_char_frac", F.round("_d5f", 6))
-        .drop("_dlf", "_dlcf", "_t2f", "_d5f")
+        .drop("_dlf", "_dlcf", "_t2f", "_d5f",
+              "_rs_toks", "_rs_lines", "_rs_g2", "_rs_g5", "_rs_best2")
     )

@@ -4,12 +4,18 @@ shards (the LLM-corpus preparation pipeline, beyond-reference surface).
 Stages, in order (each an engine operator, all one job):
   1. PII scrub            (text.scrub_pii — JVM regexp chain)
   2. quality filter       (text.with_quality, keep --keep-quality labels)
-  3. exact dedup          (first occurrence per content hash)
-  4. near-dup clustering  (MinHash LSH pairs -> connected components ->
+  3. repetition filter    (text.with_repetition_signals, drop docs over
+                           the Gopher thresholds; --repetition-filter)
+  4. exact dedup          (first occurrence per content hash)
+  5. near-dup clustering  (MinHash LSH pairs -> connected components ->
                            keep canonical member only)
-  5. stratified sampling  (per-language rates, deterministic hash)
-  6. shuffle + shard      (deterministic (shard, pos) training order)
-  7. write                parquet partitioned by shard
+  6. passage dedup        (text.remove_duplicate_passages, replace text
+                           with the deduplicated form; --dedup-passages N)
+  7. decontamination      (decontam.decontaminate vs --decontaminate-eval
+                           parquet; drop docs sharing eval n-grams)
+  8. stratified sampling  (per-language rates, deterministic hash)
+  9. shuffle + shard      (deterministic (shard, pos) training order)
+ 10. write                parquet partitioned by shard
 
     spark-submit --py-files dist/dea_coastlines_spark.zip \
         jobs/run_corpus_prep.py --documents /data/docs.parquet \
@@ -32,6 +38,16 @@ def main(argv=None) -> int:
     p.add_argument("--keep-quality", default="ok",
                    help="comma list of quality labels to keep ('' = all)")
     p.add_argument("--neardup-threshold", type=float, default=0.8)
+    p.add_argument("--repetition-filter", action="store_true",
+                   help="drop documents over the Gopher repetition "
+                        "thresholds")
+    p.add_argument("--dedup-passages", type=int, default=0, metavar="N",
+                   help="remove token windows of this length occurring "
+                        ">=2 times corpus-wide (0 = off)")
+    p.add_argument("--decontaminate-eval", default="",
+                   help="eval-set parquet (doc_id, text); drop training "
+                        "docs sharing n-grams with it")
+    p.add_argument("--decontam-ngram", type=int, default=8)
     p.add_argument("--rates", default="",
                    help="lang=rate,... stratified sampling rates")
     p.add_argument("--default-rate", type=float, default=1.0)
@@ -65,6 +81,18 @@ def main(argv=None) -> int:
         keep = [x.strip() for x in args.keep_quality.split(",")]
         docs = docs.filter(F.col("quality").isin(keep))
 
+    if args.repetition_filter:
+        from dea_coastlines_spark.operators.text import (
+            with_repetition_signals,
+        )
+
+        docs = (
+            with_repetition_signals(docs)
+            .filter(~F.col("repetitive"))
+            .drop("repetitive", "dup_line_frac", "dup_line_char_frac",
+                  "top2gram_char_frac", "dup5gram_char_frac")
+        )
+
     # exact dedup: keep the lowest doc_id per exact content. 128-bit
     # key (two independent xxhash64) — a single 64-bit hash collides
     # with near-certainty at multi-billion rows and every collision
@@ -85,6 +113,27 @@ def main(argv=None) -> int:
         docs, "text", "doc_id", threshold=args.neardup_threshold
     ).select("id_a", "id_b")
     docs = keep_canonical(docs, pairs)
+
+    if args.dedup_passages > 0:
+        from dea_coastlines_spark.operators.text import (
+            remove_duplicate_passages,
+        )
+
+        docs = (
+            remove_duplicate_passages(docs, n=args.dedup_passages)
+            .drop("text", "n_tokens", "n_removed")
+            .withColumnRenamed("text_clean", "text")
+        )
+
+    if args.decontaminate_eval:
+        from dea_coastlines_spark.operators.decontam import decontaminate
+
+        eval_df = spark.read.parquet(args.decontaminate_eval)
+        docs = (
+            decontaminate(docs, eval_df, n=args.decontam_ngram)
+            .filter(~F.col("contaminated"))
+            .drop("hits", "contaminated")
+        )
 
     rates = {}
     if args.rates:

@@ -173,6 +173,60 @@ def test_corpus_prep_job(spark, tmp_path, capsys):
     assert order1 == order2
 
 
+def test_corpus_prep_hygiene_stages(spark, tmp_path, capsys):
+    """--repetition-filter, --dedup-passages and --decontaminate-eval
+    each drop/clean exactly the planted documents."""
+    import run_corpus_prep
+
+    docs_path = str(tmp_path / "docs_h")
+    eval_path = str(tmp_path / "eval_h")
+    out_path = str(tmp_path / "shards_h")
+    words = ["harbor", "glacier", "forest", "timber", "quartz", "meadow",
+             "breeze", "ember", "lantern", "orchid"]
+    rows = []
+    for i in range(20):
+        rows.append((
+            i,
+            f"document {i} about {words[i % 10]} and {words[(i * 3 + 1) % 10]} "
+            f"with unique vocabulary token alpha{i * 17} beta{i * 29} "
+            f"gamma{i * 7} delta{i * 11} epsilon{i * 13}",
+            "en",
+        ))
+    # planted: a doc that is one 2-gram repeated (Gopher-repetitive)
+    rows.append((200, "spam spam " * 40, "en"))
+    # planted: a doc sharing a 4-gram with the eval set
+    leak = "zeta eta theta iota"
+    rows.append((201, f"training doc containing {leak} verbatim benchmark text", "en"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(docs_path)
+    spark.createDataFrame(
+        [(0, f"eval question mentions {leak} exactly")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(eval_path)
+
+    assert run_corpus_prep.main([
+        "--documents", docs_path, "--output", out_path,
+        "--n-shards", "2", "--repetition-filter",
+        "--dedup-passages", "6",
+        "--decontaminate-eval", eval_path, "--decontam-ngram", "4",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_in"] == 22
+    sharded = spark.read.parquet(out_path)
+    ids = {r.doc_id for r in sharded.select("doc_id").collect()}
+    assert 200 not in ids  # repetition filter
+    assert 201 not in ids  # decontamination
+    assert set(range(20)) <= ids  # clean docs survive every stage
+    # passage dedup replaced text with the cleaned form: docs i and
+    # i+10 share the same word pair, so the "about A and B with unique
+    # vocabulary token" span is corpus-duplicated and removed, while
+    # the per-doc unique tokens survive
+    texts = {r.doc_id: r.text for r in sharded.select("doc_id", "text").collect()}
+    assert texts[0] == "document 0 alpha0 beta0 gamma0 delta0 epsilon0"
+    assert all("about" not in t for t in texts.values())
+
+
 def test_image_export_job(spark, tmp_path, capsys):
     import tarfile
 
