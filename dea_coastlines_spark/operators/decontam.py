@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_ngram_list
+from .text import lower_tokens, word_ngrams_from_tokens
 
 
 def decontaminate(
@@ -50,18 +50,26 @@ def decontaminate(
         raise ValueError("n must be >= 1")
     if min_hits < 1:
         raise ValueError("min_hits must be >= 1")
-    eval_grams = (
-        eval_df.select(
-            F.explode(F.array_distinct(word_ngram_list(F.col(text_col), n))).alias("_g")
+    # tokens materialize as a column before the n-gram lambda touches
+    # them — interpreted HOFs re-derive inline subexpressions per
+    # element (see text.lower_tokens)
+    def grams_of(df_in, *keep):
+        return (
+            df_in.withColumn("_dc_toks", lower_tokens(F.col(text_col)))
+            .select(
+                *keep,
+                F.explode(
+                    F.array_distinct(
+                        word_ngrams_from_tokens(F.col("_dc_toks"), n)
+                    )
+                ).alias("_g"),
+            )
         )
-        .distinct()
-    )
+
+    eval_grams = grams_of(eval_df).distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    train_grams = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngram_list(F.col(text_col), n))).alias("_g"),
-    )
+    train_grams = grams_of(train, id_col)
     hits = (
         train_grams.join(eval_grams, "_g")
         .groupBy(id_col)

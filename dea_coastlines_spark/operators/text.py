@@ -326,11 +326,18 @@ def remove_duplicate_passages(
     on the window STRING keeps the count exact; at 100 TB swap the key
     for a two-seed 128-bit hash to shrink shuffle rows (collision
     probability < 1e-18 past 10^10 windows)."""
+    # every array referenced inside a later lambda is MATERIALIZED as a
+    # column first — interpreted HOF evaluation re-derives inline
+    # subexpressions per lambda call (see lower_tokens)
     toks_of = lambda c: F.filter(F.split(c, WS_CLASS), lambda t: t != "")
-    base = df.withColumn("_toks", toks_of(F.col(text_col)))
+    base = df.withColumn("_toks", toks_of(F.col(text_col))).withColumn(
+        "_toksl", lower_tokens(F.col(text_col))
+    )
     wins = base.select(
         id_col,
-        F.posexplode(word_ngram_list(F.col(text_col), n)).alias("pos", "gram"),
+        F.posexplode(
+            word_ngrams_from_tokens(F.col("_toksl"), n)
+        ).alias("pos", "gram"),
     )
     dup = (
         wins.groupBy("gram")
@@ -343,43 +350,76 @@ def remove_duplicate_passages(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("_starts"))
     )
-    out = base.join(starts, id_col, "left")
-    cov = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
-                lambda s: F.sequence(s, s + F.lit(n - 1)),
-            )
+    ntok = F.size(F.col("_toks"))
+    staged = (
+        base.join(starts, id_col, "left")
+        .withColumn(
+            "_cov",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.coalesce(
+                            F.col("_starts"), F.array().cast("array<int>")
+                        ),
+                        lambda s: F.sequence(s, s + F.lit(n - 1)),
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.when(ntok > 0, F.sequence(F.lit(0), ntok - 1)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: ~F.array_contains(F.col("_cov"), i),
+            ),
         )
     )
-    ntok = F.size(F.col("_toks"))
-    idx = F.when(ntok > 0, F.sequence(F.lit(0), ntok - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    kept = F.filter(idx, lambda i: ~F.array_contains(cov, i))
     clean = F.concat_ws(
-        " ", F.transform(kept, lambda i: F.element_at(F.col("_toks"), i + 1))
+        " ",
+        F.transform(
+            F.col("_kept"), lambda i: F.element_at(F.col("_toks"), i + 1)
+        ),
     )
     return (
-        out.withColumn("n_tokens", ntok.cast("long"))
-        .withColumn("n_removed", (ntok - F.size(kept)).cast("long"))
+        staged.withColumn("n_tokens", ntok.cast("long"))
+        .withColumn(
+            "n_removed", (ntok - F.size(F.col("_kept"))).cast("long")
+        )
         .withColumn("text_clean", clean)
-        .drop("_toks", "_starts")
+        .drop("_toks", "_toksl", "_starts", "_cov", "_kept")
     )
+
+
+def lower_tokens(text_col: F.Column) -> F.Column:
+    """Lowercased WS_CLASS tokens, duplicates kept. MATERIALIZE this as
+    a column (withColumn) before feeding it to word_ngrams_from_tokens:
+    higher-order functions evaluate interpreted, so an inline token
+    expression referenced inside the n-gram lambda is re-split/
+    re-lowered once PER ELEMENT (O(L^2)/row instead of O(L))."""
+    return F.filter(F.split(F.lower(text_col), WS_CLASS), lambda t: t != "")
+
+
+def word_ngrams_from_tokens(toks_col: F.Column, n: int) -> F.Column:
+    """Word n-grams from a MATERIALIZED token column, DUPLICATES KEPT
+    (repetition signals need multiplicity; dedup wants array_distinct
+    on top). Per-element cost is one slice + join of n short strings."""
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngram_list(text_col: F.Column, n: int) -> F.Column:
-    """Word n-grams as an array expression, DUPLICATES KEPT (repetition
-    signals need multiplicity; dedup wants array_distinct on top).
-    Tokenizes on WS_CLASS (see note above on \\x0B)."""
-    toks = F.filter(F.split(F.lower(text_col), WS_CLASS), lambda t: t != "")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-grams straight from a text column — convenience for
+    single-evaluation contexts on short texts; prefer materializing
+    lower_tokens + word_ngrams_from_tokens in operators (see
+    lower_tokens on why)."""
+    return word_ngrams_from_tokens(lower_tokens(text_col), n)
 
 
 def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -423,23 +463,9 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
 
-    def grams_from(toks_col, n):
-        """n-grams from a MATERIALIZED token column (cheap per-element
-        slices; contrast word_ngram_list, which is fine when evaluated
-        once per row but not inside another lambda)."""
-        return F.when(
-            F.size(toks_col) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks_col) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
+    grams_from = word_ngrams_from_tokens
     staged = (
-        df.withColumn(
-            "_rs_toks",
-            F.filter(F.split(F.lower(t), WS_CLASS), lambda x: x != ""),
-        )
+        df.withColumn("_rs_toks", lower_tokens(t))
         .withColumn(
             "_rs_lines",
             F.filter(
