@@ -100,6 +100,7 @@ def main() -> None:
         "langid", "token_counts", "ann_topk", "embedding_neardup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
+        "pack_sequences",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
         "coastal_transects", "cell_rollup",

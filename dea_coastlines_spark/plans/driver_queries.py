@@ -3006,6 +3006,57 @@ FROM s ORDER BY shard, pos
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    table (seq_len 512, 8 shards): deterministic per-shard layout,
+    exact integer offsets/pack assignments — full SQL-window oracle."""
+    from ..operators.sampling import pack_sequences
+    from ..operators.text import WS_CLASS
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok",
+        F.size(
+            F.filter(F.split(F.col("text"), WS_CLASS), lambda t: t != "")
+        ).cast("long"),
+    )
+    return (
+        pack_sequences(d, "doc_id", "n_tok", seq_len=512, n_shards=8, seed=7)
+        .select("doc_id", "shard", "pos", "offset", "pack_id",
+                "pack_offset", "n_packs")
+        .orderBy("doc_id")
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    from ..operators.sampling import u01_sql
+
+    u = u01_sql("doc_id", 7)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                         t -> t <> ''))::BIGINT AS n_tok,
+         {u} AS u
+  FROM documents),
+s AS (SELECT *, LEAST(CAST(FLOOR(u * 8) AS INT), 7) AS shard FROM d),
+o AS (
+  SELECT doc_id, n_tok, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1
+              AS INT) AS pos,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS "offset"
+  FROM s)
+SELECT doc_id, shard, pos, "offset",
+       ("offset" // 512)::BIGINT AS pack_id,
+       ("offset" % 512)::BIGINT AS pack_offset,
+       CASE WHEN n_tok <= 0 THEN 0
+            ELSE (("offset" + n_tok - 1) // 512) - ("offset" // 512) + 1
+       END::BIGINT AS n_packs
+FROM o ORDER BY doc_id
+"""
+
+
 def q_ar_bucket_shards(spark, sf_dir):
     """Aspect-ratio bucketing + fixed-size shard packing (SDXL-style
     training export over the image corpus shape). Image sizes are
@@ -4250,6 +4301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ar_bucket_shards": q_ar_bucket_shards,
     "shuffle_shards": q_shuffle_shards,
     "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "train_eval_split": q_train_eval_split,
     "pii_scrub": q_pii_scrub,
     "dedup_lines": q_dedup_lines,
@@ -4307,6 +4359,7 @@ ORACLES: dict[str, str] = {
     "ar_bucket_shards": _ar_shards_oracle(),
     "shuffle_shards": _shards_oracle(),
     "stratified_sample": _sampling_oracle(),
+    "pack_sequences": _pack_sequences_oracle(),
     "train_eval_split": _split_oracle(),
     "pii_scrub": ORACLE_PII_SCRUB,
     "dedup_lines": ORACLE_DEDUP_LINES,
