@@ -301,6 +301,11 @@ def _pairwise_set_jaccard(
     (size - ceil(t*size) + 1)-prefixes finds every qualifying pair;
     exact intersect/union verify then makes precision 1.0. Candidate
     volume ~ sum of prefix-bucket squares, vs n^2 for all-pairs.
+    Elements are compared by 64-bit xxhash64 past the df join (see
+    inline note on why 64 and not wider) — "exact" means exact up to
+    64-bit element-hash equality; the driver oracle compares against
+    the string-set ground truth, so a collision surfaces as a
+    correctness mismatch instead of hiding.
 
     The total order is ASCENDING GLOBAL DOCUMENT FREQUENCY (ties by
     element value) — the canonical AllPairs/PPJoin ordering: prefixes
@@ -338,15 +343,41 @@ def _pairwise_set_jaccard(
     # (it does here) or AQE-skew-splittable when it doesn't. Empty
     # sets vanish at the explode — safe for t > 0, where an empty set
     # can never reach the threshold (union > 0 forces j = 0).
+    # Materialize base before fanning out: (1) the elems subtree feeds
+    # both the df-count aggregate and its re-join, so the set-building
+    # expression would execute twice; (2) InferFiltersFromGenerate adds
+    # size(set)>0 under the explode, and predicate pushdown substitutes
+    # the FULL set-building expression into it — re-running the
+    # interpreted gram build once per row (measured 8.6 s at sf0.1).
+    # Behind the checkpoint barrier both touch a materialized attribute.
+    base = base.localCheckpoint(eager=False)
     elems = base.select(id_col, "grp", F.explode(set_col).alias("_e"))
     dfreq = elems.groupBy("_e").agg(F.count("*").alias("_df"))
-    elems = elems.join(dfreq, "_e")
+    # After the df join, each element is replaced by its 64-bit
+    # xxhash64 and the strings never travel further: every downstream
+    # cost center — the per-set sort, the prefix join keys, the verify
+    # array_intersect — compares longs instead of ~30-char strings.
+    # LONGS specifically, not a wider struct: ArrayIntersect only has
+    # the OpenHashSet fast path for atomic types — on struct elements
+    # it degrades to pairwise O(|x|*|y|) equality (measured 620 s CPU
+    # vs 5 s at sf0.1). Trade-off, stated honestly: two distinct
+    # elements colliding in 64 bits would miscount one intersection;
+    # the probability any collision exists is ~V^2/2^65 (~3% at a 10^9
+    # vocabulary, negligible below), and a collision only perturbs
+    # pairs containing both colliding elements. The driver oracle
+    # brute-forces the STRING sets, so a collision would surface as a
+    # hash mismatch rather than hide. Any total order preserves exact
+    # recall; sorting by (df, hash) keeps the rarest-first property
+    # that keeps prefix buckets small.
+    elems = elems.join(dfreq, "_e").select(
+        id_col, "grp", "_df", F.xxhash64("_e").alias("_h")
+    )
     sets = (
         elems.groupBy(id_col, "grp")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_df", "_e"))),
-                lambda s: s["_e"],
+                F.array_sort(F.collect_list(F.struct("_df", "_h"))),
+                lambda s: s["_h"],
             ).alias("_ord")
         )
     )
@@ -488,24 +519,39 @@ def word_ngram_jaccard_pairs(
     group_col optionally composes a blocking key into the join."""
     # explicit whitespace class, NOT \s: Java regex \s and the oracle's
     # RE2 \s disagree on \x0B, which would tokenize the same text
-    # differently on the two engines
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f\\x0B]+"),
-        lambda t: t != "",
-    )
+    # differently on the two engines.
+    # The token array MATERIALIZES as a column before the n-gram lambda
+    # touches it: higher-order functions evaluate interpreted, so an
+    # inline token expression is re-split/re-lowered once PER ELEMENT —
+    # measured 2 ms/row (10 s of a 22 s sf0.1 run) vs ~40 us
+    # materialized (see text.lower_tokens).
+    toks_col = F.col("_wj_toks")
     grams = F.array_remove(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(toks_col) - n, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)),
             )
         ),
         "",  # empty text degenerates to one empty gram; drop it so two
         # empty docs score 0.0, not 1.0
     )
-    base = _spread(df).select(
-        F.col(id_col),
-        *([F.col(group_col).alias("grp")] if group_col else [F.lit(0).alias("grp")]),
-        grams.alias("grams"),
+    base = (
+        _spread(df)
+        .withColumn(
+            "_wj_toks",
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f\\x0B]+"),
+                lambda t: t != "",
+            ),
+        )
+        .select(
+            F.col(id_col),
+            *([F.col(group_col).alias("grp")] if group_col
+              else [F.lit(0).alias("grp")]),
+            grams.alias("grams"),
+        )
     )
     return _pairwise_set_jaccard(base, id_col, "grams", threshold)
