@@ -4060,6 +4060,10 @@ def q_repetition_signals(spark, sf_dir):
     from ..operators.text import with_repetition_signals
 
     d = _t(spark, sf_dir, "documents")
+    # the sf parquet is one row-group -> one input split; real corpora
+    # scan as many splits. Repartition stands in for that so the
+    # per-row HOF compute parallelizes (results are partition-invariant)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return (
         with_repetition_signals(d)
         .select(
@@ -4140,6 +4144,10 @@ def q_dedup_passages(spark, sf_dir):
     from ..operators.text import remove_duplicate_passages
 
     d = _t(spark, sf_dir, "documents")
+    # the sf parquet is one row-group -> one input split; real corpora
+    # scan as many splits. Repartition stands in for that so the
+    # per-row HOF compute parallelizes (results are partition-invariant)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return (
         remove_duplicate_passages(d, n=6, min_count=2)
         .select("doc_id", "n_tokens", "n_removed", "text_clean")
@@ -4206,6 +4214,10 @@ def q_decontaminate(spark, sf_dir):
     from ..operators.decontam import decontaminate
 
     d = _t(spark, sf_dir, "documents")
+    # the sf parquet is one row-group -> one input split; real corpora
+    # scan as many splits. Repartition stands in for that so the
+    # per-row HOF compute parallelizes (results are partition-invariant)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     ev = d.filter(F.col("doc_id") % 17 == 0)
     tr = d.filter(F.col("doc_id") % 17 != 0)
     return (
