@@ -93,6 +93,9 @@ def oracle_sql() -> dict[str, str]:
         # sequential plain-Python replay of the ingest-gate checks
         # (bytes-prefix sniff, json.loads, direct decode + hamming)
         "corpus_integrity": driver_queries.integrity_oracle_sql,
+        # DuckDB re-derives hamming pairs, recursive-CTE components,
+        # and the per-cluster quality argmax
+        "keep_best_images": driver_queries.keep_best_oracle_sql,
     }
     for name, build in lazy.items():
         # a failed builder (missing testdata dir, read-only tmp) must

@@ -95,8 +95,8 @@ def main() -> None:
         "spatial_pip_join", "knn_anchor_join", "overlay_clip",
         # training-data operators (dedup / text / ANN / sampling)
         "dedup_exact", "ngram_jaccard", "phash_neardup", "image_quality",
-        "corpus_integrity", "repetition_signals", "decontaminate",
-        "dedup_passages",
+        "corpus_integrity", "keep_best_images", "repetition_signals",
+        "decontaminate", "dedup_passages",
         "langid", "token_counts", "ann_topk", "embedding_neardup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",

@@ -198,3 +198,50 @@ def keep_canonical(
         ~F.col("is_canonical")
     ).select(F.col("node_id").alias(id_col))
     return docs.join(drops, id_col, "left_anti")
+
+
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    ascending: bool = False,
+) -> DataFrame:
+    """Quality-aware keep-one: within each near-dup cluster keep the
+    member with the BEST score (max by default; ascending=True keeps
+    the min — e.g. when scoring by noise). What production image dedup
+    actually does: among perceptual-hash duplicates, keep the sharpest
+    copy, not the smallest id. NULL scores lose to any non-NULL score;
+    ties (and all-NULL clusters) break on ascending id, so the choice
+    is total and deterministic.
+
+    Plan & scale: cluster labels from the same min-label components
+    pass as keep_canonical, then ONE aggregation keyed on cluster_id
+    picking argmin/argmax via min(struct(...)) — map-side combinable,
+    no window over the full corpus — and a left-anti join of the drop
+    set. Non-clustered documents never enter the aggregation."""
+    comp = dedup_clusters(pairs, a_col, b_col).select(
+        F.col("node_id").alias(id_col), "cluster_id"
+    )
+    members = comp.join(
+        docs.select(id_col, F.col(score_col).alias("_score")), id_col
+    )
+    # orderable key: (score missing?, +/-score, id) — min(struct) picks
+    # non-NULL first, then best score, then smallest id
+    s = F.col("_score").cast("double")
+    key = F.struct(
+        F.when(s.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("m"),
+        F.coalesce(s if ascending else -s, F.lit(0.0)).alias("s"),
+        F.col(id_col).alias("i"),
+    )
+    best = (
+        members.groupBy("cluster_id")
+        .agg(F.min(key).alias("_best"))
+        .select(F.col("_best")["i"].alias("_keep_id"))
+    )
+    drops = members.join(
+        best, members[id_col] == best["_keep_id"], "left_anti"
+    ).select(id_col)
+    return docs.join(drops, id_col, "left_anti")

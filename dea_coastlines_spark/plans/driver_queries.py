@@ -2295,6 +2295,103 @@ ORDER BY id_a, id_b
 """
 
 
+def q_keep_best_images(spark, sf_dir):
+    """Quality-aware image dedup keep-one: perceptual-hash near-dup
+    pairs -> connected components -> keep the SHARPEST member of each
+    cluster (argmax Laplacian variance, NULL-last, id tie-break) —
+    what production image dedup does instead of keep-min-id. Fully
+    hash-verified: the oracle re-derives pairs (bit_count), clusters
+    (recursive CTE) and the argmax (window) in DuckDB over a
+    driver-written (image_id, phash, laplacian_var) parquet."""
+    from ..operators.dedup import phash_neardup_pairs
+    from ..operators.graph import keep_best
+    from ..operators.multimodal import image_quality
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    pairs = phash_neardup_pairs(tiles, max_hamming=6).select("id_a", "id_b")
+    scored = image_quality(tiles).select("image_id", "laplacian_var")
+    return (
+        keep_best(scored, pairs, "laplacian_var", id_col="image_id")
+        .orderBy("image_id")
+    )
+
+
+def keep_best_oracle_sql() -> str:
+    """Full SQL oracle for q_keep_best_images: the corpus is a pure
+    function of CorpusSpec(seed=9), so the driver writes (image_id,
+    phash, laplacian_var) — phash from the generator, Laplacian
+    variance recomputed in plain numpy with the image_quality formula —
+    and DuckDB independently re-derives the hamming pairs
+    (bit_count(xor)), the transitive closure (recursive CTE), and the
+    per-cluster argmax with the identical NULL-last/id tie-break."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs import image as _img
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    recs = []
+    for key in _corpus.iter_keys(spec):
+        row = _corpus.make_row(spec, *key)
+        arr = _img.decode_tile(row["bytes"], row["fmt"]).astype(np.float64)
+        finite = np.isfinite(arr)
+        lap_var = None
+        if arr.shape[0] >= 3 and arr.shape[1] >= 3:
+            c = finite[1:-1, 1:-1]
+            ok = (c & finite[:-2, 1:-1] & finite[2:, 1:-1]
+                  & finite[1:-1, :-2] & finite[1:-1, 2:])
+            if ok.any():
+                lap = (4.0 * arr[1:-1, 1:-1] - arr[:-2, 1:-1]
+                       - arr[2:, 1:-1] - arr[1:-1, :-2]
+                       - arr[1:-1, 2:])[ok]
+                lap_var = round(float(lap.var()), 6)
+        recs.append({"image_id": row["image_id"], "phash": row["phash"],
+                     "laplacian_var": lap_var})
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_keepbest_oracle_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pd.DataFrame(recs).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return f"""
+WITH RECURSIVE
+imgs AS (SELECT * FROM read_parquet('{path}')),
+e0 AS (SELECT a.image_id AS id_a, b.image_id AS id_b
+       FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+       WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+edges AS (SELECT id_a AS u, id_b AS v FROM e0
+          UNION ALL SELECT id_b, id_a FROM e0),
+reach(u, r) AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+comp AS (SELECT u AS image_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+ranked AS (
+  SELECT c.cluster_id, i.image_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY (i.laplacian_var IS NULL), i.laplacian_var DESC,
+                    i.image_id) AS rn
+  FROM comp c JOIN imgs i USING (image_id)),
+drops AS (SELECT image_id FROM ranked WHERE rn > 1)
+SELECT image_id, laplacian_var FROM imgs
+WHERE image_id NOT IN (SELECT image_id FROM drops)
+ORDER BY image_id
+"""
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup driven to completion (availableNow) over
     the documents table as a file-source stream; returns the deduped
@@ -4284,6 +4381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_passages": q_dedup_passages,
     "image_quality": q_image_quality,
     "corpus_integrity": q_corpus_integrity,
+    "keep_best_images": q_keep_best_images,
     "langid": q_langid,
     "token_stats": q_token_stats,
     "tfidf_topk": q_tfidf_topk,

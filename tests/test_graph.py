@@ -131,3 +131,43 @@ def test_components_driver_path_string_ids(spark):
         for r in graph.connected_components_pairs(df).collect()
     }
     assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x9": "x2", "x2": "x2"}
+
+
+def test_keep_best_picks_highest_score(spark):
+    from dea_coastlines_spark.operators.graph import keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (10, 0.0), (20, None),
+         (30, 0.7)],
+        "doc_id long, score double",
+    )
+    # clusters: {1,2,3,4} and {10,20}; 30 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 20)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best(docs, pairs, "score").select("doc_id").collect()
+    )
+    # cluster 1: max score 0.9 tie between 2 and 3 -> smaller id 2
+    # cluster 2: 0.0 beats NULL -> 10; isolated 30 always kept
+    assert kept == [2, 10, 30]
+
+
+def test_keep_best_ascending_and_all_null(spark):
+    from dea_coastlines_spark.operators.graph import keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 3.0), (2, 1.0), (3, None), (7, None), (8, None)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best(docs, pairs, "score", ascending=True)
+        .select("doc_id").collect()
+    )
+    # ascending: min score wins (2); all-NULL cluster {7,8} -> min id 7
+    assert kept == [2, 7]
