@@ -97,7 +97,8 @@ def main() -> None:
         "dedup_exact", "ngram_jaccard", "phash_neardup", "image_quality",
         "corpus_integrity", "keep_best_images", "repetition_signals",
         "decontaminate", "dedup_passages",
-        "langid", "token_counts", "ann_topk", "embedding_neardup",
+        "langid", "token_counts", "corpus_profile", "ann_topk",
+        "embedding_neardup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
         "pack_sequences",

@@ -594,3 +594,31 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .drop("_dlf", "_dlcf", "_t2f", "_d5f",
               "_rs_toks", "_rs_lines", "_rs_g2", "_rs_g5", "_rs_best2")
     )
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_cols: tuple = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-card profile per corpus slice — the summary table every
+    dataset release publishes (docs / token totals / exact token-count
+    quantiles / quality share per (source, language)).
+
+    Plan & scale: with_quality is row-local JVM work, then ONE
+    grouped aggregation (map-side partial combine; output rows =
+    number of slices, tiny). F.percentile is the exact
+    percentile_cont; at 100 TB swap approx_percentile in for the
+    sketch path — the aggregation shape is unchanged."""
+    d = with_quality(df, text_col)
+    return d.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.round(F.percentile("n_tokens", 0.5), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", 0.9), 6).alias("p90_tokens"),
+        F.round(F.percentile("n_tokens", 0.99), 6).alias("p99_tokens"),
+        F.round(
+            F.avg(F.when(F.col("quality") == "ok", 1.0).otherwise(0.0)), 6
+        ).alias("ok_frac"),
+    )

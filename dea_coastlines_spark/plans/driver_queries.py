@@ -4151,6 +4151,43 @@ FROM final GROUP BY 1 ORDER BY 1
 """
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Data-card corpus profile: per (source, lang) slice — doc/token/
+    char totals, exact token-count percentiles, ok-quality share."""
+    from ..operators.text import corpus_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_profile(d).orderBy("source", "lang")
+
+
+ORACLE_CORPUS_PROFILE = r"""
+WITH q AS (
+  SELECT source, lang, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens,
+         LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+             text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS n_punct
+  FROM documents),
+lab AS (
+  SELECT source, lang, n_tokens, LENGTH(text) AS n_chars,
+         CASE WHEN n_tokens < 5 THEN 'too_short'
+              WHEN ROUND(n_punct / GREATEST(LENGTH(text), 1), 6) > 0.1 THEN 'too_punct'
+              WHEN ROUND(LENGTH(REGEXP_REPLACE(TRIM(text), '[ \t\n\r\f\x0B]+', '', 'g'))
+                         / GREATEST(n_tokens, 1), 6) > 12 THEN 'gibberish'
+              ELSE 'ok' END AS quality
+  FROM q)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens)::BIGINT AS total_tokens,
+       SUM(n_chars)::BIGINT AS total_chars,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens), 6) AS p50_tokens,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens), 6) AS p90_tokens,
+       ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_tokens), 6) AS p99_tokens,
+       ROUND(AVG(CASE WHEN quality = 'ok' THEN 1.0 ELSE 0.0 END), 6) AS ok_frac
+FROM lab GROUP BY source, lang ORDER BY source, lang
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals per document (duplicate
     lines, top-2-gram and duplicate-5-gram character fractions)."""
@@ -4379,6 +4416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
     "dedup_passages": q_dedup_passages,
+    "corpus_profile": q_corpus_profile,
     "image_quality": q_image_quality,
     "corpus_integrity": q_corpus_integrity,
     "keep_best_images": q_keep_best_images,
@@ -4453,6 +4491,7 @@ ORACLES: dict[str, str] = {
     "repetition_signals": ORACLE_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
     "dedup_passages": ORACLE_DEDUP_PASSAGES,
+    "corpus_profile": ORACLE_CORPUS_PROFILE,
     "langid": _langid_sql(),
     "token_stats": ORACLE_TOKEN_STATS,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
