@@ -48,6 +48,10 @@ def main(argv=None) -> int:
                    help="eval-set parquet (doc_id, text); drop training "
                         "docs sharing n-grams with it")
     p.add_argument("--decontam-ngram", type=int, default=8)
+    p.add_argument("--pack-seq-len", type=int, default=0, metavar="L",
+                   help="emit concat-and-chunk packing columns (offset/"
+                        "pack_id/pack_offset/n_packs) for fixed "
+                        "L-token training windows (0 = plain shards)")
     p.add_argument("--rates", default="",
                    help="lang=rate,... stratified sampling rates")
     p.add_argument("--default-rate", type=float, default=1.0)
@@ -146,7 +150,26 @@ def main(argv=None) -> int:
             seed=args.seed, default_fraction=args.default_rate,
         )
 
-    sharded = shuffle_shards(docs, "doc_id", args.n_shards, seed=args.seed)
+    if args.pack_seq_len > 0:
+        # GPT-style concat-and-chunk layout: same u01 order as
+        # shuffle_shards plus token offsets / chunk assignment, so the
+        # training reader can slice fixed windows straight off the shard
+        from dea_coastlines_spark.operators.sampling import pack_sequences
+
+        docs = docs.withColumn(
+            "_n_tok",
+            F.when(F.length(F.trim("text")) == 0, 0)
+            .otherwise(F.size(F.split(F.trim(F.col("text")),
+                                      "[ \\t\\n\\r\\f\\x0B]+")))
+            .cast("long"),
+        )
+        sharded = pack_sequences(
+            docs, "doc_id", "_n_tok", args.pack_seq_len,
+            n_shards=args.n_shards, seed=args.seed,
+        ).drop("_n_tok")
+    else:
+        sharded = shuffle_shards(docs, "doc_id", args.n_shards,
+                                 seed=args.seed)
     (
         sharded.repartition("shard")
         .sortWithinPartitions("shard", "pos")

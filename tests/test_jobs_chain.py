@@ -395,3 +395,36 @@ def test_validation_reads_transect_job_output(spark, tmp_path, capsys):
     assert stats["overall"]["n"] == len(feats) * len(years)
     assert abs(stats["overall"]["bias"]) < 1e-6
     assert abs(stats["overall"]["rmse"]) < 1e-6
+
+
+def test_corpus_prep_pack_sequences(spark, tmp_path, capsys):
+    """--pack-seq-len emits the concat-and-chunk layout columns with
+    exact per-shard running-sum offsets."""
+    import run_corpus_prep
+
+    docs_path = str(tmp_path / "docs_p")
+    out_path = str(tmp_path / "shards_p")
+    rows = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(20 + i % 13)), "en")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(docs_path)
+
+    assert run_corpus_prep.main([
+        "--documents", docs_path, "--output", out_path,
+        "--n-shards", "3", "--keep-quality", "",
+        "--pack-seq-len", "64",
+    ]) == 0
+    out = spark.read.parquet(out_path).toPandas()
+    assert {"shard", "pos", "offset", "pack_id", "pack_offset",
+            "n_packs"} <= set(out.columns)
+    ntok = {i: 20 + i % 13 for i in range(40)}
+    for _, grp in out.groupby("shard"):
+        run = 0
+        for r in grp.sort_values("pos").itertuples():
+            assert r.offset == run
+            assert r.pack_id == r.offset // 64
+            assert r.pack_offset == r.offset % 64
+            run += ntok[r.doc_id]
