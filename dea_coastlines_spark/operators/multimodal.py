@@ -83,7 +83,20 @@ def image_quality(tiles: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                arr = img_codec.decode_tile(bytes(r.bytes), r.fmt).astype(np.float64)
+                try:
+                    arr = img_codec.decode_tile(
+                        bytes(r.bytes), r.fmt
+                    ).astype(np.float64)
+                except Exception:
+                    # an undecodable payload is the lowest quality of
+                    # all — flag it, never kill the job (the integrity
+                    # gate reports it separately)
+                    rows.append({
+                        "image_id": r.image_id, "laplacian_var": None,
+                        "entropy": None, "dynamic_range": None,
+                        "nodata_frac": None, "low_quality": True,
+                    })
+                    continue
                 finite = np.isfinite(arr)
                 nodata_frac = float(1.0 - finite.mean())
                 lap_var = None

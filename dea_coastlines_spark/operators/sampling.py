@@ -205,9 +205,13 @@ def pack_sequences(
         )
         .drop("_u")
     )
+    # integer `div`, not floor(double division): a double loses exact
+    # integer identity past 2^53, and per-shard token streams at the
+    # target scale can reach that — the oracle's `//` is exact, so the
+    # engines would diverge precisely where it can't be tested
     return (
         out.withColumn(
-            "pack_id", F.floor(F.col("offset") / seq_len).cast("long")
+            "pack_id", F.expr(f"offset div {int(seq_len)}").cast("long")
         )
         .withColumn(
             "pack_offset", F.pmod(F.col("offset"), F.lit(seq_len)).cast("long")
@@ -215,9 +219,11 @@ def pack_sequences(
         .withColumn(
             "n_packs",
             F.when(cnt <= 0, F.lit(0).cast("long")).otherwise(
-                F.floor((F.col("offset") + cnt - 1) / seq_len)
+                F.expr(
+                    f"(offset + `{token_count_col}` - 1) div {int(seq_len)}"
+                )
                 - F.col("pack_id")
                 + 1
-            ),
+            ).cast("long"),
         )
     )

@@ -330,8 +330,11 @@ def remove_duplicate_passages(
     # column first — interpreted HOF evaluation re-derives inline
     # subexpressions per lambda call (see lower_tokens)
     toks_of = lambda c: F.filter(F.split(c, WS_CLASS), lambda t: t != "")
+    # _toksl derives from the materialized _toks (one regex split per
+    # row, not two); lowercasing never changes token boundaries, so
+    # positions stay aligned with the original-case tokens
     base = df.withColumn("_toks", toks_of(F.col(text_col))).withColumn(
-        "_toksl", lower_tokens(F.col(text_col))
+        "_toksl", F.transform(F.col("_toks"), F.lower)
     )
     wins = base.select(
         id_col,
@@ -368,11 +371,15 @@ def remove_duplicate_passages(
         )
         .withColumn(
             "_kept",
-            F.filter(
+            # array_except keeps first-array order and uses the int
+            # hash-set fast path: O(ntok + |cov|), vs the O(ntok*|cov|)
+            # per-index array_contains scan that goes quadratic on
+            # heavily-duplicated documents
+            F.array_except(
                 F.when(ntok > 0, F.sequence(F.lit(0), ntok - 1)).otherwise(
                     F.array().cast("array<int>")
                 ),
-                lambda i: ~F.array_contains(F.col("_cov"), i),
+                F.col("_cov"),
             ),
         )
     )

@@ -123,9 +123,12 @@ def main(argv=None) -> int:
             remove_duplicate_passages,
         )
 
+        # quality columns were computed on the PRE-dedup text; drop
+        # them with it so no stale metadata rides into the shards
         docs = (
             remove_duplicate_passages(docs, n=args.dedup_passages)
-            .drop("text", "n_tokens", "n_removed")
+            .drop("text", "n_tokens", "n_removed", "quality",
+                  "punct_ratio", "mean_tok_len", "stop_hits")
             .withColumnRenamed("text_clean", "text")
         )
 
@@ -156,12 +159,17 @@ def main(argv=None) -> int:
         # training reader can slice fixed windows straight off the shard
         from dea_coastlines_spark.operators.sampling import pack_sequences
 
+        # filtered tokenization, same as q_pack_sequences: trim+split
+        # alone would count leading/trailing whitespace as tokens and
+        # shift every later offset in the shard
         docs = docs.withColumn(
             "_n_tok",
-            F.when(F.length(F.trim("text")) == 0, 0)
-            .otherwise(F.size(F.split(F.trim(F.col("text")),
-                                      "[ \\t\\n\\r\\f\\x0B]+")))
-            .cast("long"),
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), "[ \\t\\n\\r\\f\\x0B]+"),
+                    lambda t: t != "",
+                )
+            ).cast("long"),
         )
         sharded = pack_sequences(
             docs, "doc_id", "_n_tok", args.pack_seq_len,

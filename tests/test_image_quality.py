@@ -122,3 +122,19 @@ def test_textured_parity_vs_brute_numpy(quality_rows):
     assert r.entropy == pytest.approx(-(p * np.log(p)).sum(), abs=1e-6)
     assert r.dynamic_range == pytest.approx(vmax - vmin, abs=1e-6)
     assert not bool(r.low_quality)
+
+
+def test_undecodable_payload_flagged_not_fatal(spark):
+    rows = [
+        _tile_row("good", np.random.default_rng(3).uniform(-1, 1, (16, 16))),
+        {"image_id": "corrupt", "bytes": b"\x89PNG then garbage",
+         "w": 16, "h": 16, "fmt": "png"},
+    ]
+    out = (
+        multimodal.image_quality(spark.createDataFrame(pd.DataFrame(rows)))
+        .toPandas().set_index("image_id")
+    )
+    r = out.loc["corrupt"]
+    assert bool(r.low_quality)
+    assert pd.isna(r.laplacian_var) and pd.isna(r.nodata_frac)
+    assert not bool(out.loc["good"].low_quality)
