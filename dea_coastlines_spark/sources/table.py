@@ -231,7 +231,11 @@ class SnapshotTable:
         replaced = {tuple(sorted(e["partition"].items())) for e in new}
         if drop_partitions:
             replaced |= {
-                tuple(sorted((k, str(v)) for k, v in d.items()))
+                tuple(
+                    sorted(
+                        (k, _hive_partition_value(v)) for k, v in d.items()
+                    )
+                )
                 for d in drop_partitions
             }
         kept = [
@@ -255,7 +259,12 @@ class SnapshotTable:
         collected (bounded by partitions touched, not rows) and files
         outside them carry over in the manifest untouched — at 10^12
         rows an annual-update merge rewrites the handful of (cell, year)
-        partitions it touches, never the table. The matched/unmatched
+        partitions it touches, never the table. When the merge key does
+        not pin the partition (part_cols ⊄ on), partitions holding
+        MATCHED keys outside the source's partition set are found with
+        a column-pruned semi join and rewritten too — otherwise a
+        partition-moving upsert would leave both row versions alive.
+        The matched/unmatched
         split is one anti join on the key (broadcast/AQE decide the
         strategy). NULL key semantics match SQL MERGE: a NULL never
         equals anything, so NULL-keyed target rows are kept and
@@ -278,9 +287,47 @@ class SnapshotTable:
         source = source.select(*schema_cols)
         if part_cols:
             touched = {
-                tuple(sorted((k, str(v)) for k, v in r.asDict().items()))
+                tuple(
+                    sorted(
+                        (k, _hive_partition_value(v))
+                        for k, v in r.asDict().items()
+                    )
+                )
                 for r in source.select(*part_cols).distinct().collect()
             }
+            kept = [
+                e for e in m["files"]
+                if tuple(sorted(e["partition"].items())) not in touched
+            ]
+            if kept and not set(part_cols) <= set(on):
+                # The upsert can MOVE a row across partitions: a target
+                # row whose key matches a source row may live in a
+                # partition the source doesn't write (e.g. the merge
+                # updates the partition column itself). Its file must be
+                # rewritten too, or both versions survive. Find those
+                # partitions with a column-pruned semi join over the
+                # untouched files — reads only the key + partition
+                # columns (the Iceberg analog is manifest column stats /
+                # bloom filters); rows returned are bounded by distinct
+                # partitions, not data size. When part_cols ⊆ on the
+                # key pins the partition and this scan is skipped.
+                moved = (
+                    self._read_entries(m, kept)
+                    .select(*dict.fromkeys(list(on) + part_cols))
+                    .join(source.select(*on).distinct(), on, "left_semi")
+                    .select(*part_cols)
+                    .distinct()
+                    .collect()
+                )
+                touched |= {
+                    tuple(
+                        sorted(
+                            (k, _hive_partition_value(v))
+                            for k, v in r.asDict().items()
+                        )
+                    )
+                    for r in moved
+                }
             affected = [
                 e for e in m["files"]
                 if tuple(sorted(e["partition"].items())) in touched
@@ -396,6 +443,14 @@ class SnapshotTable:
                     )
 
                 decoded = _decode_once(_decode_once(raw))
+                # a NULL partition value is written as the Hive default-
+                # partition sentinel; map it back to NULL BEFORE the
+                # cast (under ANSI mode casting the sentinel to a
+                # non-string type throws; for string columns the
+                # sentinel would otherwise leak through as a literal)
+                decoded = F.when(
+                    decoded == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+                ).otherwise(decoded)
                 df = df.withColumn(
                     col,
                     decoded.cast(_partition_dtype(m["schema_json"], col)),
@@ -466,6 +521,32 @@ class SnapshotTable:
             ):
                 shutil.rmtree(full)
         return removed
+
+
+def _hive_partition_value(v) -> str:
+    """Render a typed partition value the way Spark's Hive-style writer
+    renders it in the partition directory name (pre-escaping), so
+    collected source values compare equal to the (decoded) manifest
+    strings: NULL -> __HIVE_DEFAULT_PARTITION__, booleans lowercase,
+    dates ISO, timestamps 'YYYY-MM-DD HH:MM:SS[.f*]' with trailing
+    fraction zeros trimmed. Plain str() diverges for all four
+    (str(True)='True' vs dir 'true', str(None)='None', datetime's 'T'
+    separator / trailing '.000000'), silently classifying those
+    partitions as untouched in merge()/overwrite_partitions()."""
+    import datetime
+
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += ("." + f"{v.microsecond:06d}").rstrip("0")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
 
 
 def _unescape_partition(s: str) -> str:

@@ -242,6 +242,76 @@ def test_snapshot_merge_upsert(spark, tmp_path, sample_df):
     assert {(r.id, r.val) for r in t.read(snapshot=1).collect()} >= {(1, "v1")}
 
 
+def test_snapshot_merge_partition_moving_key(spark, tmp_path, sample_df):
+    """A MERGE that changes a row's PARTITION value must rewrite the
+    partition the old version lives in, not just the partitions present
+    in the source — otherwise both versions survive (the documented
+    contract is 'a matched target row is REPLACED')."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    # id=5 lives in year=2 (5 % 3); move it to a brand-new year=9
+    src = spark.createDataFrame(
+        [(5, 9, "MOVED")], "id long, year int, val string"
+    )
+    t.merge(src, on=["id"])
+    got = t.read().filter(F.col("id") == 5).collect()
+    assert [(r.year, r.val) for r in got] == [(9, "MOVED")]
+    assert t.read().count() == 30  # replaced, not duplicated
+    # rows sharing the rewritten partition survive unchanged
+    assert {r.id for r in t.read().filter(F.col("year") == 2).collect()} == {
+        i for i in range(30) if i % 3 == 2 and i != 5
+    }
+
+
+def test_snapshot_merge_nonstring_partition_values(spark, tmp_path):
+    """Partition-touch matching must render source values the way the
+    Hive-style writer names directories: booleans lowercase, NULL ->
+    __HIVE_DEFAULT_PARTITION__, timestamps with trailing fraction zeros
+    trimmed. str(True)='True' etc. silently classified those partitions
+    as untouched, leaving duplicate rows after an upsert."""
+    import datetime
+
+    t = SnapshotTable(spark, str(tmp_path / "bool"))
+    t.create(
+        spark.createDataFrame(
+            [(1, True, "a"), (2, False, "b"), (3, None, "c")],
+            "id long, flag boolean, val string",
+        ),
+        partition_by=["flag"],
+    )
+    t.merge(
+        spark.createDataFrame([(1, True, "A1")], "id long, flag boolean, val string"),
+        on=["id", "flag"],  # key pins the partition: manifest-only path
+    )
+    assert t.read().count() == 3
+    assert t.read().filter(F.col("id") == 1).collect()[0].val == "A1"
+    # upsert into the NULL partition
+    t.merge(
+        spark.createDataFrame([(3, None, "C3")], "id long, flag boolean, val string"),
+        on=["id"],
+    )
+    assert t.read().count() == 3
+    assert t.read().filter(F.col("id") == 3).collect()[0].val == "C3"
+
+    ts = datetime.datetime(2020, 1, 2, 3, 4, 5, 123000)
+    t2 = SnapshotTable(spark, str(tmp_path / "ts"))
+    t2.create(
+        spark.createDataFrame(
+            [(1, ts, "a"), (2, datetime.datetime(2021, 6, 7), "b")],
+            "id long, stamp timestamp, val string",
+        ),
+        partition_by=["stamp"],
+    )
+    t2.merge(
+        spark.createDataFrame(
+            [(1, ts, "A1")], "id long, stamp timestamp, val string"
+        ),
+        on=["id", "stamp"],
+    )
+    assert t2.read().count() == 2
+    assert t2.read().filter(F.col("id") == 1).collect()[0].val == "A1"
+
+
 def test_snapshot_merge_schema_and_key_validation(spark, tmp_path, sample_df):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.create(sample_df, partition_by=["year"])
