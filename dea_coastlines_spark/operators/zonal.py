@@ -7,21 +7,38 @@ certainty-mask statistics).
 
 Spark-first shape — the same two-phase design as operators/rollup.py:
 
-1. **Partial phase (no shuffle):** one mapInPandas pass over composite
-   tiles. Each kernel call decodes the tile's float raster, masks it
-   to each overlapping zone polygon (pixel-center point-in-polygon,
-   holes subtracted — the engine's standard burn rule), and emits ONE
-   partial row (n, sum, min, max) per (zone, tile, year). The halo is
-   excluded so pixels shared by neighbouring tiles count exactly once.
+1. **Partial phase (no pixel shuffle):** one mapInPandas pass over
+   composite tiles. Each kernel call decodes the tile's float raster,
+   masks it to each overlapping zone polygon (pixel-center
+   point-in-polygon, holes subtracted — the engine's standard burn
+   rule), and emits ONE partial row (n, sum, min, max) per
+   (zone, tile, year). The halo is excluded so pixels shared by
+   neighbouring tiles count exactly once.
 2. **Combine phase (one small shuffle):** groupBy (zone, year) sums
    the partials — rows entering the shuffle are bounded by
    zones × tiles, not pixels.
 
-Zones are a small dimension collected and closure-broadcast (with a
-per-tile bbox prefilter so a tile only tests polygons it can touch).
-For a large zone table, pre-join tiles to zones with
-operators/spatial_join.py's cell-cover candidates and group the burn
-by zone instead — the kernel below is unchanged.
+Two physical strategies for attaching zones to tiles, picked by the
+same auto-probe as operators/spatial_join.py (`resolve_broadcast`):
+
+* **broadcast** (small zone table, the reference's case): zones are
+  collected once and closure-broadcast; each kernel call tests every
+  polygon whose bbox can touch the tile. Zero extra shuffles.
+* **distributed** (large zone table — e.g. the reference's regional
+  modification-polygon layers, coastlines/vector.py:1413-1433, at
+  continental scale): zones are exploded to covering cells
+  (explode_polygons_to_cells), tile CORE bboxes are exploded to cells
+  of the same resolution, and a cell equi-join + (tile, zone) dedup
+  builds the candidate pair set on SLIM frames (no image bytes).
+  Image bytes join the pairs once, keyed by (tile_x, tile_y, year),
+  and the burn kernel receives the zone geometry per row — parsed
+  once per distinct zone per Arrow chunk. No driver-side zone
+  materialization anywhere on this path; replication lands on the
+  (bounded) candidate pairs, never on the pixel data beyond the
+  zones-per-tile overlap count.
+
+Both paths emit identical partial rows (the burn rule is the same
+exact pixel-center PIP), pinned by tests/test_zonal.py parity.
 
 Mean/count/sum/min/max only: they re-aggregate associatively. Median
 over zones would need the raw pixel distribution — use the grouped
@@ -41,6 +58,51 @@ from pyspark.sql import functions as F
 from ..codecs import tiff
 from ..geometry import wkb
 from ..geometry.algorithms import points_in_polygon
+from ..index import cells
+from .spatial_join import (
+    DEFAULT_RES,
+    explode_polygons_to_cells,
+    resolve_broadcast,
+)
+
+_PARTIAL_COLS = ["zone_id", "year", "n", "sum_v", "min_v", "max_v"]
+
+
+def _tile_grid(row, value_bytes_col: str):
+    """Decode one composite row -> (core pixels, pixel-center xs, ys,
+    core bbox). Shared by both zone-attachment strategies so the burn
+    rule cannot diverge."""
+    arr = tiff.decode_f32(bytes(getattr(row, value_bytes_col)))
+    a, _, c, _, e, f = json.loads(row.transform)
+    halo = int(row.halo_px)
+    core = arr[halo : arr.shape[0] - halo, halo : arr.shape[1] - halo]
+    ny, nx = core.shape
+    xs = c + (np.arange(halo, halo + nx) + 0.5) * a
+    ys = f + (np.arange(halo, halo + ny) + 0.5) * e
+    tx0, tx1 = xs.min() - abs(a), xs.max() + abs(a)
+    ty0, ty1 = ys.min() - abs(e), ys.max() + abs(e)
+    return core, xs, ys, (tx0, ty0, tx1, ty1)
+
+
+def _burn_partial(vals, flat_x, flat_y, rings):
+    """Mask flattened pixel values to one polygon's rings; return the
+    (n, sum, min, max) partial or None if no valid pixel falls inside."""
+    inside = np.zeros(len(flat_x), bool)
+    for shell, holes in rings:
+        hit = points_in_polygon(flat_x, flat_y, shell)
+        for h in holes:
+            hit &= ~points_in_polygon(flat_x, flat_y, h, boundary_counts=False)
+        inside |= hit
+    v = vals[inside]
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return None
+    return (
+        int(len(v)),
+        float(v.sum(dtype=np.float64)),
+        float(v.min()),
+        float(v.max()),
+    )
 
 
 def zonal_stats(
@@ -49,23 +111,26 @@ def zonal_stats(
     value_bytes_col: str = "mndwi_bytes",
     zone_id_col: str = "zone_id",
     geom_col: str = "geometry",
+    broadcast_zones: bool | str = "auto",
+    res: int | None = None,
 ) -> DataFrame:
     """Per-(zone, year) stats of a composite raster band.
 
     composites: operators/composite.py output — (tile_x, tile_y, year,
     <value_bytes_col> float32 tiff, w, h, transform JSON, halo_px).
-    zones: (zone_id, geometry WKB (Multi)Polygon) — small dimension.
+    zones: (zone_id, geometry WKB (Multi)Polygon).
+
+    broadcast_zones: True / False / "auto" — "auto" probes the zone
+    table's row count (bounded LIMIT scan) and collects it driver-side
+    only when it is genuinely a small dimension; large tables take the
+    distributed cell-cover path. res (distributed path only) is the
+    cover-cell resolution; default scales the cell to the tile core
+    extent probed from one composite row.
 
     Out: (zone_id, year, n, sum_v, mean_v, min_v, max_v); NaN pixels
     (cloud/nodata) are excluded from every statistic; zones with zero
     valid pixels are absent (matching a groupBy over pixel rows).
     """
-    zrows = zones.select(zone_id_col, geom_col).collect()
-    zdata = [
-        (r[0], wkb.polygon_rings(bytes(r[1])), wkb.bbox(bytes(r[1])))
-        for r in zrows
-    ]
-
     zid_type = next(
         f.dataType.simpleString()
         for f in zones.schema.fields
@@ -75,56 +140,16 @@ def zonal_stats(
         f"zone_id {zid_type}, year int, n long, sum_v double, "
         "min_v double, max_v double"
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                arr = tiff.decode_f32(bytes(getattr(r, value_bytes_col)))
-                a, _, c, _, e, f = json.loads(r.transform)
-                halo = int(r.halo_px)
-                core = arr[halo : arr.shape[0] - halo, halo : arr.shape[1] - halo]
-                ny, nx = core.shape
-                # pixel-center coords of the halo-free core
-                xs = c + (np.arange(halo, halo + nx) + 0.5) * a
-                ys = f + (np.arange(halo, halo + ny) + 0.5) * e
-                tx0, tx1 = xs.min() - abs(a), xs.max() + abs(a)
-                ty0, ty1 = ys.min() - abs(e), ys.max() + abs(e)
-                gx, gy = np.meshgrid(xs, ys)
-                flat_x, flat_y = gx.ravel(), gy.ravel()
-                vals = core.ravel()
-                for zid, rings, (bx0, by0, bx1, by1) in zdata:
-                    if bx1 < tx0 or bx0 > tx1 or by1 < ty0 or by0 > ty1:
-                        continue
-                    inside = np.zeros(len(flat_x), bool)
-                    for shell, holes in rings:
-                        hit = points_in_polygon(flat_x, flat_y, shell)
-                        for h in holes:
-                            hit &= ~points_in_polygon(
-                                flat_x, flat_y, h, boundary_counts=False
-                            )
-                        inside |= hit
-                    v = vals[inside]
-                    v = v[~np.isnan(v)]
-                    if len(v) == 0:
-                        continue
-                    rows.append(
-                        {
-                            "zone_id": zid,
-                            "year": int(r.year),
-                            "n": int(len(v)),
-                            "sum_v": float(v.sum(dtype=np.float64)),
-                            "min_v": float(v.min()),
-                            "max_v": float(v.max()),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["zone_id", "year", "n", "sum_v", "min_v", "max_v"]
-            )
-
-    partial = composites.select(
-        "tile_x", "tile_y", "year", value_bytes_col, "transform", "halo_px"
-    ).mapInPandas(kernel, out_schema)
+    if resolve_broadcast(zones, broadcast_zones):
+        partial = _partials_broadcast(
+            composites, zones, value_bytes_col, zone_id_col, geom_col,
+            out_schema,
+        )
+    else:
+        partial = _partials_distributed(
+            composites, zones, value_bytes_col, zone_id_col, geom_col,
+            out_schema, res,
+        )
     return (
         partial.groupBy("zone_id", "year")
         .agg(
@@ -135,3 +160,155 @@ def zonal_stats(
         )
         .withColumn("mean_v", F.col("sum_v") / F.col("n"))
     )
+
+
+def _partials_broadcast(
+    composites: DataFrame,
+    zones: DataFrame,
+    value_bytes_col: str,
+    zone_id_col: str,
+    geom_col: str,
+    out_schema: str,
+) -> DataFrame:
+    """Small-dimension path: zones collected once, closure-broadcast;
+    per-tile bbox prefilter so a tile only tests polygons it can touch."""
+    zrows = zones.select(zone_id_col, geom_col).collect()
+    zdata = [
+        (r[0], wkb.polygon_rings(bytes(r[1])), wkb.bbox(bytes(r[1])))
+        for r in zrows
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                core, xs, ys, (tx0, ty0, tx1, ty1) = _tile_grid(
+                    r, value_bytes_col
+                )
+                gx, gy = np.meshgrid(xs, ys)
+                flat_x, flat_y = gx.ravel(), gy.ravel()
+                vals = core.ravel()
+                for zid, rings, (bx0, by0, bx1, by1) in zdata:
+                    if bx1 < tx0 or bx0 > tx1 or by1 < ty0 or by0 > ty1:
+                        continue
+                    p = _burn_partial(vals, flat_x, flat_y, rings)
+                    if p is not None:
+                        rows.append((zid, int(r.year)) + p)
+            yield pd.DataFrame(rows, columns=_PARTIAL_COLS)
+
+    return composites.select(
+        "tile_x", "tile_y", "year", value_bytes_col, "transform", "halo_px"
+    ).mapInPandas(kernel, out_schema)
+
+
+def _tile_core_bbox_cells(composites: DataFrame, res: int) -> DataFrame:
+    """Slim (tile_x, tile_y, year, cell_id) frame: each composite row
+    exploded to the cells its halo-free core bbox covers. No image
+    bytes touch this frame; per-row cover size is O(1) once `res` is
+    scaled to the tile extent."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                a, _, c, _, e, f = json.loads(r.transform)
+                halo = int(r.halo_px)
+                nx, ny = int(r.w) - 2 * halo, int(r.h) - 2 * halo
+                x0 = c + halo * a
+                x1 = c + (halo + nx) * a
+                y0 = f + halo * e
+                y1 = f + (halo + ny) * e
+                bx0, bx1 = min(x0, x1), max(x0, x1)
+                by0, by1 = min(y0, y1), max(y0, y1)
+                for cid in cells.polyfill_bbox(bx0, by0, bx1, by1, res):
+                    out.append(
+                        (int(r.tile_x), int(r.tile_y), int(r.year), int(cid))
+                    )
+            yield pd.DataFrame(
+                out, columns=["tile_x", "tile_y", "year", "cell_id"]
+            )
+
+    return composites.select(
+        "tile_x", "tile_y", "year", "w", "h", "transform", "halo_px"
+    ).mapInPandas(gen, "tile_x int, tile_y int, year int, cell_id long")
+
+
+def _partials_distributed(
+    composites: DataFrame,
+    zones: DataFrame,
+    value_bytes_col: str,
+    zone_id_col: str,
+    geom_col: str,
+    out_schema: str,
+    res: int | None,
+) -> DataFrame:
+    """Large-zone-table path: cell-cover candidates on slim frames, one
+    fat join keyed by (tile_x, tile_y, year), zone geometry parsed
+    inside the kernel (once per distinct zone per Arrow chunk)."""
+    if res is None:
+        # scale the cover cell to the tile core extent so each tile
+        # covers O(1) cells — probed from ONE row (bounded driver
+        # action, same spirit as resolve_broadcast's LIMIT count)
+        probe = composites.select("w", "h", "transform", "halo_px").first()
+        if probe is None:
+            res = DEFAULT_RES
+        else:
+            a, _, _c, _, e, _f = json.loads(probe.transform)
+            halo = int(probe.halo_px)
+            ext = max(
+                (int(probe.w) - 2 * halo) * abs(a),
+                (int(probe.h) - 2 * halo) * abs(e),
+            )
+            res = DEFAULT_RES
+            while res > 1 and cells.cell_size_m(res) < ext:
+                res -= 1
+
+    zslim = zones.select(
+        F.col(zone_id_col).alias("zone_id"), F.col(geom_col).alias("geometry")
+    )
+    zcells = explode_polygons_to_cells(zslim, res)
+    tcells = _tile_core_bbox_cells(composites, res)
+    # (tile obs, zone) candidate pairs; a pair sharing several cover
+    # cells appears once. Geometry rides the dedup (zone_id is unique
+    # per geometry) so no second join against the zone table is needed.
+    pairs = (
+        tcells.join(zcells, "cell_id")
+        .dropDuplicates(["tile_x", "tile_y", "year", "zone_id"])
+        .select("tile_x", "tile_y", "year", "zone_id", "geometry")
+    )
+
+    fat = composites.select(
+        "tile_x", "tile_y", "year", value_bytes_col, "transform", "halo_px"
+    ).join(pairs, ["tile_x", "tile_y", "year"])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            ring_cache: dict[bytes, tuple] = {}
+            # decode each tile observation once even when it pairs with
+            # several zones
+            for _, grp in pdf.groupby(
+                ["tile_x", "tile_y", "year"], sort=False
+            ):
+                r0 = next(grp.itertuples())
+                core, xs, ys, (tx0, ty0, tx1, ty1) = _tile_grid(
+                    r0, value_bytes_col
+                )
+                gx, gy = np.meshgrid(xs, ys)
+                flat_x, flat_y = gx.ravel(), gy.ravel()
+                vals = core.ravel()
+                for r in grp.itertuples():
+                    g = bytes(r.geometry)
+                    cached = ring_cache.get(g)
+                    if cached is None:
+                        cached = (wkb.polygon_rings(g), wkb.bbox(g))
+                        ring_cache[g] = cached
+                    rings, (bx0, by0, bx1, by1) = cached
+                    if bx1 < tx0 or bx0 > tx1 or by1 < ty0 or by0 > ty1:
+                        continue
+                    p = _burn_partial(vals, flat_x, flat_y, rings)
+                    if p is not None:
+                        rows.append((r.zone_id, int(r.year)) + p)
+            yield pd.DataFrame(rows, columns=_PARTIAL_COLS)
+
+    return fat.mapInPandas(kernel, out_schema)

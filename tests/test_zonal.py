@@ -132,6 +132,50 @@ def test_zonal_stats_halo_exclusion(spark, composites):
         assert got.loc[int(year), "n"] == total
 
 
+def test_zonal_stats_distributed_parity(spark, composites):
+    """The large-zone-table path (cell-cover candidates + per-row
+    geometry kernel, no driver-side zone materialization) must produce
+    the same rows as the broadcast path — including hole subtraction
+    and the zero-pixel-absent rule."""
+    comp_pdf, spec = composites
+    ox, oy = spec.tile_origin(0, 0)
+    sz = spec.tile_px * spec.res_m
+    zrows = [
+        {"zone_id": "z_west", "geometry": _rect_wkb(ox + 3.3, oy - 1.7 * sz, ox + 1.4 * sz, oy + 0.9 * sz)},
+        {"zone_id": "z_all", "geometry": _rect_wkb(ox - 10.0, oy - 3 * sz, ox + 4 * sz, oy + 2 * sz)},
+        {
+            "zone_id": "z_hole",
+            "geometry": _rect_hole_wkb(
+                ox + 0.2 * sz, oy - 1.4 * sz, ox + 2.6 * sz, oy + 0.7 * sz,
+                ox + 0.9 * sz, oy - 0.8 * sz, ox + 1.7 * sz, oy + 0.1 * sz,
+            ),
+        },
+        {"zone_id": "z_far", "geometry": _rect_wkb(9e6, 9e6, 9.1e6, 9.1e6)},
+    ]
+    zones_df = spark.createDataFrame(pd.DataFrame(zrows))
+    comp_df = spark.createDataFrame(comp_pdf)
+
+    dist = zonal_stats(comp_df, zones_df, broadcast_zones=False)
+    # the distributed plan joins the slim cell frames — there must be a
+    # join node and NO zone rows collected at plan-build time (the
+    # broadcast path's closure capture); spot-check via the plan string
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+    key = ["zone_id", "year"]
+    a = dist.toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        zonal_stats(comp_df, zones_df, broadcast_zones=True)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert list(a["zone_id"]) == list(b["zone_id"])
+    assert list(a["year"]) == list(b["year"])
+    assert list(a["n"]) == list(b["n"])
+    for col in ("sum_v", "min_v", "max_v", "mean_v"):
+        np.testing.assert_allclose(a[col], b[col], rtol=1e-9)
+    assert "z_far" not in set(a["zone_id"])  # disjoint zone absent
+
+
 def test_zonal_stats_disjoint_zone_absent(spark, composites):
     comp_pdf, _ = composites
     zones_df = spark.createDataFrame(
