@@ -85,11 +85,16 @@ def cell_of_xy(res: int):
     return _enc
 
 
-def explode_polygons_to_cells(polys: DataFrame, res: int, pad_m: float = 0.0) -> DataFrame:
+def explode_polygons_to_cells(
+    polys: DataFrame, res: int, pad_m: float = 0.0, pad_col: str | None = None
+) -> DataFrame:
     """(poly cols..., geometry WKB) -> one row per covering cell.
 
     Coarse cover = polyfill of the geometry bbox (optionally padded for
     radius searches); exact refine happens after the equi join.
+    pad_col names a per-row pad column (a per-feature search radius —
+    one cover join can then serve features with different radii);
+    pad_m is the uniform fallback.
     """
 
     from pyspark.sql.types import LongType as _Long
@@ -105,13 +110,16 @@ def explode_polygons_to_cells(polys: DataFrame, res: int, pad_m: float = 0.0) ->
             # path of the distributed (big-feature-table) joins — at
             # 10^6 geometries x ~50 covering cells that is 5x10^7
             # Python dict copies; np.repeat + one concat is ~free
+            pads = (
+                pdf[pad_col].to_numpy(float)
+                if pad_col is not None
+                else np.full(len(pdf), float(pad_m))
+            )
             covers = []
-            for g in pdf["geometry"]:
+            for g, p in zip(pdf["geometry"], pads):
                 x0, y0, x1, y1 = wkb.bbox(bytes(g))
                 covers.append(
-                    cells.polyfill_bbox(
-                        x0 - pad_m, y0 - pad_m, x1 + pad_m, y1 + pad_m, res
-                    )
+                    cells.polyfill_bbox(x0 - p, y0 - p, x1 + p, y1 + p, res)
                 )
             counts = np.array([len(c) for c in covers], dtype=np.int64)
             if counts.sum() == 0:
@@ -316,14 +324,23 @@ def _distances_within(
     feat_id: str,
     broadcast_features: bool,
     dedup_pairs: bool = True,
+    radius_col: str | None = None,
 ) -> DataFrame:
     """(point, feature, dist_m) pairs with dist <= radius_m — shared
     candidate-generation + refine for knn_join/radius_join.
 
     dedup_pairs=False skips the duplicate-pair shuffle for callers whose
     downstream aggregation is duplicate-insensitive (k=1 argmin); the
-    duplicated pairs then cost only their distance evaluation."""
-    feat_cells = explode_polygons_to_cells(features, res, pad_m=radius_m)
+    duplicated pairs then cost only their distance evaluation.
+
+    radius_col: PER-FEATURE radius column on `features` — one cover
+    join then serves features with heterogeneous radii (the cover pad
+    and the final distance cap are both per-row; radius_m is then only
+    an upper bound used for res selection by callers). The column
+    rides through to the output."""
+    feat_cells = explode_polygons_to_cells(
+        features, res, pad_m=radius_m, pad_col=radius_col
+    )
     # NOTE: pad by radius on the FEATURE side — points stay 1 row each.
     if broadcast_features:
         feat_cells = F.broadcast(feat_cells)
@@ -356,16 +373,21 @@ def _distances_within(
                         d = np.minimum(d, dd)
                 else:
                     raise ValueError(f"knn_join unsupported geometry type {t}")
-                out.append(
-                    pd.DataFrame(
-                        {point_id: grp[point_id].to_numpy(), feat_id: fid, "dist_m": d}
-                    )
-                )
+                cols = {point_id: grp[point_id].to_numpy(), feat_id: fid, "dist_m": d}
+                if radius_col is not None:
+                    # constant per feature; carried so the cap below can
+                    # be evaluated per-row without a join back
+                    cols[radius_col] = float(grp[radius_col].iloc[0])
+                out.append(pd.DataFrame(cols))
             yield pd.concat(out, ignore_index=True)
 
-    return cand.mapInPandas(
-        dist_kernel, f"{point_id} long, {feat_id} string, dist_m double"
-    ).filter(F.col("dist_m") <= radius_m)
+    out_schema = f"{point_id} long, {feat_id} string, dist_m double"
+    if radius_col is not None:
+        out_schema += f", `{radius_col}` double"
+    cap = F.col(radius_col) if radius_col is not None else F.lit(radius_m)
+    return cand.mapInPandas(dist_kernel, out_schema).filter(
+        F.col("dist_m") <= cap
+    )
 
 
 def radius_join(
@@ -378,15 +400,20 @@ def radius_join(
     point_id: str = "point_id",
     feat_id: str = "feat_id",
     broadcast_features: bool = True,
+    radius_col: str | None = None,
 ) -> DataFrame:
     """All (point, feature) pairs within radius_m — the buffered-circle
     containment join (sjoin(within) on point buffers,
     continental.py:272-283) without materializing buffer polygons:
     distance-to-point <= radius is exactly containment in the disc.
-    No ranking window — unlike knn_join, no per-point sort is needed."""
+    No ranking window — unlike knn_join, no per-point sort is needed.
+
+    radius_col: per-feature radius column (heterogeneous search radii
+    served by ONE cover join — the continental hotspots path); radius_m
+    is then only the resolution-selection hint."""
     return _distances_within(
         points, features, radius_m, res, x_col, y_col, point_id, feat_id,
-        broadcast_features,
+        broadcast_features, radius_col=radius_col,
     )
 
 

@@ -88,6 +88,33 @@ def test_hotspots_has_no_driver_collect():
     assert "toPandas" not in src and ".collect(" not in src
 
 
+def test_continental_fused_equals_per_radius_loop(stage, spark):
+    """The fused multi-radius plan (one per-feature-radius cover join +
+    shared aggregations) must reproduce the per-radius loop exactly —
+    same member sets, medians, regressions, flags — even though its
+    cover cells are sized to the largest radius."""
+    import pandas as pd
+
+    sl, pts, signed = stage
+    radii = (1000.0, 500.0)
+    key = ["radius_m", "hotspot_id"]
+    fused = (
+        hs_op.continental_hotspots(sl, pts, signed, BASELINE, radii_m=radii)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    loop = pd.concat(
+        [
+            hs_op.with_wms_fields(
+                hs_op.hotspots(sl, pts, signed, BASELINE, radius_m=r)
+            ).toPandas()
+            for r in radii
+        ],
+        ignore_index=True,
+    ).sort_values(key).reset_index(drop=True)
+    assert list(fused.columns) == list(loop.columns)
+    pd.testing.assert_frame_equal(fused, loop, check_exact=False, rtol=1e-12)
+
+
 def test_continental_hotspots_wms(stage, spark):
     hs = hs_op.continental_hotspots(*stage, BASELINE, radii_m=(1000.0, 500.0))
     pdf = hs.toPandas()
