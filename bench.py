@@ -71,19 +71,81 @@ def main() -> None:
     bench_tiles = os.environ.get("SPARK_GRAFT_BENCH_TILES", "1") != "0"
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.0"))
     load_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "240"))
+    # a run recorded under co-tenant steal reads 2-3x high and pollutes
+    # round-over-round diffs (the r3 artifact was stamped quiet=false);
+    # retry the whole measurement up to this many times until one run
+    # lands in a quiet window. The first quiet run wins; if none is
+    # quiet, the lowest-total run is reported (stamped quiet=false).
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_QUIET_ATTEMPTS", "3")))
 
-    load_start = _wait_for_quiet(max_load, load_wait)
-    jiff_start = _cpu_jiffies()
-
-    from dea_coastlines_spark.plans import driver_queries
-    from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
     from dea_coastlines_spark.session import get_spark
-    from dea_coastlines_spark.synth import corpus
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    chosen = None
+    for attempt in range(1, attempts + 1):
+        load_start = _wait_for_quiet(max_load, load_wait)
+        jiff_start = _cpu_jiffies()
+        times, tiles_per_sec = _measure(spark, sf_dir, bench_tiles)
+        load_end = _load1()
+        jiff_end = _cpu_jiffies()
+        steal_pct = None
+        if jiff_start and jiff_end and jiff_end[1] > jiff_start[1]:
+            steal_pct = round(
+                100.0 * (jiff_end[0] - jiff_start[0])
+                / (jiff_end[1] - jiff_start[1]), 2
+            )
+        out = {
+            "metric": "total_headline_sec",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+            "cpus": cpus,
+            "tiles_per_sec": tiles_per_sec,
+            # contamination stamps: load_end is dominated by the
+            # bench's OWN 32-thread Spark work, so quiet is judged on
+            # the pre-run load and the steal fraction measured ACROSS
+            # the run (external contention only).
+            "load_start": load_start,
+            "load_end": load_end,
+            "steal_pct": steal_pct,
+            "quiet": (
+                load_start is not None
+                and load_start <= max_load
+                and (steal_pct is None or steal_pct < 2.0)
+            ),
+            "attempt": attempt,
+        }
+        if chosen is None or out["value"] < chosen["value"] or (
+            out["quiet"] and not chosen["quiet"]
+        ):
+            chosen = out
+        if out["quiet"]:
+            break
+        print(
+            f"bench: attempt {attempt}/{attempts} contaminated "
+            f"(load_start={out['load_start']}, steal={out['steal_pct']}%)"
+            + ("; retrying" if attempt < attempts else "; giving up"),
+            file=sys.stderr,
+        )
+
+    print(json.dumps(chosen))
+    if os.environ.get("SPARK_GRAFT_NO_TREND", "0") != "1":
+        _append_trend(chosen)
+    spark.stop()
+
+
+def _measure(spark, sf_dir: str, bench_tiles: bool):
+    """One full measurement pass; returns (per-query times, tiles/sec).
+    Deterministic w.r.t. retries: every attempt runs the same warmup +
+    best-of-2 protocol (later attempts benefit from warm scan caches,
+    which is exactly what the warmup pass already grants the first)."""
+    from dea_coastlines_spark.plans import driver_queries
+    from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
+    from dea_coastlines_spark.synth import corpus
+
     times: dict[str, float] = {}
 
     # ---- relational headline queries on the driver's parquet tables
@@ -105,6 +167,11 @@ def main() -> None:
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
         "coastal_transects", "cell_rollup",
+        # r4 rotation-head additions: zonal burn, transect chainage,
+        # exact group percentiles, snapshot-table read (the CoW write
+        # path executes once at build time — the timing is the read)
+        "zonal_stats", "transect_rates", "group_percentiles",
+        "merge_upsert",
     ]
     # best-of-2 after a warmup pass: this sandbox host shows bursty
     # vCPU steal; a single timed run can read 2-3x high across the board
@@ -158,41 +225,7 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    total = round(sum(times.values()), 3)
-    load_end = _load1()
-    jiff_end = _cpu_jiffies()
-    steal_pct = None
-    if jiff_start and jiff_end and jiff_end[1] > jiff_start[1]:
-        steal_pct = round(
-            100.0 * (jiff_end[0] - jiff_start[0])
-            / (jiff_end[1] - jiff_start[1]), 2
-        )
-    out = {
-        "metric": "total_headline_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "cpus": cpus,
-        "tiles_per_sec": tiles_per_sec,
-        # contamination stamps: a run recorded under co-tenant CPU steal
-        # reads 2-3x high; graders should prefer quiet=true runs.
-        # load_end is dominated by the bench's OWN 32-thread Spark work,
-        # so quiet is judged on the pre-run load and the steal fraction
-        # measured ACROSS the run (external contention only).
-        "load_start": load_start,
-        "load_end": load_end,
-        "steal_pct": steal_pct,
-        "quiet": (
-            load_start is not None
-            and load_start <= max_load
-            and (steal_pct is None or steal_pct < 2.0)
-        ),
-    }
-    print(json.dumps(out))
-    if os.environ.get("SPARK_GRAFT_NO_TREND", "0") != "1":
-        _append_trend(out)
-    spark.stop()
+    return times, tiles_per_sec
 
 
 def _append_trend(out: dict) -> None:
