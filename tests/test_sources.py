@@ -242,6 +242,50 @@ def test_snapshot_merge_upsert(spark, tmp_path, sample_df):
     assert {(r.id, r.val) for r in t.read(snapshot=1).collect()} >= {(1, "v1")}
 
 
+def test_snapshot_incremental_read(spark, tmp_path, sample_df):
+    """Iceberg-style incremental append scan: read exactly the rows of
+    files added after a snapshot; rewrite commits in range raise unless
+    explicitly allowed; changed_partitions yields the maintainer
+    work-list from the manifest alone."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])  # v1: ids 0..29
+    b2 = spark.createDataFrame(
+        [(100, 0, "b2a"), (101, 1, "b2b")], "id long, year int, val string"
+    )
+    t.append(b2)  # v2
+    b3 = spark.createDataFrame(
+        [(200, 9, "b3a")], "id long, year int, val string"
+    )
+    t.append(b3)  # v3
+
+    inc = t.read_incremental(1)
+    assert {r.id for r in inc.collect()} == {100, 101, 200}
+    assert {r.id for r in t.read_incremental(1, end_snapshot=2).collect()} == {100, 101}
+    assert {r.id for r in t.read_incremental(2).collect()} == {200}
+    assert t.read_incremental(3).count() == 0
+    assert t.read_incremental(0).count() == t.read().count()
+    # partition columns are reconstructed on the incremental path too
+    assert {(r.id, r.year) for r in t.read_incremental(2).collect()} == {(200, 9)}
+
+    got = {tuple(sorted(d.items())) for d in t.changed_partitions(1)}
+    assert got == {(("year", "0"),), (("year", "1"),), (("year", "9"),)}
+
+    # a CoW rewrite in range poisons the append-only semantics
+    t.merge(
+        spark.createDataFrame([(100, 0, "UPD")], "id long, year int, val string"),
+        on=["id"],
+    )  # v4
+    with pytest.raises(ValueError, match="row-rewriting"):
+        t.read_incremental(1)
+    # pre-rewrite ranges stay readable; opt-in reads rewritten files
+    assert {r.id for r in t.read_incremental(1, end_snapshot=3).collect()} == {100, 101, 200}
+    assert t.read_incremental(1, allow_rewrites=True).count() > 0
+    # the work-list view treats the rewritten partition as changed
+    assert (("year", "0"),) in {
+        tuple(sorted(d.items())) for d in t.changed_partitions(3)
+    }
+
+
 def test_snapshot_merge_partition_moving_key(spark, tmp_path, sample_df):
     """A MERGE that changes a row's PARTITION value must rewrite the
     partition the old version lives in, not just the partitions present
