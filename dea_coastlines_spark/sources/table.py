@@ -12,12 +12,15 @@ swap to `spark.read.format("iceberg")`:
     resolve a snapshot once and never see half-written commits
     (parquet files are written to a staging dir and only referenced
     after the metadata rename).
-  * **manifest-side partition pruning** — the manifest records each
-    file's partition tuple and row count, so `read(..., where=...)`
-    prunes files BEFORE Spark lists or opens anything. At 10^12 images
+  * **manifest-side partition pruning + column-stats file skipping** —
+    the manifest records each file's partition tuple, row count, and
+    per-column min/max (from the parquet footers at commit time), so
+    `read(..., where=...)` prunes partitions and
+    `read(..., stats_where=...)` skips data files on NON-partition
+    predicates BEFORE Spark lists or opens anything. At 10^12 images
     this is the difference between "open 10^6 footers" and "open 40".
-    (Iceberg analog: manifest entries + partition summaries. The
-    reference's analog: bbox-pushdown vector reads,
+    (Iceberg analog: manifest entries + partition summaries + data-file
+    column stats. The reference's analog: bbox-pushdown vector reads,
     coastlines/vector.py:1413,1421-1433.)
   * **append + overwrite_partitions** — incremental annual updates
     ("updated regularly as data continues to be acquired",
@@ -165,9 +168,11 @@ class SnapshotTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage_dir)
 
-        # Per-file manifest entries. Row counts come from parquet footers
-        # (driver-side, one footer read per file — same cost Iceberg pays
-        # at commit time when building manifests).
+        # Per-file manifest entries. Row counts AND per-column min/max
+        # stats come from parquet footers (driver-side, one footer read
+        # per file — the same cost Iceberg pays at commit time when
+        # building manifests; the stats power read(stats_where=...)
+        # file skipping on NON-partition columns).
         import pyarrow.parquet as pq
 
         entries = []
@@ -187,12 +192,14 @@ class SnapshotTable:
                         # and every merge/delete cycle compounds the
                         # escaping ("4-NOT SPECIFIED" -> %20 -> %2520)
                         part[k] = _unescape_partition(val)
+                md = pq.ParquetFile(full).metadata
                 entries.append(
                     {
                         "path": rel,
                         "partition": part,
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "rows": md.num_rows,
                         "bytes": os.path.getsize(full),
+                        "stats": _footer_column_stats(md),
                     }
                 )
         return entries
@@ -391,12 +398,25 @@ class SnapshotTable:
         self,
         snapshot: int | None = None,
         where: dict[str, object] | None = None,
+        stats_where: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read a snapshot. `where` maps partition column -> value |
         list-of-values | (lo, hi) inclusive range; matching happens
         against the MANIFEST (no file listing, no footer reads for
-        pruned files). Non-partition predicates still push down to
-        parquet row groups via Catalyst as usual."""
+        pruned files) and is EXACT — returned rows satisfy it.
+
+        stats_where maps NON-partition columns to the same predicate
+        forms, matched against per-file column min/max recorded in the
+        manifest at commit time (the Iceberg data-file-skipping analog:
+        a year-range or score-threshold scan opens only files whose
+        stats ranges intersect). File skipping is CONSERVATIVE — the
+        result is a superset of matching rows (a file without stats for
+        the column is always kept), so the caller still applies the
+        real filter; Catalyst then also pushes it into the row groups
+        of the files that were opened.
+
+        Non-partition predicates still push down to parquet row groups
+        via Catalyst as usual."""
         m = self._metadata(snapshot)
         files = m["files"]
         if where:
@@ -404,6 +424,18 @@ class SnapshotTable:
                 if col not in m["partition_by"]:
                     raise KeyError(f"{col} is not a partition column")
                 files = [f for f in files if _part_match(f["partition"].get(col), want)]
+        if stats_where:
+            schema_cols = {
+                f["name"] for f in json.loads(m["schema_json"])["fields"]
+            }
+            for col, want in stats_where.items():
+                if col not in schema_cols:
+                    raise KeyError(f"{col} is not a table column")
+                if col in m["partition_by"]:
+                    raise KeyError(
+                        f"{col} is a partition column — use where="
+                    )
+                files = [f for f in files if _stats_match(f, col, want)]
         return self._read_entries(m, files)
 
     def _new_entries(
@@ -543,14 +575,22 @@ class SnapshotTable:
             return df.select(*schema_cols)
         return reader.parquet(*paths).select(*schema_cols)
 
-    def prune_stats(self, where: dict[str, object]) -> dict:
-        """How much the manifest prune saves — for tests and metrics."""
+    def prune_stats(
+        self,
+        where: dict[str, object] | None = None,
+        stats_where: dict[str, object] | None = None,
+    ) -> dict:
+        """How much the manifest prune saves — for tests and metrics.
+        Counts files kept after partition pruning (`where`) and
+        column-stats file skipping (`stats_where`)."""
         m = self._metadata()
         total = len(m["files"])
-        kept = self.read(where=where)  # validates cols
+        kept = self.read(where=where, stats_where=stats_where)  # validates
         files = m["files"]
-        for col, want in where.items():
+        for col, want in (where or {}).items():
             files = [f for f in files if _part_match(f["partition"].get(col), want)]
+        for col, want in (stats_where or {}).items():
+            files = [f for f in files if _stats_match(f, col, want)]
         return {
             "total_files": total,
             "kept_files": len(files),
@@ -602,6 +642,69 @@ class SnapshotTable:
             ):
                 shutil.rmtree(full)
         return removed
+
+
+def _footer_column_stats(md) -> dict:
+    """{column: [min, max]} aggregated across a parquet file's row
+    groups, from footer statistics alone (no data pages read). Only
+    JSON-representable scalar types are kept (int/float/bool, UTF-8
+    strings); nested paths, binary payloads, and stat-less columns are
+    skipped — a missing entry means "cannot skip", never "no rows".
+    Writer-truncated string bounds are safe: parquet truncation widens
+    the range, which only makes skipping more conservative."""
+    agg: dict[str, list] = {}
+    # a single stat-less/undecodable row group poisons the column: a
+    # partial range would wrongly skip files
+    poisoned: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in poisoned:
+                continue
+            st = col.statistics
+            mn = mx = None
+            if st is not None and st.has_min_max:
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        mn = None
+                if mn is not None and not all(
+                    isinstance(v, (bool, int, float, str)) for v in (mn, mx)
+                ):
+                    mn = None
+            if mn is None:
+                poisoned.add(name)
+                agg.pop(name, None)
+                continue
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [mn, mx]
+            else:
+                agg[name] = [min(cur[0], mn), max(cur[1], mx)]
+    return agg
+
+
+def _stats_match(entry: dict, col: str, want) -> bool:
+    """Conservative file-skip test against manifest column stats: True
+    (keep the file) unless the stats PROVE no row can match. Missing
+    stats always keep."""
+    s = (entry.get("stats") or {}).get(col)
+    if s is None:
+        return True
+    mn, mx = s
+    try:
+        if isinstance(want, tuple) and len(want) == 2:
+            lo, hi = want
+            return not (mx < lo or mn > hi)
+        if isinstance(want, (list, set)):
+            return any(mn <= w <= mx for w in want)
+        return mn <= want <= mx
+    except TypeError:
+        return True  # incomparable types: never skip on a guess
 
 
 def _hive_partition_value(v) -> str:

@@ -242,6 +242,49 @@ def test_snapshot_merge_upsert(spark, tmp_path, sample_df):
     assert {(r.id, r.val) for r in t.read(snapshot=1).collect()} >= {(1, "v1")}
 
 
+def test_snapshot_column_stats_file_skipping(spark, tmp_path):
+    """Iceberg-style data-file skipping: per-file column min/max from
+    the parquet footers let read(stats_where=...) open only files whose
+    range intersects a NON-partition predicate — conservatively (a
+    superset of matching rows comes back; the caller's filter is still
+    exact)."""
+    df = spark.createDataFrame(
+        [(i, i // 10, f"v{i:02d}") for i in range(30)],
+        "id long, bucket int, val string",
+    )
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(df, partition_by=["bucket"])  # 3 files: ids 0-9/10-19/20-29
+
+    ps = t.prune_stats(stats_where={"id": (12, 15)})
+    assert ps["total_files"] == 3 and ps["kept_files"] == 1
+    got = t.read(stats_where={"id": (12, 15)})
+    assert {r.id for r in got.collect()} == set(range(10, 20))  # superset
+    exact = {r.id for r in got.filter("id between 12 and 15").collect()}
+    assert exact == {12, 13, 14, 15}
+
+    # string stats, equality + list forms
+    assert t.prune_stats(stats_where={"val": "v25"})["kept_files"] == 1
+    assert t.prune_stats(stats_where={"val": ["v05", "v25"]})["kept_files"] == 2
+    # no-match range skips every file (empty read, schema intact)
+    empty = t.read(stats_where={"id": (100, 200)})
+    assert empty.count() == 0 and empty.columns == ["id", "bucket", "val"]
+    # partition + stats predicates compose
+    assert (
+        t.prune_stats(where={"bucket": 1}, stats_where={"id": (0, 50)})["kept_files"]
+        == 1
+    )
+    with pytest.raises(KeyError):
+        t.read(stats_where={"bucket": 1})  # partition col -> use where=
+    with pytest.raises(KeyError):
+        t.read(stats_where={"nope": 1})
+    # stats survive CoW rewrites (merge rewrites the touched file)
+    t.merge(
+        spark.createDataFrame([(12, 1, "UPD")], "id long, bucket int, val string"),
+        on=["id", "bucket"],
+    )
+    assert t.prune_stats(stats_where={"id": (25, 26)})["kept_files"] == 1
+
+
 def test_snapshot_incremental_read(spark, tmp_path, sample_df):
     """Iceberg-style incremental append scan: read exactly the rows of
     files added after a snapshot; rewrite commits in range raise unless
