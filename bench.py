@@ -153,14 +153,14 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         "pricing_summary", "join_star", "semi_anti_join", "window_running",
         "topk_per_group", "set_ops", "error_stats", "regr_slope",
         "mode_median", "certainty_cascade", "conditional_coalesce",
-        "asof_nearest", "scalar_funcs", "top1_crs_vote", "salted_agg",
+        "asof_nearest", "scalar_funcs", "dms2dd", "top1_crs_vote", "salted_agg",
         "spatial_pip_join", "knn_anchor_join", "overlay_clip",
         # training-data operators (dedup / text / ANN / sampling)
         "dedup_exact", "ngram_jaccard", "phash_neardup", "image_quality",
         "corpus_integrity", "keep_best_images", "repetition_signals",
         "decontaminate", "dedup_passages",
         "langid", "token_counts", "corpus_profile", "ann_topk",
-        "embedding_neardup",
+        "embedding_neardup", "semdedup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
         "pack_sequences",

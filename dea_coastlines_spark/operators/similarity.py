@@ -372,6 +372,115 @@ def _assign_clusters(df, centroids, nprobe, id_col, vec_col, out_id):
     )
 
 
+def _assign_with_sim(df, centroids, id_col, vec_col):
+    """(id, vec) -> (id, cluster, c_sim): nearest-centroid assignment
+    plus the (unrounded) cosine to that centroid, one Arrow pass.
+    Centroids are unit vectors (kmeans_fit normalizes), so the dot of
+    the normalized row against the centroid IS the cosine. argmax ties
+    break to the lowest cluster index — the same rule the DuckDB
+    oracles use (ROW_NUMBER ... ORDER BY sim DESC, cluster)."""
+    cent = centroids  # captured
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cent.T
+            top = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": top.astype(np.int32),
+                    "c_sim": sims[np.arange(len(pdf)), top],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, cluster int, c_sim double"
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic
+    spherical k-means quantizer, then inside each cluster drop every
+    item whose cosine to a KEPT-RANKED-BEFORE member is >= eps. Keep
+    priority follows the paper: the member FARTHER from the centroid
+    (lower c_sim) survives — semantic prototypes are dropped, outliers
+    kept — with ascending-id tie-break on equal (rounded) c_sim, so
+    exact copies resolve to the lowest id. The drop test for item a is
+    "exists b in a's cluster ranked before a with cos(a,b) >= eps",
+    independent of whether b itself survives — deterministic and
+    order-free (no greedy scan), hence oracle-checkable.
+
+    Returns one row per input vector:
+      (id, cluster, c_sim, dup_cos, kept) where dup_cos is the max
+    duplicate cosine that caused the drop (-1.0 when kept).
+
+    Scale shape: ONE Arrow assignment pass, a self equi-join on
+    cluster (never all-pairs — candidate volume is sum of cluster
+    sizes squared, bounded by sizing n_clusters ~ n/target_cluster
+    rows), one grouped max, one left join back. Within-cluster
+    pairing is the algorithm's own O((n/k)^2) per cluster — k is the
+    dial, exactly as in the paper (they use k = 50k on LAION)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_clusters, vec_col=vec_col, id_col=id_col
+        )
+    assign = _assign_with_sim(embeddings, centroids, id_col, vec_col).withColumn(
+        "c_sim", F.round("c_sim", 6)
+    )
+    base = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("_norm").alias("_n"),
+    )
+    m = assign.join(base, assign[id_col] == base["_vid"]).select(
+        id_col, "cluster", "c_sim", "_v", "_n"
+    )
+    left = m.select(
+        F.col(id_col).alias("id_a"), "cluster",
+        F.col("c_sim").alias("sim_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    right = m.select(
+        F.col(id_col).alias("id_b"), "cluster",
+        F.col("c_sim").alias("sim_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    dup = (
+        left.join(right, "cluster")
+        .filter(
+            (F.col("sim_b") < F.col("sim_a"))
+            | ((F.col("sim_b") == F.col("sim_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= eps)
+        .groupBy("id_a")
+        .agg(F.max("cosine").alias("dup_cos"))
+    )
+    return (
+        assign.join(dup, assign[id_col] == dup["id_a"], "left")
+        .select(
+            id_col, "cluster", "c_sim",
+            F.coalesce(F.col("dup_cos"), F.lit(-1.0)).alias("dup_cos"),
+            F.col("dup_cos").isNull().cast("int").alias("kept"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -307,6 +307,60 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert again == {(r.query_id, r.rank, r.item_id) for r in approx}
 
 
+def test_semdedup_matches_numpy_semantics(spark, emb_df):
+    """Full numpy recompute of the SemDeDup semantics (explicit
+    centroids so both sides share only the constants): nearest-centroid
+    assignment, rounded c_sim, keep-priority pairing (lower c_sim
+    first, id tie-break), within-cluster cosine prune, per-item max
+    duplicate cosine."""
+    df, mat = emb_df
+    x = mat.astype(np.float64)
+    cents = similarity.kmeans_fit(x, n_clusters=8, n_iter=10, seed=3)
+    got = (
+        similarity.semdedup(df, eps=0.95, centroids=cents)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = u @ cents.T
+    cl = sims.argmax(axis=1)
+    c_sim = np.round(sims[np.arange(len(x)), cl], 6)
+    cos = np.round(u @ u.T, 6)
+    n = len(x)
+    dup_cos = np.full(n, -1.0)
+    for a in range(n):
+        best = -1.0
+        for b in range(n):
+            if b == a or cl[b] != cl[a]:
+                continue
+            if (c_sim[b] < c_sim[a]) or (c_sim[b] == c_sim[a] and b < a):
+                if cos[a, b] >= 0.95:
+                    best = max(best, cos[a, b])
+        dup_cos[a] = best
+
+    assert got.vec_id.tolist() == list(range(n))
+    assert got.cluster.tolist() == cl.tolist()
+    assert np.allclose(got.c_sim.to_numpy(), c_sim, atol=2e-6)
+    assert np.allclose(got.dup_cos.to_numpy(), dup_cos, atol=2e-6)
+    assert got.kept.tolist() == [int(d < 0) for d in dup_cos]
+    # the planted near-dup pair (0, 10) resolved: exactly one dropped,
+    # and the survivor is the one farther from its centroid
+    pair = got[got.vec_id.isin([0, 10])]
+    assert sorted(pair.kept.tolist()) == [0, 1]
+    keep = pair[pair.kept == 1].iloc[0]
+    drop = pair[pair.kept == 0].iloc[0]
+    assert keep.c_sim <= drop.c_sim
+
+
+def test_semdedup_plan_is_equi_join(spark, emb_df):
+    """Scale gate: the within-cluster prune plans as an equi-join on
+    cluster — no CartesianProduct / BroadcastNestedLoopJoin."""
+    df, mat = emb_df
+    cents = similarity.kmeans_fit(mat.astype(np.float64), 8, 10, 3)
+    _assert_no_nested_loop(similarity.semdedup(df, centroids=cents))
+
+
 def test_phash_neardup_matches_bruteforce(spark):
     """Engine's pigeonhole phash join == brute-force O(n^2) hamming scan
     (exact recall: the auto-picked chunk count exceeds max_hamming)."""
