@@ -426,10 +426,12 @@ def semdedup(
       (id, cluster, c_sim, dup_cos, kept) where dup_cos is the max
     duplicate cosine that caused the drop (-1.0 when kept).
 
-    Scale shape: ONE Arrow assignment pass, a self equi-join on
-    cluster (never all-pairs — candidate volume is sum of cluster
-    sizes squared, bounded by sizing n_clusters ~ n/target_cluster
-    rows), one grouped max, one left join back. Within-cluster
+    Scale shape: ONE Arrow assignment pass materialized once
+    (localCheckpoint — three consumers: both self-join sides and the
+    output), a self equi-join on cluster (never all-pairs — candidate
+    volume is sum of cluster sizes squared, bounded by sizing
+    n_clusters ~ n/target_cluster rows), one grouped max, one left
+    join back. Within-cluster
     pairing is the algorithm's own O((n/k)^2) per cluster — k is the
     dial, exactly as in the paper (they use k = 50k on LAION)."""
     if centroids is None:
@@ -444,8 +446,15 @@ def semdedup(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.col("_norm").alias("_n"),
     )
-    m = assign.join(base, assign[id_col] == base["_vid"]).select(
-        id_col, "cluster", "c_sim", "_v", "_n"
+    # materialize (assignment + vectors) ONCE: m feeds three branches
+    # (both sides of the cluster self-join and the final output), and
+    # without the checkpoint each branch re-runs the Arrow assignment
+    # pass and re-scans the source (15 scans / 3 Python stages at the
+    # plan level; 5 scans / 1 Python stage with it)
+    m = (
+        assign.join(base, assign[id_col] == base["_vid"])
+        .select(id_col, "cluster", "c_sim", "_v", "_n")
+        .localCheckpoint()
     )
     left = m.select(
         F.col(id_col).alias("id_a"), "cluster",
@@ -472,7 +481,8 @@ def semdedup(
         .agg(F.max("cosine").alias("dup_cos"))
     )
     return (
-        assign.join(dup, assign[id_col] == dup["id_a"], "left")
+        m.select(id_col, "cluster", "c_sim")
+        .join(dup, F.col(id_col) == dup["id_a"], "left")
         .select(
             id_col, "cluster", "c_sim",
             F.coalesce(F.col("dup_cos"), F.lit(-1.0)).alias("dup_cos"),

@@ -80,8 +80,8 @@ HEAVY_SF_QUERIES = [
     "spatial_pip_join", "knn_anchor_join", "overlay_clip",
     "ngram_jaccard", "charset_jaccard", "dedup_passages", "decontaminate",
     "tfidf_topk", "embedding_neardup", "minhash_pairs", "simhash_pairs",
-    "lsh_ann_topk", "ivf_ann_topk", "dedup_clusters", "rates_regression",
-    "group_percentiles", "cell_rollup",
+    "lsh_ann_topk", "ivf_ann_topk", "semdedup", "dedup_clusters",
+    "rates_regression", "group_percentiles", "cell_rollup",
 ]
 
 
@@ -104,10 +104,13 @@ def _audit_one(spark, fn, sf_dir):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     heavy_sf = None
-    if "--heavy-sf" in sys.argv:
-        heavy_sf = sys.argv[sys.argv.index("--heavy-sf") + 1]
+    args = sys.argv[1:]
+    if "--heavy-sf" in args:
+        i = args.index("--heavy-sf")
+        heavy_sf = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from dea_coastlines_spark.plans import driver_queries as dq
     from dea_coastlines_spark.session import get_spark
 
