@@ -160,7 +160,7 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         "corpus_integrity", "keep_best_images", "repetition_signals",
         "decontaminate", "dedup_passages",
         "langid", "token_counts", "corpus_profile", "ann_topk",
-        "embedding_neardup", "semdedup",
+        "embedding_neardup", "semdedup", "crosscorpus_dedup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
         "pack_sequences",

@@ -105,23 +105,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
-    threshold: float = 0.7,
+def _banded_buckets(
+    sigs: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
-    threshold. Verification computes EXACT shingle Jaccard on candidate
-    pairs only, so precision is 1.0; recall follows the LSH S-curve."""
+    """(id, signature) -> (id, band, bucket): each signature exploded
+    into its band slices, bucket = xxhash64 of the slice string (equal
+    slices hash equal; collisions across different slices only add
+    candidates the exact verify rejects)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(
             F.array(
@@ -144,6 +136,43 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+
+def _verify_jaccard(pairs: DataFrame, shingle_k: int, a_id: str, b_id: str) -> DataFrame:
+    """Exact shingle-Jaccard over candidate pairs carrying text_a/text_b
+    columns; returns (a_id, b_id, jaccard). Arrow-batched; runs only on
+    LSH candidates, never all-pairs."""
+
+    def verify(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                sa = set(char_shingles(r.text_a or "", shingle_k))
+                sb = set(char_shingles(r.text_b or "", shingle_k))
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                out.append({a_id: getattr(r, a_id), b_id: getattr(r, b_id), "jaccard": j})
+            yield pd.DataFrame(out, columns=[a_id, b_id, "jaccard"])
+
+    return pairs.mapInPandas(verify, f"{a_id} long, {b_id} long, jaccard double")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
+    threshold. Verification computes EXACT shingle Jaccard on candidate
+    pairs only, so precision is 1.0; recall follows the LSH S-curve."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    banded = _banded_buckets(sigs, id_col, num_perm, bands)
+
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -159,19 +188,85 @@ def minhash_lsh_pairs(
         .join(docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
     )
 
-    def verify(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                sa = set(char_shingles(r.text_a or "", shingle_k))
-                sb = set(char_shingles(r.text_b or "", shingle_k))
-                union = len(sa | sb)
-                j = len(sa & sb) / union if union else 0.0
-                out.append({"id_a": r.id_a, "id_b": r.id_b, "jaccard": j})
-            yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
-
-    return pairs.mapInPandas(verify, "id_a long, id_b long, jaccard double").filter(
+    return _verify_jaccard(pairs, shingle_k, "id_a", "id_b").filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def cross_corpus_neardup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """One-sided cross-corpus near-dedup: label every NEW-corpus doc
+    that near-duplicates ANY reference-corpus doc (exact shingle
+    Jaccard >= threshold). The training-pipeline primitive for "don't
+    re-ingest what the last crawl already contributed" / "drop rows
+    near-copying a held-out set" — unlike decontaminate (n-gram
+    containment of a tiny eval vocabulary) this scores whole-document
+    set similarity against an arbitrarily large reference corpus.
+
+    Candidates come only from shared (band, bucket) pairs ACROSS the
+    two tables — never new x new or ref x ref, never all-pairs — then
+    exact Jaccard verify on candidates. Returns one row per new doc:
+      (id, n_ref_matches, best_jaccard, best_ref_id, kept)
+    best_ref_id is the highest-Jaccard reference match (ties -> lowest
+    ref id); (-1.0, -1) when no match; kept = 1 iff no match. The
+    output is deterministic and independent of partitioning.
+
+    Scale shape: one Arrow signature pass per table, a (band, bucket)
+    equi-join whose build side is the banded NEW table (typically the
+    small delta against a big reference), two id equi-joins to fetch
+    texts, one grouped max, one left join back onto the new ids."""
+    sig_new = minhash_signatures(new_df, text_col, id_col, num_perm, shingle_k)
+    sig_ref = minhash_signatures(ref_df, text_col, id_col, num_perm, shingle_k)
+    b_new = _banded_buckets(sig_new, id_col, num_perm, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    b_ref = _banded_buckets(sig_ref, id_col, num_perm, bands).select(
+        F.col(id_col).alias("ref_id"), "band", "bucket"
+    )
+    cand = b_new.join(b_ref, ["band", "bucket"]).select("new_id", "ref_id").distinct()
+    pairs = (
+        cand.join(
+            new_df.select(F.col(id_col).alias("new_id"), F.col(text_col).alias("text_a")),
+            "new_id",
+        ).join(
+            ref_df.select(F.col(id_col).alias("ref_id"), F.col(text_col).alias("text_b")),
+            "ref_id",
+        )
+    )
+    matches = (
+        _verify_jaccard(pairs, shingle_k, "new_id", "ref_id")
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_ref_matches"),
+            # struct max: highest jaccard, ties -> lowest ref id
+            F.max(F.struct(F.col("jaccard"), (-F.col("ref_id")).alias("nri"))).alias("b"),
+        )
+        .select(
+            "new_id",
+            "n_ref_matches",
+            F.col("b.jaccard").alias("best_jaccard"),
+            (-F.col("b.nri")).alias("best_ref_id"),
+        )
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.coalesce("n_ref_matches", F.lit(0)).alias("n_ref_matches"),
+            F.coalesce("best_jaccard", F.lit(-1.0)).alias("best_jaccard"),
+            F.coalesce("best_ref_id", F.lit(-1)).alias("best_ref_id"),
+            F.col("n_ref_matches").isNull().cast("int").alias("kept"),
+        )
     )
 
 

@@ -2153,6 +2153,96 @@ ORDER BY id_a, id_b
 """
 
 
+def _crosscorpus_sql(threshold: float = 0.7) -> str:
+    """DuckDB replica of q_crosscorpus_dedup: rebuilds the planted NEW
+    corpus from the documents table with the same string ops, re-derives
+    both corpora's MinHash signatures with the shared shingle/FNV/
+    splitmix recipe (see _minhash_sql — bucket equality == band-slice
+    equality), keeps only cross-table candidates, verifies exact
+    Jaccard, and aggregates per new doc with the same best-match tie
+    rule (highest jaccard, then lowest ref id)."""
+    from ..operators import dedup as _d
+
+    seeds = _d._splitmix(
+        np.arange(1, 65, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    seeds_sql = "[" + ",".join(f"{int(v)}::UHUGEINT" for v in seeds) + "]"
+    sentinel = "[" + ",".join(["9223372036854775807"] * 64) + "]"
+    sm = _splitmix_sql("xor(h, sd)")
+
+    def chain(name: str) -> str:
+        """shingles -> signatures -> banded slices for docs CTE {name}
+        (columns doc_id, t)."""
+        return rf"""sh_{name} AS (
+  SELECT doc_id,
+    CASE WHEN t IS NULL OR length(t) = 0 THEN []::VARCHAR[]
+         WHEN length(t) < 3 THEN [t]
+         ELSE list_distinct(list_transform(generate_series(1, length(t) - 2),
+                                           i -> substr(t, i, 3)))
+    END AS sh
+  FROM {name}
+), sig_{name} AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN {sentinel}
+    ELSE list_transform({seeds_sql}, sd ->
+      (list_min(list_transform(hs, h -> {sm})) >> 1)::BIGINT)
+    END AS sig
+  FROM (SELECT doc_id, list_transform(sh, s -> {_FNV_SQL}) AS hs FROM sh_{name})
+), banded_{name} AS (
+  SELECT doc_id, band,
+         array_to_string(sig[4*band+1 : 4*band+4], ',') AS bkey
+  FROM sig_{name}, unnest(generate_series(0, 15)) AS u(band)
+)"""
+
+    return rf"""
+WITH refdocs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), newdocs AS (
+  SELECT doc_id + 100000 AS doc_id, lower(text) AS t
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000, lower(text || ' zzz')
+  FROM documents WHERE doc_id >= 30 AND doc_id < 60
+  UNION ALL
+  SELECT doc_id + 300000, lower(repeat('q' || CAST(doc_id AS VARCHAR) || 'x ', 20))
+  FROM documents WHERE doc_id >= 60 AND doc_id < 90
+), {chain("refdocs")}, {chain("newdocs")},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+  FROM banded_newdocs n
+  JOIN banded_refdocs r ON n.band = r.band AND n.bkey = r.bkey
+), verified AS (
+  SELECT c.new_id, c.ref_id,
+    CASE WHEN (len(sn.sh) + len(sr.sh) - len(list_intersect(sn.sh, sr.sh))) = 0
+         THEN 0.0
+         ELSE len(list_intersect(sn.sh, sr.sh))::DOUBLE
+              / (len(sn.sh) + len(sr.sh) - len(list_intersect(sn.sh, sr.sh)))
+    END AS jaccard
+  FROM cand c
+  JOIN sh_newdocs sn ON sn.doc_id = c.new_id
+  JOIN sh_refdocs sr ON sr.doc_id = c.ref_id
+), hits AS (
+  SELECT * FROM verified WHERE jaccard >= {threshold}
+), cnt AS (
+  SELECT new_id, COUNT(*) AS n_ref_matches FROM hits GROUP BY new_id
+), best AS (
+  SELECT new_id, jaccard AS best_jaccard, ref_id AS best_ref_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                                 ORDER BY jaccard DESC, ref_id) AS rn
+    FROM hits) WHERE rn = 1
+)
+SELECT nd.doc_id,
+       COALESCE(cnt.n_ref_matches, 0) AS n_ref_matches,
+       COALESCE(best.best_jaccard, -1.0) AS best_jaccard,
+       COALESCE(best.best_ref_id, -1) AS best_ref_id,
+       CAST(cnt.new_id IS NULL AS INTEGER) AS kept
+FROM newdocs nd
+LEFT JOIN cnt ON nd.doc_id = cnt.new_id
+LEFT JOIN best ON nd.doc_id = best.new_id
+ORDER BY nd.doc_id
+"""
+
+
 def _simhash_sql(max_hamming: int = 8) -> str:
     """DuckDB replica of simhash_pairs: FNV-1a token hashes -> 64-bit
     majority-sign signature -> chunk-pigeonhole candidates (same
@@ -2220,6 +2310,46 @@ def q_simhash_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_crosscorpus_dedup(spark, sf_dir):
+    """One-sided cross-corpus near-dedup (operators/dedup.py:
+    cross_corpus_neardup): a synthetic NEW corpus is screened against
+    the full documents table as the reference. The new corpus is built
+    deterministically from the reference so every outcome class is
+    exercised and the DuckDB oracle can rebuild it verbatim: exact
+    copies (doc_id+100000, must drop at jaccard 1.0), lightly mutated
+    copies (+200000, text || ' zzz' — a few new shingles out of
+    hundreds, still >= 0.7), and fresh gibberish (+300000, repeated
+    'q<id>x ' — shares no 3-shingles with the word-salad corpus, must
+    be kept). One row per new doc with match count, best match, and
+    the kept flag; only cross-table pairs are ever scored."""
+    from ..operators.dedup import cross_corpus_neardup
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.select("doc_id", "text")
+    k = F.col("doc_id")
+    new = (
+        d.filter(k < 30)
+        .select((k + 100000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter((k >= 30) & (k < 60)).select(
+                (k + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter((k >= 60) & (k < 90)).select(
+                (k + 300000).alias("doc_id"),
+                F.repeat(
+                    F.concat(F.lit("q"), k.cast("string"), F.lit("x ")), 20
+                ).alias("text"),
+            )
+        )
+    )
+    return cross_corpus_neardup(new, ref, "text", "doc_id", threshold=0.7).orderBy(
+        "doc_id"
+    )
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -4660,11 +4790,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "merge_upsert": q_merge_upsert,
     # --- block B: new in r4 (growing this block pushes the tail of
-    # block D — decontaminate, tfidf_topk, both hash-green in r3 —
-    # past the 50-key snapshot head; they stay pytest-oracle-verified)
+    # block D — dedup_passages, decontaminate, tfidf_topk, all
+    # hash-green in r3 — past the 50-key snapshot head; they stay
+    # pytest-oracle-verified)
     "streaming_dedup_parity": q_streaming_dedup_parity,
     "semdedup": q_semdedup,
     "dms2dd": q_dms2dd,
+    "crosscorpus_dedup": q_crosscorpus_dedup,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -4796,6 +4928,7 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "streaming_dedup_parity": ORACLE_STREAMING_DEDUP_PARITY,
     "dms2dd": ORACLE_DMS2DD,
+    "crosscorpus_dedup": _crosscorpus_sql(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,

@@ -80,7 +80,8 @@ HEAVY_SF_QUERIES = [
     "spatial_pip_join", "knn_anchor_join", "overlay_clip",
     "ngram_jaccard", "charset_jaccard", "dedup_passages", "decontaminate",
     "tfidf_topk", "embedding_neardup", "minhash_pairs", "simhash_pairs",
-    "lsh_ann_topk", "ivf_ann_topk", "semdedup", "dedup_clusters",
+    "lsh_ann_topk", "ivf_ann_topk", "semdedup", "crosscorpus_dedup",
+    "dedup_clusters",
     "rates_regression", "group_percentiles", "cell_rollup",
 ]
 

@@ -72,6 +72,55 @@ def test_minhash_lsh_finds_planted_neardup(spark, docs_df):
     assert hit / len(strong) >= 0.9
 
 
+def test_cross_corpus_neardup_semantics(spark, docs_df):
+    """One-sided cross-corpus screening with a brute-force oracle:
+    exact/near copies of reference docs drop (identical signatures
+    share every LSH band, so recall on them is certain), unrelated
+    docs are kept, matches count cross-table only, and the best-match
+    tie rule is (highest jaccard, then lowest ref id) — pinned by a
+    new doc equal to TWO identical reference docs."""
+    ref_rows = [
+        {"doc_id": i, "text": t + " ref"} for i, t in enumerate(BASE_DOCS)
+    ]
+    # two identical reference docs (ids 5 and 6) for the tie rule
+    ref_rows.append({"doc_id": 5, "text": ref_rows[0]["text"]})
+    ref_rows.append({"doc_id": 6, "text": ref_rows[0]["text"]})
+    new_rows = [
+        {"doc_id": 100, "text": ref_rows[0]["text"]},          # 3 exact matches
+        {"doc_id": 101, "text": ref_rows[2]["text"]},          # 1 exact match
+        {"doc_id": 102, "text": "q1x " * 30},                  # unrelated
+        {"doc_id": 103, "text": ref_rows[3]["text"] + " x"},   # near copy
+    ]
+    ref = spark.createDataFrame(pd.DataFrame(ref_rows))
+    new = spark.createDataFrame(pd.DataFrame(new_rows))
+    out = (
+        dedup.cross_corpus_neardup(new, ref, "text", "doc_id", threshold=0.7)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out.doc_id.tolist() == [100, 101, 102, 103]  # exactly the new ids
+    by = {r.doc_id: r for r in out.itertuples()}
+    assert by[100].kept == 0 and by[100].n_ref_matches == 3
+    assert by[100].best_jaccard == 1.0 and by[100].best_ref_id == 0  # lowest of {0,5,6}
+    assert by[101].kept == 0 and by[101].best_ref_id == 2
+    assert by[102].kept == 1 and by[102].n_ref_matches == 0
+    assert by[102].best_jaccard == -1.0 and by[102].best_ref_id == -1
+    assert by[103].kept == 0 and by[103].best_ref_id == 3
+    # brute-force parity on every (kept, n, best) triple
+    for r in new_rows:
+        hits = [
+            (p["doc_id"], _jaccard(r["text"], p["text"]))
+            for p in ref_rows
+            if _jaccard(r["text"], p["text"]) >= 0.7
+        ]
+        got = by[r["doc_id"]]
+        assert got.n_ref_matches == len(hits)
+        if hits:
+            bj = max(j for _, j in hits)
+            assert abs(got.best_jaccard - bj) < 1e-12
+            assert got.best_ref_id == min(i for i, j in hits if j == bj)
+
+
 def test_simhash_pairs_hamming_oracle(spark, docs_df):
     df, pdf = docs_df
     sigs = dedup.simhash_signatures(df, "text", "doc_id").toPandas()
@@ -184,6 +233,11 @@ def test_neardup_plans_have_no_nested_loop_join(spark, docs_df, emb_df):
     edf, _ = emb_df
     _assert_no_nested_loop(
         dedup.word_ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.5)
+    )
+    _assert_no_nested_loop(
+        dedup.cross_corpus_neardup(
+            df.filter(F.col("doc_id") < 5), df, "text", "doc_id"
+        )
     )
     charset = df.withColumn("lang", F.lit("en"))
     _assert_no_nested_loop(
