@@ -2153,14 +2153,15 @@ ORDER BY id_a, id_b
 """
 
 
-def _crosscorpus_sql(threshold: float = 0.7) -> str:
+def _crosscorpus_sql(threshold: float = 0.7, bands: int = 8) -> str:
     """DuckDB replica of q_crosscorpus_dedup: rebuilds the planted NEW
     corpus from the documents table with the same string ops, re-derives
     both corpora's MinHash signatures with the shared shingle/FNV/
     splitmix recipe (see _minhash_sql — bucket equality == band-slice
-    equality), keeps only cross-table candidates, verifies exact
-    Jaccard, and aggregates per new doc with the same best-match tie
-    rule (highest jaccard, then lowest ref id)."""
+    equality; same 8x8 banding as the operator default), keeps only
+    cross-table candidates, verifies exact Jaccard, and aggregates per
+    new doc with the same best-match tie rule (highest jaccard, then
+    lowest ref id)."""
     from ..operators import dedup as _d
 
     seeds = _d._splitmix(
@@ -2169,6 +2170,7 @@ def _crosscorpus_sql(threshold: float = 0.7) -> str:
     seeds_sql = "[" + ",".join(f"{int(v)}::UHUGEINT" for v in seeds) + "]"
     sentinel = "[" + ",".join(["9223372036854775807"] * 64) + "]"
     sm = _splitmix_sql("xor(h, sd)")
+    rpb = 64 // bands
 
     def chain(name: str) -> str:
         """shingles -> signatures -> banded slices for docs CTE {name}
@@ -2190,8 +2192,8 @@ def _crosscorpus_sql(threshold: float = 0.7) -> str:
   FROM (SELECT doc_id, list_transform(sh, s -> {_FNV_SQL}) AS hs FROM sh_{name})
 ), banded_{name} AS (
   SELECT doc_id, band,
-         array_to_string(sig[4*band+1 : 4*band+4], ',') AS bkey
-  FROM sig_{name}, unnest(generate_series(0, 15)) AS u(band)
+         array_to_string(sig[{rpb}*band+1 : {rpb}*band+{rpb}], ',') AS bkey
+  FROM sig_{name}, unnest(generate_series(0, {bands - 1})) AS u(band)
 )"""
 
     return rf"""
@@ -4763,7 +4765,8 @@ ORDER BY t.doc_id
 # Registry ordering = driver-snapshot rotation. The driver's
 # CORRECTNESS_r*.json caps at the FIRST 50 keys of __spark_entry__.
 # queries() (which follows QUERY_ORDER below), while the registry holds
-# 74; every query is oracle-verified in pytest every round
+# 76 (77 with the entry-module-registered shorelines_annual); every
+# query is oracle-verified in pytest every round
 # (tests/test_driver_contract.py), but the driver artifact only carries
 # the head of this list. Rotation plan:
 #   r4 head (this ordering): block A = the 12 queries that had never
