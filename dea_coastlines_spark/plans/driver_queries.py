@@ -3875,13 +3875,24 @@ def q_group_percentiles(spark, sf_dir):
     approx_percentile (t-digest-style sketch, map-side combinable),
     whose engine-specific estimates make it rows-only-checkable."""
     li = _t(spark, sf_dir, "lineitem")
+    # ONE array-percentile aggregate, not three scalar ones: exact
+    # percentile's partial state is the full value list, so three
+    # separate aggregates buffer and shuffle every value three times
+    # (measured 3.1 s -> 1.4 s at sf0.1 for this fix alone)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))
+            ).alias("ps"),
             F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 6).alias("p25"),
+            F.round(F.col("ps")[1], 6).alias("p50"),
+            F.round(F.col("ps")[2], 6).alias("p95"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
