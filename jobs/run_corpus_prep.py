@@ -9,13 +9,16 @@ Stages, in order (each an engine operator, all one job):
   4. exact dedup          (first occurrence per content hash)
   5. near-dup clustering  (MinHash LSH pairs -> connected components ->
                            keep canonical member only)
-  6. passage dedup        (text.remove_duplicate_passages, replace text
+  6. cross-corpus screen  (dedup.cross_corpus_neardup vs --dedup-against
+                           parquet; drop docs near-duplicating any doc
+                           of an existing corpus, one-sided)
+  7. passage dedup        (text.remove_duplicate_passages, replace text
                            with the deduplicated form; --dedup-passages N)
-  7. decontamination      (decontam.decontaminate vs --decontaminate-eval
+  8. decontamination      (decontam.decontaminate vs --decontaminate-eval
                            parquet; drop docs sharing eval n-grams)
-  8. stratified sampling  (per-language rates, deterministic hash)
-  9. shuffle + shard      (deterministic (shard, pos) training order)
- 10. write                parquet partitioned by shard
+  9. stratified sampling  (per-language rates, deterministic hash)
+ 10. shuffle + shard      (deterministic (shard, pos) training order)
+ 11. write                parquet partitioned by shard
 
     spark-submit --py-files dist/dea_coastlines_spark.zip \
         jobs/run_corpus_prep.py --documents /data/docs.parquet \
@@ -41,6 +44,11 @@ def main(argv=None) -> int:
     p.add_argument("--repetition-filter", action="store_true",
                    help="drop documents over the Gopher repetition "
                         "thresholds")
+    p.add_argument("--dedup-against", default="",
+                   help="reference-corpus parquet (doc_id, text); drop "
+                        "training docs near-duplicating any reference "
+                        "doc (one-sided cross-corpus MinHash screen)")
+    p.add_argument("--dedup-against-threshold", type=float, default=0.7)
     p.add_argument("--dedup-passages", type=int, default=0, metavar="N",
                    help="remove token windows of this length occurring "
                         ">=2 times corpus-wide (0 = off)")
@@ -117,6 +125,23 @@ def main(argv=None) -> int:
         docs, "text", "doc_id", threshold=args.neardup_threshold
     ).select("id_a", "id_b")
     docs = keep_canonical(docs, pairs)
+
+    if args.dedup_against:
+        # one-sided screening against an EXISTING corpus (prior crawl /
+        # held-out set): drop every doc near-duplicating any reference
+        # doc; the reference itself is never modified
+        from dea_coastlines_spark.operators.dedup import cross_corpus_neardup
+
+        ref = spark.read.parquet(args.dedup_against).select("doc_id", "text")
+        flags = cross_corpus_neardup(
+            docs.select("doc_id", "text"), ref, "text", "doc_id",
+            threshold=args.dedup_against_threshold,
+        ).select("doc_id", "kept")
+        docs = (
+            docs.join(flags, "doc_id")
+            .filter(F.col("kept") == 1)
+            .drop("kept")
+        )
 
     if args.dedup_passages > 0:
         from dea_coastlines_spark.operators.text import (

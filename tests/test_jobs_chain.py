@@ -227,6 +227,51 @@ def test_corpus_prep_hygiene_stages(spark, tmp_path, capsys):
     assert all("about" not in t for t in texts.values())
 
 
+def test_corpus_prep_dedup_against(spark, tmp_path, capsys):
+    """--dedup-against drops exactly the docs near-duplicating the
+    reference corpus; the reference itself is untouched on disk."""
+    import run_corpus_prep
+
+    docs_path = str(tmp_path / "docs_x")
+    ref_path = str(tmp_path / "ref_x")
+    out_path = str(tmp_path / "shards_x")
+    words = ["harbor", "glacier", "forest", "timber", "quartz", "meadow",
+             "breeze", "ember", "lantern", "orchid"]
+    rows = []
+    for i in range(20):
+        rows.append((
+            i,
+            f"document {i} about {words[i % 10]} and {words[(i * 3 + 1) % 10]} "
+            f"with unique vocabulary token alpha{i * 17} beta{i * 29} "
+            f"gamma{i * 7} delta{i * 11} epsilon{i * 13}",
+            "en",
+        ))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(docs_path)
+    # reference corpus = exact copy of doc 3 + a near copy of doc 7
+    spark.createDataFrame(
+        [(1000, rows[3][1]), (1001, rows[7][1] + " x")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(ref_path)
+
+    # threshold 0.8: the template corpus has legitimate ~0.73-jaccard
+    # cousins of doc 3 (same topic-word pair, digits differ) that the
+    # default 0.7 would also drop — the planted copies sit at 1.0/0.98
+    assert run_corpus_prep.main([
+        "--documents", docs_path, "--output", out_path,
+        "--n-shards", "2", "--dedup-against", ref_path,
+        "--dedup-against-threshold", "0.8",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_in"] == 20
+    ids = {r.doc_id for r in spark.read.parquet(out_path).select("doc_id").collect()}
+    assert 3 not in ids and 7 not in ids
+    assert ids == set(range(20)) - {3, 7}
+    # reference corpus unchanged
+    assert spark.read.parquet(ref_path).count() == 2
+
+
 def test_image_export_job(spark, tmp_path, capsys):
     import tarfile
 
