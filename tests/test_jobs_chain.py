@@ -272,6 +272,70 @@ def test_corpus_prep_dedup_against(spark, tmp_path, capsys):
     assert spark.read.parquet(ref_path).count() == 2
 
 
+def test_corpus_append_job(spark, tmp_path, capsys):
+    """Incremental corpus maintenance: --create initializes the table,
+    the second run screens the increment (exact copy, near copy, and
+    id collision all dropped; fresh docs appended atomically) and
+    read_incremental exposes exactly the appended rows."""
+    import run_corpus_append
+
+    from dea_coastlines_spark.sources.table import SnapshotTable
+
+    table_path = str(tmp_path / "corpus_t")
+    words = ["harbor", "glacier", "forest", "timber", "quartz", "meadow",
+             "breeze", "ember", "lantern", "orchid"]
+
+    def doc(i):
+        return (
+            f"document {i} about {words[i % 10]} and {words[(i * 3 + 1) % 10]} "
+            f"with unique vocabulary token alpha{i * 17} beta{i * 29} "
+            f"gamma{i * 7} delta{i * 11} epsilon{i * 13}"
+        )
+
+    inc1 = str(tmp_path / "inc1")
+    spark.createDataFrame(
+        [(i, doc(i)) for i in range(10)] + [(50, doc(0))],  # self-dup
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(inc1)
+    assert run_corpus_append.main(
+        ["--table", table_path, "--increment", inc1, "--create"]
+    ) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1 == {
+        "n_increment": 11, "n_after_self_dedup": 10, "n_after_exact": 10,
+        "n_dropped_id_collision": 0, "n_appended": 10, "version": 1,
+        "created": True,
+    }
+
+    inc2 = str(tmp_path / "inc2")
+    spark.createDataFrame(
+        [
+            (100, doc(3)),          # exact copy of existing -> stage-2 drop
+            (101, doc(7) + " x"),   # near copy -> stage-4 drop
+            (5, "entirely fresh text about submarine volcano cartography"),
+            # ^ id collision with existing doc 5 -> stage-3 drop
+            (102, "fresh survey of alpine lichen distribution patterns qq"),
+            (103, "fresh treatise on tidal resonance in enclosed basins zz"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(inc2)
+    assert run_corpus_append.main(
+        ["--table", table_path, "--increment", inc2, "--threshold", "0.8"]
+    ) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {
+        "n_increment": 5, "n_after_self_dedup": 5, "n_after_exact": 4,
+        "n_dropped_id_collision": 1, "n_appended": 2, "version": 2,
+        "created": False,
+    }
+    t = SnapshotTable(spark, table_path)
+    assert t.read().count() == 12
+    new_rows = t.read_incremental(since_snapshot=1)
+    assert sorted(r.doc_id for r in new_rows.select("doc_id").collect()) == [102, 103]
+    # existing doc 5 untouched by the colliding increment row
+    assert t.read().filter("doc_id = 5").collect()[0].text == doc(5)
+
+
 def test_image_export_job(spark, tmp_path, capsys):
     import tarfile
 
