@@ -163,7 +163,7 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         "embedding_neardup", "semdedup", "crosscorpus_dedup",
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
-        "pack_sequences",
+        "pack_sequences", "url_domain_caps", "bloom_screen",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
         "coastal_transects", "cell_rollup",

@@ -4772,11 +4772,193 @@ ORDER BY t.doc_id
 """
 
 
+# Deterministic messy-URL synthesis shared by the web-curation queries:
+# every canonicalization branch is exercised (uppercase scheme/host,
+# www., default and non-default ports, tracking params, fragments,
+# trailing slash, co.uk/com.au second-level suffixes). The DuckDB
+# oracles rebuild the identical strings with CASE arms.
+def _synth_url(k: F.Column) -> F.Column:
+    host = F.element_at(
+        F.array(
+            F.lit("Example.COM"),
+            F.lit("news.site.co.uk"),
+            F.lit("blog.example.org"),
+            F.lit("a.b.shop.com.au"),
+            F.lit("media.dupe.net"),
+        ),
+        (k % 5 + 1).cast("int"),
+    )
+    scheme = F.when(k % 4 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    www = F.when(k % 7 == 0, F.lit("www.")).otherwise(F.lit(""))
+    port = (
+        F.when((k % 11 == 0) & (k % 4 == 0), F.lit(":80"))
+        .when((k % 11 == 0) & (k % 4 != 0), F.lit(":443"))
+        .when(k % 11 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/P/"), (k % 37).cast("string"))
+    trailing = F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = (
+        F.when(k % 6 == 0, F.concat(F.lit("?utm_source=feed&page="), (k % 13).cast("string")))
+        .when(k % 6 == 1, F.concat(F.lit("?page="), (k % 13).cast("string"), F.lit("&gclid=z")))
+        .when(k % 6 == 2, F.lit("?ref=home"))
+        .when(k % 6 == 3, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(k % 9 == 0, F.lit("#Sec-2")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), www, host, port, path, trailing, query, frag
+    )
+
+
+# The same synthesis as a DuckDB SQL fragment (k = doc_id).
+_SYNTH_URL_SQL = """
+    (CASE WHEN doc_id % 4 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END)
+    || (CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'news.site.co.uk'
+          WHEN 2 THEN 'blog.example.org' WHEN 3 THEN 'a.b.shop.com.au'
+          ELSE 'media.dupe.net' END)
+    || (CASE WHEN doc_id % 11 = 0 AND doc_id % 4 = 0 THEN ':80'
+             WHEN doc_id % 11 = 0 THEN ':443'
+             WHEN doc_id % 11 = 1 THEN ':8080' ELSE '' END)
+    || '/P/' || CAST(doc_id % 37 AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN '?utm_source=feed&page=' || CAST(doc_id % 13 AS VARCHAR)
+          WHEN 1 THEN '?page=' || CAST(doc_id % 13 AS VARCHAR) || '&gclid=z'
+          WHEN 2 THEN '?ref=home' WHEN 3 THEN '?b=2&a=1' ELSE '' END)
+    || (CASE WHEN doc_id % 9 = 0 THEN '#Sec-2' ELSE '' END)
+"""
+
+# DuckDB replica of operators/web.py canonical_url + registered-domain
+# extraction over a column named `url` (RE2 patterns, \\1 group refs).
+_CANON_SQL = r"""
+  canon0 AS (
+    SELECT *, regexp_replace(url, '#.*', '') AS u0 FROM urls),
+  canon1 AS (
+    SELECT *, lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+              || substring(u0, length(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
+              AS u1 FROM canon0),
+  canon2 AS (
+    SELECT *, regexp_replace(
+                regexp_replace(
+                  regexp_replace(u1, '^(http://[^/:?#]+):80($|[/?#])', '\1\2'),
+                  '^(https://[^/:?#]+):443($|[/?#])', '\1\2'),
+                '^(https?://)www\.', '\1') AS u2 FROM canon1),
+  canon AS (
+    SELECT *,
+      regexp_replace(split_part(u2, '?', 1), '/$', '')
+      || (CASE WHEN contains(u2, '?')
+                AND len(list_filter(string_split(split_part(u2, '?', 2), '&'),
+                        p -> NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)='))) > 0
+           THEN '?' || array_to_string(
+                  list_filter(string_split(split_part(u2, '?', 2), '&'),
+                    p -> NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)=')), '&')
+           ELSE '' END) AS canon_url
+    FROM canon2),
+  parts AS (
+    SELECT *,
+      regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+    FROM canon),
+  domains AS (
+    SELECT *,
+      CASE WHEN len(string_split(host, '.')) >= 3
+                AND array_to_string(string_split(host, '.')[-2:], '.') IN
+                    ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                     'org.au','gov.au','co.jp','or.jp','ne.jp','com.br',
+                     'com.cn','co.in','co.nz','co.za')
+           THEN array_to_string(string_split(host, '.')[-3:], '.')
+           ELSE array_to_string(
+                  string_split(host, '.')[-least(len(string_split(host, '.')), 2):], '.')
+      END AS registered_domain
+    FROM parts)
+"""
+
+
+def q_url_domain_caps(spark, sf_dir):
+    """C4/RefinedWeb-style web-corpus front half (operators/web.py):
+    canonicalize deterministic messy URLs, extract the registered
+    domain (two-level-suffix aware), then keep at most 5 docs per
+    domain, longest text first — via the skew-safe salted two-stage
+    cap, which is row-identical to the oracle's single ROW_NUMBER
+    window because the ordering (n_chars DESC, doc_id ASC) is total."""
+    from ..operators.web import cap_per_domain, with_url_parts
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", _synth_url(F.col("doc_id")).alias("url"))
+    )
+    parts = with_url_parts(d)
+    kept = cap_per_domain(parts, 5, order_col="n_chars")
+    return kept.select(
+        "doc_id", "canon_url", "host", "registered_domain"
+    ).orderBy("doc_id")
+
+
+ORACLE_URL_DOMAIN_CAPS = (
+    "WITH urls AS (SELECT doc_id, n_chars, "
+    + _SYNTH_URL_SQL
+    + " AS url FROM documents),\n"
+    + _CANON_SQL
+    + """,
+ranked AS (
+  SELECT doc_id, canon_url, host, registered_domain,
+         ROW_NUMBER() OVER (PARTITION BY registered_domain
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM domains)
+SELECT doc_id, canon_url, host, registered_domain
+FROM ranked WHERE rn <= 5 ORDER BY doc_id
+"""
+)
+
+
+def q_bloom_screen(spark, sf_dir):
+    """Bloom-filter corpus screening (operators/bloom.py): docs with
+    doc_id % 3 = 0 form the seen corpus, the rest are incoming; keys
+    are synthesized URLs with deliberate collisions (path = doc_id %
+    499) so a meaningful share of incoming keys is genuinely seen. The
+    output is EXACT — the filter has no false negatives and every
+    bloom-positive is confirmed against the real seen table — so the
+    oracle is a plain NOT IN anti-join, independent of the xxhash64
+    bit layout."""
+    from ..operators.bloom import bloom_screen
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/p/"),
+            (F.col("doc_id") % 499).cast("string"),
+        ).alias("url"),
+    )
+    seen = d.filter(F.col("doc_id") % 3 == 0).select("url")
+    incoming = d.filter(F.col("doc_id") % 3 != 0)
+    kept = bloom_screen(incoming, seen, "url", num_bits=1 << 16, num_hashes=5)
+    return kept.select("doc_id", "url").orderBy("doc_id")
+
+
+ORACLE_BLOOM_SCREEN = """
+WITH d AS (
+  SELECT doc_id,
+         'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.org/p/'
+           || CAST(doc_id % 499 AS VARCHAR) AS url
+  FROM documents),
+seen AS (SELECT url FROM d WHERE doc_id % 3 = 0),
+inc AS (SELECT * FROM d WHERE doc_id % 3 <> 0)
+SELECT doc_id, url FROM inc
+WHERE url NOT IN (SELECT url FROM seen)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering = driver-snapshot rotation. The driver's
 # CORRECTNESS_r*.json caps at the FIRST 50 keys of __spark_entry__.
 # queries() (which follows QUERY_ORDER below), while the registry holds
-# 76 (77 with the entry-module-registered shorelines_annual); every
+# 78 (79 with the entry-module-registered shorelines_annual); every
 # query is oracle-verified in pytest every round
 # (tests/test_driver_contract.py), but the driver artifact only carries
 # the head of this list. Rotation plan:
@@ -4811,6 +4993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "dms2dd": q_dms2dd,
     "crosscorpus_dedup": q_crosscorpus_dedup,
+    "url_domain_caps": q_url_domain_caps,
+    "bloom_screen": q_bloom_screen,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -4943,6 +5127,8 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_parity": ORACLE_STREAMING_DEDUP_PARITY,
     "dms2dd": ORACLE_DMS2DD,
     "crosscorpus_dedup": _crosscorpus_sql(),
+    "url_domain_caps": ORACLE_URL_DOMAIN_CAPS,
+    "bloom_screen": ORACLE_BLOOM_SCREEN,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
