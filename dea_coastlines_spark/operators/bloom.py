@@ -90,17 +90,35 @@ def bloom_screen(
     key_col: str,
     num_bits: int,
     num_hashes: int = 5,
+    broadcast_positives: bool | str = "auto",
+    positives_probe_rows: int = 100_000,
 ) -> DataFrame:
     """incoming rows whose key_col is NOT present in seen[key_col] —
     exactly `incoming ANTI JOIN seen ON key` — with the Bloom filter
-    pruning the anti-join's probe side.
+    pruning the confirm join down to the bloom-positive sliver.
 
-    Plan shape: distinct incoming keys explode to k position rows;
-    a LEFT join against the filter words (broadcast under
-    BROADCAST_BITS_MAX, else equi-join on word_idx) marks each bit;
-    keys with every bit set are the only ones that reach the
-    LEFT ANTI confirm join against the real seen table. Keys with any
-    unset bit re-enter the result directly (no false negatives)."""
+    Plan shape: distinct incoming keys explode to k position rows; a
+    LEFT join against the filter words (broadcast under
+    BROADCAST_BITS_MAX, else equi-join on word_idx) marks each bit,
+    and one groupBy(key) counts unset bits. That per-key table is
+    PERSISTED — both the definitely-new branch and the confirm branch
+    read it, and without the pin Spark re-executes the whole probe
+    pipeline under each union arm (2x the 5-way explode join at
+    100 TB). Keys with any unset bit are new with certainty (a Bloom
+    filter has no false negatives) and skip the confirm entirely; only
+    bloom-positives (true members + the fp-rate share) are checked
+    against the real seen table.
+
+    The confirm join itself never shuffles the seen table when the
+    positive set is broadcastable (the common case: positives ≈
+    members, a sliver of incoming): seen is SCANNED against a
+    broadcast semi-join of the positives, and the confirmed keys —
+    at most the positive set — broadcast back into an anti-join.
+    broadcast_positives="auto" probes the positive count with an
+    early-exit limit; True forces it; False falls back to the plain
+    shuffled anti-join (right when members dominate incoming)."""
+    from pyspark import StorageLevel
+
     bloom = build_bloom(seen, key_col, num_bits, num_hashes)
     if num_bits <= BROADCAST_BITS_MAX:
         bloom = F.broadcast(bloom)
@@ -118,13 +136,27 @@ def bloom_screen(
         )
         .groupBy(key_col)
         .agg(F.sum("_unset").alias("_misses"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     definitely_new = hits.filter(F.col("_misses") > 0).select(key_col)
     maybe_seen = hits.filter(F.col("_misses") == 0).select(key_col)
-    # Confirm join runs only over the bloom-positive sliver: true
-    # members + the fp-rate share of new keys.
-    confirmed_new = maybe_seen.join(
-        seen.select(key_col).distinct(), key_col, "left_anti"
-    )
+
+    if broadcast_positives == "auto":
+        broadcast_positives = (
+            maybe_seen.limit(positives_probe_rows + 1).count()
+            <= positives_probe_rows
+        )
+    if broadcast_positives:
+        # scan-side semi: seen is read once, never shuffled
+        confirmed = (
+            seen.select(key_col)
+            .join(F.broadcast(maybe_seen), key_col, "left_semi")
+            .distinct()
+        )
+        confirmed_new = maybe_seen.join(
+            F.broadcast(confirmed), key_col, "left_anti"
+        )
+    else:
+        confirmed_new = maybe_seen.join(seen.select(key_col), key_col, "left_anti")
     new_keys = definitely_new.unionByName(confirmed_new)
     return incoming.join(new_keys, key_col, "left_semi")

@@ -81,7 +81,7 @@ HEAVY_SF_QUERIES = [
     "ngram_jaccard", "charset_jaccard", "dedup_passages", "decontaminate",
     "tfidf_topk", "embedding_neardup", "minhash_pairs", "simhash_pairs",
     "lsh_ann_topk", "ivf_ann_topk", "semdedup", "crosscorpus_dedup",
-    "dedup_clusters",
+    "dedup_clusters", "url_domain_caps", "bloom_screen",
     "rates_regression", "group_percentiles", "cell_rollup",
 ]
 

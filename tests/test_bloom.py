@@ -45,6 +45,23 @@ def test_tiny_filter_stays_exact(spark):
     assert got == want
 
 
+def test_shuffled_confirm_matches_broadcast_confirm(spark):
+    seen, inc = _seen_inc(spark)
+    a = sorted(
+        r.key
+        for r in bloom_screen(
+            inc, seen, "key", num_bits=1 << 14, broadcast_positives=True
+        ).collect()
+    )
+    b = sorted(
+        r.key
+        for r in bloom_screen(
+            inc, seen, "key", num_bits=1 << 14, broadcast_positives=False
+        ).collect()
+    )
+    assert a == b
+
+
 def test_distributed_probe_matches_broadcast(spark, monkeypatch):
     seen, inc = _seen_inc(spark)
     a = sorted(r.key for r in bloom_screen(inc, seen, "key", num_bits=1 << 14).collect())
