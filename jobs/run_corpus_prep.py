@@ -2,6 +2,13 @@
 shards (the LLM-corpus preparation pipeline, beyond-reference surface).
 
 Stages, in order (each an engine operator, all one job):
+  0. URL screen           (--url-col: web.with_url_parts canonicalizes
+                           and extracts registered domains; exact dedup
+                           by canonical URL keeps the lowest doc_id;
+                           --seen-urls screens against an already-
+                           crawled URL list via the exact Bloom path
+                           (bloom.bloom_screen); --domain-cap N keeps
+                           at most N docs per registered domain)
   1. PII scrub            (text.scrub_pii — JVM regexp chain)
   2. quality filter       (text.with_quality, keep --keep-quality labels)
   3. repetition filter    (text.with_repetition_signals, drop docs over
@@ -60,6 +67,19 @@ def main(argv=None) -> int:
                    help="emit concat-and-chunk packing columns (offset/"
                         "pack_id/pack_offset/n_packs) for fixed "
                         "L-token training windows (0 = plain shards)")
+    p.add_argument("--url-col", default="",
+                   help="URL column name; enables the URL screen stage "
+                        "(canonicalize, dedup by canonical URL, domain "
+                        "extraction)")
+    p.add_argument("--domain-cap", type=int, default=0, metavar="N",
+                   help="keep at most N docs per registered domain "
+                        "(0 = off; requires --url-col)")
+    p.add_argument("--seen-urls", default="",
+                   help="parquet with a url column of already-crawled "
+                        "URLs; drop docs whose canonical URL is seen "
+                        "(exact Bloom-screened anti-join; requires "
+                        "--url-col)")
+    p.add_argument("--seen-bloom-bits", type=int, default=1 << 24)
     p.add_argument("--rates", default="",
                    help="lang=rate,... stratified sampling rates")
     p.add_argument("--default-rate", type=float, default=1.0)
@@ -86,6 +106,37 @@ def main(argv=None) -> int:
 
     docs = spark.read.parquet(args.documents)
     n_in = docs.count()
+
+    if args.url_col:
+        # URL screen first: it is the cheapest stage (pure string
+        # expressions + one window) and every doc it drops skips all
+        # content ops below
+        from pyspark.sql.window import Window as _W
+
+        from dea_coastlines_spark.operators.web import (
+            canonical_url,
+            cap_per_domain,
+            with_url_parts,
+        )
+
+        docs = with_url_parts(docs, args.url_col)
+        if args.seen_urls:
+            from dea_coastlines_spark.operators.bloom import bloom_screen
+
+            seen = spark.read.parquet(args.seen_urls).select(
+                canonical_url(F.col(args.url_col)).alias("canon_url")
+            )
+            docs = bloom_screen(
+                docs, seen, "canon_url", num_bits=args.seen_bloom_bits
+            )
+        wu = _W.partitionBy("canon_url").orderBy("doc_id")
+        docs = (
+            docs.withColumn("_urk", F.row_number().over(wu))
+            .filter(F.col("_urk") == 1)
+            .drop("_urk")
+        )
+        if args.domain_cap > 0:
+            docs = cap_per_domain(docs, args.domain_cap)
 
     docs = scrub_pii(docs)
     docs = with_quality(docs)

@@ -227,6 +227,65 @@ def test_corpus_prep_hygiene_stages(spark, tmp_path, capsys):
     assert all("about" not in t for t in texts.values())
 
 
+def test_corpus_prep_url_stage(spark, tmp_path, capsys):
+    """--url-col canonical-URL dedup, --seen-urls Bloom screening and
+    --domain-cap each drop exactly the planted documents."""
+    import run_corpus_prep
+
+    docs_path = str(tmp_path / "docs_u")
+    seen_path = str(tmp_path / "seen_u")
+    out_path = str(tmp_path / "shards_u")
+    words = ["harbor", "glacier", "forest", "timber", "quartz", "meadow",
+             "breeze", "ember", "lantern", "orchid"]
+    rows = []
+    for i in range(12):
+        rows.append((
+            i,
+            f"document {i} about {words[i % 10]} with unique vocabulary "
+            f"token alpha{i * 17} beta{i * 29} gamma{i * 7} delta{i * 11}",
+            "en",
+            f"https://site{i}.org/page/{i}",
+        ))
+    # planted: same canonical URL as doc 0 (www. + utm param variants)
+    rows.append((300, "different words entirely kappa lambda mu nu xi",
+                 "en", "https://www.site0.org/page/0?utm_source=x"))
+    # planted: URL already crawled (in the seen list)
+    rows.append((301, "fresh content words omicron pi rho sigma tau",
+                 "en", "https://crawled.net/old/1"))
+    # planted: 4 extra docs on one domain (cap 3 keeps lowest ids)
+    for j in range(4):
+        rows.append((310 + j,
+                     f"bulk page {j} words phi chi psi omega{j * 31} "
+                     f"extra{j * 37} filler{j * 41} pad{j * 43}",
+                     "en", f"https://bulk.com/p/{j}"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.mode("overwrite").parquet(docs_path)
+    spark.createDataFrame(
+        [("https://WWW.crawled.net/old/1#frag",)], "url string"
+    ).write.mode("overwrite").parquet(seen_path)
+
+    assert run_corpus_prep.main([
+        "--documents", docs_path, "--output", out_path,
+        "--n-shards", "2", "--url-col", "url",
+        "--seen-urls", seen_path, "--domain-cap", "3",
+        "--keep-quality", "",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_in"] == 18
+    sharded = spark.read.parquet(out_path)
+    ids = {r.doc_id for r in sharded.select("doc_id").collect()}
+    assert 300 not in ids          # canonical-URL dup of doc 0
+    assert 301 not in ids          # seen-URL Bloom screen
+    assert 313 not in ids          # over the bulk.com cap
+    assert {310, 311, 312} <= ids  # cap keeps the lowest 3 ids
+    assert set(range(12)) <= ids   # clean docs survive
+    # registered_domain column rides through to the shards
+    doms = {r.registered_domain
+            for r in sharded.select("registered_domain").collect()}
+    assert "bulk.com" in doms and "site0.org" in doms
+
+
 def test_corpus_prep_dedup_against(spark, tmp_path, capsys):
     """--dedup-against drops exactly the docs near-duplicating the
     reference corpus; the reference itself is untouched on disk."""
