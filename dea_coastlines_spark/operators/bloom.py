@@ -159,4 +159,11 @@ def bloom_screen(
     else:
         confirmed_new = maybe_seen.join(seen.select(key_col), key_col, "left_anti")
     new_keys = definitely_new.unionByName(confirmed_new)
-    return incoming.join(new_keys, key_col, "left_semi")
+    # null-safe semi join: a NULL key never equi-matches, so a plain
+    # semi would DROP null-key incoming rows — the opposite of the
+    # anti-join contract (NULL keys never match seen, hence are new)
+    return incoming.join(
+        new_keys.withColumnRenamed(key_col, "_nk"),
+        F.col(key_col).eqNullSafe(F.col("_nk")),
+        "left_semi",
+    )

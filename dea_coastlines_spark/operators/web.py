@@ -118,14 +118,21 @@ def cap_per_domain(
         if order_col
         else [F.col(id_col).asc()]
     )
+    # NULL/empty domains are pass-through, not a cap group: a corpus
+    # slice without resolvable domains must not silently collapse to n
+    # rows, so each such row gets a per-row key
+    dkey = F.coalesce(
+        F.nullif(F.col(domain_col), F.lit("")),
+        F.concat(F.lit("\x00row:"), F.col(id_col).cast("string")),
+    )
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
-    w1 = Window.partitionBy(F.col(domain_col), bucket).orderBy(*order)
+    w1 = Window.partitionBy(dkey, bucket).orderBy(*order)
     survivors = (
         df.withColumn("_rn1", F.row_number().over(w1))
         .filter(F.col("_rn1") <= n)
         .drop("_rn1")
     )
-    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    w2 = Window.partitionBy(dkey).orderBy(*order)
     return (
         survivors.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= n)

@@ -129,7 +129,13 @@ def main(argv=None) -> int:
             docs = bloom_screen(
                 docs, seen, "canon_url", num_bits=args.seen_bloom_bits
             )
-        wu = _W.partitionBy("canon_url").orderBy("doc_id")
+        # docs with a NULL/empty URL are never dup candidates — give
+        # each its own key instead of collapsing them into one group
+        ukey = F.coalesce(
+            F.nullif(F.col("canon_url"), F.lit("")),
+            F.concat(F.lit("\x00nourl:"), F.col("doc_id").cast("string")),
+        )
+        wu = _W.partitionBy(ukey).orderBy("doc_id")
         docs = (
             docs.withColumn("_urk", F.row_number().over(wu))
             .filter(F.col("_urk") == 1)

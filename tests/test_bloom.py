@@ -112,6 +112,24 @@ def test_no_false_negatives_and_fp_rate(spark):
     assert rate < max(5 * theory, 0.02), (rate, theory)
 
 
+def test_null_keys_behave_like_anti_join(spark):
+    # NULL never equals NULL in SQL joins: plain left_anti KEEPS
+    # null-key rows, so bloom_screen must too
+    seen = spark.createDataFrame([("a",), (None,)], "key string")
+    inc = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "key string, v int"
+    )
+    got = sorted(
+        ((r.key, r.v) for r in bloom_screen(inc, seen, "key", num_bits=1 << 10).collect()),
+        key=lambda t: t[1],
+    )
+    want = sorted(
+        ((r.key, r.v) for r in inc.join(seen, "key", "left_anti").collect()),
+        key=lambda t: t[1],
+    )
+    assert got == want == [(None, 2), ("b", 3)]
+
+
 def test_build_validates_params(spark):
     seen = spark.range(3).select(F.col("id").alias("key"))
     import pytest

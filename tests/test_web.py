@@ -119,6 +119,16 @@ def test_cap_without_order_col_keeps_lowest_ids(spark):
     assert kept == [0, 1, 2, 3, 4]
 
 
+def test_cap_passes_through_null_and_empty_domains(spark):
+    rows = [(i, None if i % 2 == 0 else "", float(i)) for i in range(40)]
+    rows += [(100 + j, "real.com", float(j)) for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, registered_domain string, q double")
+    kept = cap_per_domain(df, 3, order_col="q").collect()
+    # all 40 domain-less rows survive; real.com capped at 3
+    assert len(kept) == 43
+    assert sum(1 for r in kept if r.registered_domain == "real.com") == 3
+
+
 def test_cap_plan_has_no_cartesian(spark):
     rows = [(i, f"d{i % 3}.com", float(i)) for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, registered_domain string, q double")
