@@ -120,6 +120,79 @@ def mix_corpora(
     return out
 
 
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    tau: float,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Per-source sampling rates for temperature-based corpus mixing
+    (the mT5/XLM-R scheme): target share_i ∝ n_i^(1/tau), so tau=1
+    preserves natural proportions and tau→∞ approaches uniform across
+    sources — low-resource sources get boosted without hand-tuning.
+
+    Returns (source, n_rows, share, rate) where rate_i = total *
+    share_i / n_i; rates above 1 mean the source is UPSAMPLED (repeat
+    epochs — see temperature_mix). total defaults to the corpus size
+    (pure re-mixture). One tiny groupBy; the normalization runs as an
+    unpartitioned window over the per-source frame, which is one row
+    per source — never large, so the single-task window is fine."""
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_rows"))
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_rows").cast("double"), F.lit(1.0 / tau))
+    out = counts.withColumn("share", pw / F.sum(pw).over(w))
+    total = (
+        F.lit(float(total_rows))
+        if total_rows is not None
+        else F.sum("n_rows").over(w).cast("double")
+    )
+    return out.withColumn(
+        "rate", total * F.col("share") / F.col("n_rows").cast("double")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    tau: float,
+    total_rows: int | None = None,
+    seed: int = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Resample the corpus to the temperature-mixed distribution,
+    deterministically: each row emits floor(rate) full copies plus one
+    more when u01(key) < frac(rate), tagged 0..k-1 in epoch_col —
+    downsampling (rate<1) degrades to hash_sample, upsampling (rate>1)
+    emits the repeat epochs a pretraining reader consumes. Expected
+    output size = total_rows. The per-source rate table broadcasts
+    (one row per source); the copy fan-out is a row-local
+    posexplode(array_repeat(...)) — sequence() is NOT used because
+    Spark's sequence(0, -1) counts downward instead of being empty."""
+    rates = temperature_rates(df, source_col, tau, total_rows).select(
+        source_col, "rate"
+    )
+    n_copies = (
+        F.floor(F.col("rate"))
+        + F.when(
+            u01(key_col, seed) < F.col("rate") - F.floor(F.col("rate")), 1
+        ).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("_nc", n_copies)
+        .select(
+            "*",
+            F.posexplode(F.array_repeat(F.lit(1), F.col("_nc"))).alias(
+                epoch_col, "_one"
+            ),
+        )
+        .drop("_nc", "_one", "rate")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key_col: str,

@@ -4877,6 +4877,49 @@ _CANON_SQL = r"""
 """
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixing (operators/sampling.py:
+    temperature_mix — the mT5/XLM-R n^(1/tau) scheme): per-source
+    shares at tau=0.5 re-mix the documents table, upsampling the
+    majority source into repeat epochs and downsampling the rest
+    through the oracle-replicable u01 hash. tau=0.5 keeps every float
+    step exactly representable (n^2 and their sums are exact integers
+    in doubles; both engines then divide the identical operands), so
+    the DuckDB replica is bit-identical, not approximately equal."""
+    from ..operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(d, "doc_id", "source", tau=0.5).orderBy(
+        "doc_id", "epoch"
+    )
+
+
+def _temperature_mix_sql() -> str:
+    from ..operators.sampling import u01_sql
+
+    u = u01_sql("j.doc_id")
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+s AS (
+  SELECT source, n,
+         pow(CAST(n AS DOUBLE), 2.0)
+           / SUM(pow(CAST(n AS DOUBLE), 2.0)) OVER () AS share,
+         CAST(SUM(n) OVER () AS DOUBLE) AS total
+  FROM c),
+r AS (SELECT source, (total * share) / CAST(n AS DOUBLE) AS rate FROM s),
+j AS (SELECT d.doc_id, d.source, r.rate FROM documents d JOIN r USING (source)),
+fan AS (
+  SELECT doc_id, source,
+         unnest(generate_series(
+           1,
+           CAST(floor(rate) + (CASE WHEN {u} < rate - floor(rate)
+                               THEN 1 ELSE 0 END) AS INTEGER))) AS gs
+  FROM j)
+SELECT doc_id, source, CAST(gs - 1 AS INTEGER) AS epoch
+FROM fan ORDER BY doc_id, epoch
+"""
+
+
 def q_url_domain_caps(spark, sf_dir):
     """C4/RefinedWeb-style web-corpus front half (operators/web.py):
     canonicalize deterministic messy URLs, extract the registered
@@ -4995,6 +5038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crosscorpus_dedup": q_crosscorpus_dedup,
     "url_domain_caps": q_url_domain_caps,
     "bloom_screen": q_bloom_screen,
+    "temperature_mix": q_temperature_mix,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5129,6 +5173,7 @@ ORACLES: dict[str, str] = {
     "crosscorpus_dedup": _crosscorpus_sql(),
     "url_domain_caps": ORACLE_URL_DOMAIN_CAPS,
     "bloom_screen": ORACLE_BLOOM_SCREEN,
+    "temperature_mix": _temperature_mix_sql(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,

@@ -197,3 +197,53 @@ def test_pack_sequences_validation(spark):
         pack_sequences(df, "doc_id", "n_tok", 0)
     with _pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tok", 128, n_shards=0)
+
+
+def test_temperature_rates_tau1_is_natural_and_tau_half_boosts_small(spark):
+    import pytest as _pytest
+
+    from dea_coastlines_spark.operators.sampling import temperature_rates
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # tau=1: natural proportions -> every rate is exactly 1.0
+    r1 = {r.source: r for r in temperature_rates(df, "source", 1.0).collect()}
+    assert r1["big"].rate == 1.0 and r1["small"].rate == 1.0
+    assert abs(r1["big"].share - 0.9) < 1e-12
+    # tau=0.5: share ∝ n^2 -> majority upsampled, minority downsampled
+    r2 = {r.source: r for r in temperature_rates(df, "source", 0.5).collect()}
+    assert r2["big"].share == 810000 / 820000  # exact in doubles
+    assert r2["big"].rate > 1.0 > r2["small"].rate
+    # tau -> large approaches uniform shares
+    r3 = {r.source: r for r in temperature_rates(df, "source", 100.0).collect()}
+    assert abs(r3["small"].share - 0.5) < 0.01
+    with _pytest.raises(ValueError):
+        temperature_rates(df, "source", 0.0)
+
+
+def test_temperature_mix_deterministic_and_sized(spark):
+    from dea_coastlines_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "doc_id", "source", tau=0.5)
+    got = sorted((r.doc_id, r.epoch) for r in out.collect())
+    # partition-invariant: identical rows regardless of layout
+    got2 = sorted(
+        (r.doc_id, r.epoch)
+        for r in temperature_mix(
+            df.repartition(7), "doc_id", "source", tau=0.5
+        ).collect()
+    )
+    assert got == got2
+    # expected total = corpus size (within bernoulli noise)
+    assert abs(len(got) - 1000) < 60
+    # upsampled source emits epoch-1 repeats; every repeat has epoch 0 too
+    epochs = {}
+    for d, e in got:
+        epochs.setdefault(d, []).append(e)
+    assert any(es == [0, 1] for es in epochs.values())
+    assert all(es == list(range(len(es))) for es in epochs.values())
+    # explicit total_rows: downsample everything to ~300
+    out300 = temperature_mix(df, "doc_id", "source", tau=0.5, total_rows=300)
+    assert abs(out300.count() - 300) < 50
