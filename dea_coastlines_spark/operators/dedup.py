@@ -513,14 +513,13 @@ def _pairwise_set_jaccard(
     elems = elems.join(dfreq, "_e").select(
         id_col, "grp", "_df", F.xxhash64("_e").alias("_h")
     )
+    # collect raw structs only; the CPU-heavy array_sort + transform
+    # projection is deferred until AFTER the explicit repartition below
+    # — inside the agg it would execute in the AQE-coalesced reduce
+    # stage (a handful of byte-optimal tasks for a CPU-bound projection)
     sets = (
         elems.groupBy(id_col, "grp")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_df", "_h"))),
-                lambda s: s["_h"],
-            ).alias("_ord")
-        )
+        .agg(F.collect_list(F.struct("_df", "_h")).alias("_raw"))
     )
     # ceil(t*size) with an epsilon guard: a float product that lands
     # infinitesimally ABOVE the true integer would shorten the prefix
@@ -548,8 +547,20 @@ def _pairwise_set_jaccard(
     # sides); Catalyst's ReuseExchange does not canonicalize the HOF
     # lambdas inside, so without truncation the gram pipeline runs 3-4x.
     # A lazy localCheckpoint materializes it once on first action.
+    # Explicit repartition first: AQE coalesces the upstream regroup to
+    # a handful of partitions (the shuffled BYTES are small) and the
+    # checkpoint then FREEZES that width for every downstream stage —
+    # the prefix explodes and verify joins are CPU-bound on array work,
+    # so they must inherit full parallelism, not byte-optimal widths.
+    par = base.sparkSession.sparkContext.defaultParallelism
     sets = (
-        sets.withColumn("_p", plen)
+        sets.repartition(par, id_col)
+        .withColumn(
+            "_ord",
+            F.transform(F.array_sort("_raw"), lambda s: s["_h"]),
+        )
+        .drop("_raw")
+        .withColumn("_p", plen)
         .withColumn("_pi", pilen)
         .localCheckpoint(eager=False)
     )
@@ -591,16 +602,24 @@ def _pairwise_set_jaccard(
     smaller = (F.col("_szb") < F.col("_sza")) | (
         (F.col("_szb") == F.col("_sza")) & (F.col("id_b") < F.col("id_a"))
     )
+    # The prefix join and the verify join below are CPU-bound (filter
+    # cascade over the candidate fan-out; array_intersect over full
+    # sets) while their shuffled BYTES are tiny, so AQE coalesces them
+    # to a handful of tasks and one hot prefix bucket straggles.
+    # Explicit fixed-width repartitions on the join keys pin full
+    # parallelism AND satisfy the join's distribution requirement (no
+    # extra exchange is added). Measured at sf0.1: 6.0 s -> 2.8 s.
     cand = (
         probe.select(
             F.col(id_col).alias("id_a"), "grp", "_pg",
             F.col("_sz").alias("_sza"), (F.col("_pos") + 1).alias("_pa"),
         )
+        .repartition(par, "grp", "_pg")
         .join(
             index.select(
                 F.col(id_col).alias("id_b"), "grp", "_pg",
                 F.col("_sz").alias("_szb"), (F.col("_pos") + 1).alias("_pb"),
-            ),
+            ).repartition(par, "grp", "_pg"),
             ["grp", "_pg"],
         )
         .filter(smaller & len_ok & pos_ok)
@@ -609,6 +628,7 @@ def _pairwise_set_jaccard(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
+        .repartition(par, "id_a")
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
