@@ -466,8 +466,14 @@ def semdedup(
         F.col("c_sim").alias("sim_b"), F.col("_v").alias("vb"),
         F.col("_n").alias("nb"),
     )
+    # the within-cluster pair join is CPU-bound (per-pair dot product
+    # over full vectors) on tiny shuffled bytes — pin full width on the
+    # join key or AQE coalesces the stage to a handful of tasks and the
+    # densest cluster straggles (same trap as the PPJoin prefix join)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     dup = (
-        left.join(right, "cluster")
+        left.repartition(par, "cluster")
+        .join(right.repartition(par, "cluster"), "cluster")
         .filter(
             (F.col("sim_b") < F.col("sim_a"))
             | ((F.col("sim_b") == F.col("sim_a")) & (F.col("id_b") < F.col("id_a")))
