@@ -191,6 +191,12 @@ def main() -> None:
         "  multi-stage pipelines (composite -> vectorize -> join ->",
         "  regress, hotspots at several radii); their stage counts are",
         "  the pipeline's, not one operator's.",
+        "- `ngram_jaccard` / `charset_jaccard` / `semdedup` carry",
+        "  deliberate fixed-width repartitions on their CPU-bound",
+        "  small-bytes join stages (prefix/candidate/pair joins): AQE",
+        "  coalesces those exchanges by BYTES to a handful of tasks and",
+        "  the hottest bucket straggles. The extra exchanges are the",
+        "  trade for full-width CPU (measured 2x on ngram_jaccard).",
     ]
     if heavy_rows:
         out += [
