@@ -5010,9 +5010,19 @@ ORDER BY doc_id
 #   block C = hash-green in r2 but rotated out of the r3 snapshot,
 #   block D = the scale-critical r3-green set kept for round-over-round
 #   bench/plan diffing.
-#   r5: swap block E (r3-green relational/text queries rotated out
-#   here) back into the head in place of blocks A+C, which will then
-#   have fresh driver rows.
+#   r5: swap the 30 keys outside r4's head back into the head in place
+#   of blocks A+C (which will then have fresh r4 driver rows). The
+#   exact r5 head list = block E plus the block-D tail pushed out by
+#   block B's growth: ivf_ann_topk, charset_jaccard, ngram_jaccard,
+#   dedup_passages, decontaminate, tfidf_topk, pricing_summary,
+#   mode_median, error_stats, regr_slope, join_star, semi_anti_join,
+#   asof_nearest, window_running, topk_per_group, set_ops,
+#   scalar_funcs, tz_convert, certainty_cascade, conditional_coalesce,
+#   top1_crs_vote, salted_agg, text_quality, repetition_signals,
+#   corpus_profile, langid, token_stats, token_counts, doc_fingerprint,
+#   streaming_dedup — plus any new-in-r5 queries; the remaining ~20
+#   slots keep the scale-critical block D head for round-over-round
+#   bench/plan diffing.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- block A: first-ever driver snapshot rows (VERDICT r3 item 1)
