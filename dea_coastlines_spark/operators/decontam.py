@@ -53,17 +53,22 @@ def decontaminate(
     # tokens materialize as a column before the n-gram lambda touches
     # them — interpreted HOFs re-derive inline subexpressions per
     # element (see text.lower_tokens)
+    # explode_outer + isNotNull: a plain explode's inferred
+    # size>0/isnotnull filter inlines the whole tokenize+n-gram HOF
+    # twice and sinks below the exchange (see operators/lm._doc_grams);
+    # gram elements are concat_ws results, never NULL
     def grams_of(df_in, *keep):
         return (
             df_in.withColumn("_dc_toks", lower_tokens(F.col(text_col)))
             .select(
                 *keep,
-                F.explode(
+                F.explode_outer(
                     F.array_distinct(
                         word_ngrams_from_tokens(F.col("_dc_toks"), n)
                     )
                 ).alias("_g"),
             )
+            .filter(F.col("_g").isNotNull())
         )
 
     eval_grams = grams_of(eval_df).distinct()

@@ -133,9 +133,13 @@ def _banded_buckets(
     slices hash equal; collisions across different slices only add
     candidates the exact verify rejects)."""
     rows_per_band = num_perm // bands
+    # explode_OUTER: a plain explode's inferred size>0/isnotnull filter
+    # inlines every band's xxhash64+concat_ws twice more per row (see
+    # operators/lm._doc_grams); the array is fixed-size bands >= 1 with
+    # non-null struct elements, so outer is row-for-row identical
     return sigs.select(
         id_col,
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(

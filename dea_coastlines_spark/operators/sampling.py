@@ -180,15 +180,21 @@ def temperature_mix(
             u01(key_col, seed) < F.col("rate") - F.floor(F.col("rate")), 1
         ).otherwise(0)
     ).cast("int")
+    # posexplode_OUTER: a plain explode's inferred size>0/isnotnull
+    # filter builds the repeat array twice more per row (see
+    # operators/lm._doc_grams). Outer emits one NULL row for _nc = 0;
+    # the isNotNull filter restores plain-explode semantics (rows whose
+    # copy count floors to zero are dropped).
     return (
         df.join(F.broadcast(rates), source_col)
         .withColumn("_nc", n_copies)
         .select(
             "*",
-            F.posexplode(F.array_repeat(F.lit(1), F.col("_nc"))).alias(
+            F.posexplode_outer(F.array_repeat(F.lit(1), F.col("_nc"))).alias(
                 epoch_col, "_one"
             ),
         )
+        .filter(F.col("_one").isNotNull())
         .drop("_nc", "_one", "rate")
     )
 

@@ -206,9 +206,16 @@ def dedup_lines(
     partition's sort, the standard trade for exact global dedup.
     Probabilistic alternatives (bloom pre-pass) bolt on in front at
     100 TB."""
+    # posexplode_OUTER: a plain Generate's inferred size>0/isnotnull
+    # filter re-evaluates the split twice more per row (see
+    # operators/lm._doc_grams); split arrays are never empty/NULL-
+    # elemented, and the min_len filter below already drops any
+    # outer-NULL row
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
     ).filter(F.length("line") >= min_len)
     w = Window.partitionBy("line").orderBy(id_col, "line_no")
     first = lines.withColumn("rk", F.row_number().over(w)).filter(
@@ -266,12 +273,15 @@ def tfidf_topk(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    # explode_outer + isNotNull: a plain explode's inferred filter
+    # re-runs the regex extraction twice more per row (see
+    # operators/lm._doc_grams); extracted terms are never NULL
     toks = df.select(
         id_col,
-        F.explode(
+        F.explode_outer(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
         ).alias("term"),
-    )
+    ).filter(F.col("term").isNotNull())
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     # corpus size as a driver-side literal: count() on a parquet scan
@@ -336,12 +346,15 @@ def remove_duplicate_passages(
     base = df.withColumn("_toks", toks_of(F.col(text_col))).withColumn(
         "_toksl", F.transform(F.col("_toks"), F.lower)
     )
+    # posexplode_outer + isNotNull: a plain Generate's inferred filter
+    # inlines the n-gram HOF twice more per row (see
+    # operators/lm._doc_grams); grams are concat_ws results, never NULL
     wins = base.select(
         id_col,
-        F.posexplode(
+        F.posexplode_outer(
             word_ngrams_from_tokens(F.col("_toksl"), n)
         ).alias("pos", "gram"),
-    )
+    ).filter(F.col("gram").isNotNull())
     dup = (
         wins.groupBy("gram")
         .agg(F.count("*").alias("_c"))

@@ -4997,11 +4997,145 @@ ORDER BY doc_id
 """
 
 
+def q_ngram_lm_ppl(spark, sf_dir):
+    """CCNet-style n-gram LM quality scoring (operators/lm.py): a
+    Laplace bigram LM is trained on the doc_id % 5 == 0 slice and every
+    remaining document is scored by log2-perplexity. Per-gram log terms
+    are exact int64 micro-bits, so the per-doc sum is partition-
+    invariant and the DuckDB oracle matches bit-for-bit at 6 dp."""
+    from ..operators.lm import ngram_lm_logppl
+
+    d = _t(spark, sf_dir, "documents")
+    # single-row-group parquet -> one split; stand in for a many-split
+    # corpus scan (results are partition-invariant by construction)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    lm = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return (
+        ngram_lm_logppl(corpus, lm, text_col="text", id_col="doc_id", n=2)
+        .select("doc_id", "n_grams", "logppl")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM_LM_PPL = r"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                t -> t <> '') AS toks
+  FROM documents
+), lm AS (
+  SELECT toks FROM d WHERE doc_id % 5 = 0
+), voc AS (
+  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM lm)
+), lmpos AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM lm WHERE len(toks) >= 2
+), gcnt AS (
+  SELECT array_to_string(toks[i:i+1], ' ') AS gram, count(*) AS c_gram
+  FROM lmpos GROUP BY 1
+), ccnt AS (
+  SELECT toks[i] AS ctx, count(*) AS c_ctx FROM lmpos GROUP BY 1
+), docpos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM d WHERE doc_id % 5 <> 0 AND len(toks) >= 2
+), terms AS (
+  SELECT p.doc_id,
+         CAST(round((log2(COALESCE(g.c_gram, 0) + 1)
+                   - log2(COALESCE(c.c_ctx, 0) + voc.v)) * 1e9) AS BIGINT)
+           AS tm
+  FROM docpos p
+  LEFT JOIN gcnt g ON g.gram = array_to_string(p.toks[p.i:p.i+1], ' ')
+  LEFT JOIN ccnt c ON c.ctx = p.toks[p.i]
+  CROSS JOIN voc
+), agg AS (
+  SELECT doc_id, count(*) AS n_grams, sum(tm) AS sm FROM terms GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(a.n_grams, 0)::BIGINT AS n_grams,
+       CASE WHEN a.n_grams > 0
+            THEN round(-(a.sm / 1e9) / a.n_grams, 6) END AS logppl
+FROM documents t LEFT JOIN agg a USING (doc_id)
+WHERE t.doc_id % 5 <> 0
+ORDER BY t.doc_id
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py): hashed
+    unigram+bigram features (md5-prefix buckets, B = 4096), target
+    slice = doc_id % 7 == 0, raw corpus = the rest; top 25% by
+    importance weight marked selected (exact global rank with doc_id
+    tie-break). Integer micro-bit sums keep the weights bit-identical
+    to the oracle."""
+    from ..operators.dsir import dsir_weights, select_target_like
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    w = dsir_weights(raw, target, text_col="text", id_col="doc_id", hex_chars=3)
+    return (
+        select_target_like(w, keep_frac=0.25, id_col="doc_id")
+        .select("doc_id", "n_feats", "logw", "selected")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR_WEIGHTS = r"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
+                t -> t <> '') AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+1], ' ')))) AS f
+  FROM d
+), b AS (
+  SELECT doc_id, substr(md5(f), 1, 3) AS bucket FROM feats
+), tgt AS (
+  SELECT bucket FROM b WHERE doc_id % 7 = 0
+), raw AS (
+  SELECT doc_id, bucket FROM b WHERE doc_id % 7 <> 0
+), ct AS (SELECT bucket, count(*) AS ct FROM tgt GROUP BY 1),
+cr AS (SELECT bucket, count(*) AS cr FROM raw GROUP BY 1),
+nt AS (SELECT count(*) AS nt FROM tgt),
+nr AS (SELECT count(*) AS nr FROM raw),
+ratios AS (
+  SELECT bucket,
+         CAST(round((log2(COALESCE(ct, 0) + 1) - log2(nt + 4096)
+                   - log2(COALESCE(cr, 0) + 1) + log2(nr + 4096)) * 1e9)
+              AS BIGINT) AS lr
+  FROM ct FULL JOIN cr USING (bucket) CROSS JOIN nt CROSS JOIN nr
+), perdoc AS (
+  SELECT r.doc_id, count(*) AS n_feats, sum(t.lr) AS sm
+  FROM raw r JOIN ratios t USING (bucket) GROUP BY 1
+), w AS (
+  SELECT t.doc_id,
+         COALESCE(p.n_feats, 0)::BIGINT AS n_feats,
+         CASE WHEN p.n_feats > 0 THEN round(p.sm / 1e9, 6) END AS logw
+  FROM documents t LEFT JOIN perdoc p USING (doc_id)
+  WHERE t.doc_id % 7 <> 0
+), r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY logw DESC NULLS LAST, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM w
+)
+SELECT doc_id, n_feats, logw,
+       (rk <= ceil(n * 0.25) AND logw IS NOT NULL) AS selected
+FROM r ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering = driver-snapshot rotation. The driver's
 # CORRECTNESS_r*.json caps at the FIRST 50 keys of __spark_entry__.
 # queries() (which follows QUERY_ORDER below), while the registry holds
-# 78 (79 with the entry-module-registered shorelines_annual); every
+# 80 (81 with the entry-module-registered shorelines_annual); every
 # query is oracle-verified in pytest every round
 # (tests/test_driver_contract.py), but the driver artifact only carries
 # the head of this list. Rotation plan:
@@ -5013,7 +5147,8 @@ ORDER BY doc_id
 #   r5: swap the 30 keys outside r4's head back into the head in place
 #   of blocks A+C (which will then have fresh r4 driver rows). The
 #   exact r5 head list = block E plus the block-D tail pushed out by
-#   block B's growth: ivf_ann_topk, charset_jaccard, ngram_jaccard,
+#   block B's growth: ann_topk, lsh_ann_topk,
+#   ivf_ann_topk, charset_jaccard, ngram_jaccard,
 #   dedup_passages, decontaminate, tfidf_topk, pricing_summary,
 #   mode_median, error_stats, regr_slope, join_star, semi_anti_join,
 #   asof_nearest, window_running, topk_per_group, set_ops,
@@ -5049,6 +5184,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_caps": q_url_domain_caps,
     "bloom_screen": q_bloom_screen,
     "temperature_mix": q_temperature_mix,
+    "ngram_lm_ppl": q_ngram_lm_ppl,
+    "dsir_weights": q_dsir_weights,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5184,6 +5321,8 @@ ORACLES: dict[str, str] = {
     "url_domain_caps": ORACLE_URL_DOMAIN_CAPS,
     "bloom_screen": ORACLE_BLOOM_SCREEN,
     "temperature_mix": _temperature_mix_sql(),
+    "ngram_lm_ppl": ORACLE_NGRAM_LM_PPL,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
