@@ -83,6 +83,7 @@ HEAVY_SF_QUERIES = [
     "lsh_ann_topk", "ivf_ann_topk", "semdedup", "crosscorpus_dedup",
     "dedup_clusters", "url_domain_caps", "bloom_screen",
     "rates_regression", "group_percentiles", "cell_rollup",
+    "ngram_lm_ppl", "dsir_weights",
 ]
 
 
@@ -187,6 +188,10 @@ def main() -> None:
         "  SMALL side (query set / dimension table) — the documented",
         "  exactness baselines; the scale paths are lsh_ann_topk /",
         "  ivf_ann_topk and operators/asof.py (zero join nodes).",
+        "- `ngram_lm_ppl` / `dsir_weights` BNLJ flags are 1-ROW scalar",
+        "  aggregates (vocab size, feature totals) broadcast-crossed in",
+        "  — how Spark plans a scalar subquery; constant work per task",
+        "  at any corpus size.",
         "- `hotspots` / `shorelines_in_aoi` / `rates_of_change` are full",
         "  multi-stage pipelines (composite -> vectorize -> join ->",
         "  regress, hotspots at several radii); their stage counts are",
