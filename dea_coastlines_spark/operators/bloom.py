@@ -107,10 +107,10 @@ def bloom_screen(
     LEFT join against the filter words (broadcast under
     BROADCAST_BITS_MAX, else equi-join on word_idx) marks each bit,
     and one groupBy(key) counts unset bits. That per-key table is
-    PERSISTED — both the definitely-new branch and the confirm branch
-    read it, and without the pin Spark re-executes the whole probe
-    pipeline under each union arm (2x the 5-way explode join at
-    100 TB). Keys with any unset bit are new with certainty (a Bloom
+    MATERIALIZED (lazy localCheckpoint) — both the definitely-new
+    branch and the confirm branch read it, and without the pin Spark
+    re-executes the whole probe pipeline under each union arm (2x the
+    5-way explode join at 100 TB). Keys with any unset bit are new with certainty (a Bloom
     filter has no false negatives) and skip the confirm entirely; only
     bloom-positives (true members + the fp-rate share) are checked
     against the real seen table.
@@ -123,8 +123,6 @@ def bloom_screen(
     broadcast_positives="auto" probes the positive count with an
     early-exit limit; True forces it; False falls back to the plain
     shuffled anti-join (right when members dominate incoming)."""
-    from pyspark import StorageLevel
-
     bloom = build_bloom(seen, key_col, num_bits, num_hashes)
     if num_bits <= BROADCAST_BITS_MAX:
         bloom = F.broadcast(bloom)
@@ -142,7 +140,13 @@ def bloom_screen(
         )
         .groupBy(key_col)
         .agg(F.sum("_unset").alias("_misses"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # lazy localCheckpoint, not persist(): both keep the probe
+        # from re-executing under each union arm, but a persisted DF
+        # stays pinned in the cache manager for the session lifetime
+        # (repeat bench/screen invocations would leak one probe table
+        # each), while checkpoint blocks are reclaimed by the
+        # ContextCleaner once the returned plan is unreferenced.
+        .localCheckpoint(eager=False)
     )
     definitely_new = hits.filter(F.col("_misses") > 0).select(key_col)
     maybe_seen = hits.filter(F.col("_misses") == 0).select(key_col)

@@ -185,8 +185,16 @@ def temperature_mix(
     # operators/lm._doc_grams). Outer emits one NULL row for _nc = 0;
     # the isNotNull filter restores plain-explode semantics (rows whose
     # copy count floors to zero are dropped).
+    # null-safe rate attachment: groupBy put NULL-source rows in their
+    # own group with a real share, so the join must match them back
+    # (a plain inner join on the key would silently drop every
+    # NULL-source row and under-deliver total_rows)
+    joined = df.join(
+        F.broadcast(rates.withColumnRenamed(source_col, "_tm_src")),
+        F.col(source_col).eqNullSafe(F.col("_tm_src")),
+    ).drop("_tm_src")
     return (
-        df.join(F.broadcast(rates), source_col)
+        joined
         .withColumn("_nc", n_copies)
         .select(
             "*",

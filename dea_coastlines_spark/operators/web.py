@@ -62,10 +62,15 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#])", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#])", r"$1$2")
     u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
-    # query-string handling: split once, filter tracking params
+    # query-string handling: split once, filter tracking params. The
+    # query is everything after the FIRST '?' — a second '?' is legal
+    # inside a query string and must stay part of it (substring_index
+    # with -1 would take everything after the LAST one).
     base = F.regexp_replace(F.substring_index(u, "?", 1), "/$", "")
     has_q = u.contains("?")
-    params = F.split(F.substring_index(u, "?", -1), "&")
+    params = F.split(
+        F.substring(u, F.instr(u, "?") + F.lit(1), F.length(u)), "&"
+    )
     kept = F.filter(params, lambda p: ~p.rlike(TRACKING_PARAM_RE))
     rebuilt_q = F.when(
         has_q & (F.size(kept) > 0),

@@ -4851,10 +4851,10 @@ _CANON_SQL = r"""
     SELECT *,
       regexp_replace(split_part(u2, '?', 1), '/$', '')
       || (CASE WHEN contains(u2, '?')
-                AND len(list_filter(string_split(split_part(u2, '?', 2), '&'),
+                AND len(list_filter(string_split(substring(u2, instr(u2, '?') + 1), '&'),
                         p -> NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)='))) > 0
            THEN '?' || array_to_string(
-                  list_filter(string_split(split_part(u2, '?', 2), '&'),
+                  list_filter(string_split(substring(u2, instr(u2, '?') + 1), '&'),
                     p -> NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)=')), '&')
            ELSE '' END) AS canon_url
     FROM canon2),
@@ -4907,7 +4907,8 @@ s AS (
          CAST(SUM(n) OVER () AS DOUBLE) AS total
   FROM c),
 r AS (SELECT source, (total * share) / CAST(n AS DOUBLE) AS rate FROM s),
-j AS (SELECT d.doc_id, d.source, r.rate FROM documents d JOIN r USING (source)),
+j AS (SELECT d.doc_id, d.source, r.rate FROM documents d
+      JOIN r ON d.source IS NOT DISTINCT FROM r.source),
 fan AS (
   SELECT doc_id, source,
          unnest(generate_series(

@@ -444,7 +444,16 @@ class SnapshotTable:
     ) -> tuple[dict, list[dict]]:
         """(end metadata, manifest entries added after since_snapshot)."""
         end = self._metadata(end_snapshot)
-        if since_snapshot >= end["version"]:
+        if since_snapshot > end["version"]:
+            # a stale / typo'd snapshot id (recorded from another table,
+            # or after a restore) must not silently read as "nothing
+            # changed" — the incremental recompute would skip real work
+            raise ValueError(
+                f"since_snapshot {since_snapshot} is beyond the table's "
+                f"version {end['version']}; refusing to report an empty "
+                "change set for an unknown snapshot"
+            )
+        if since_snapshot == end["version"]:
             return end, []
         if since_snapshot < 0:
             raise ValueError("since_snapshot must be >= 0")

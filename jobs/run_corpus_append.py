@@ -75,6 +75,10 @@ def main(argv=None) -> int:
     inc = inc.withColumn("_rk", F.row_number().over(w)).filter(
         F.col("_rk") == 1
     ).drop("_rk")
+    # lazy localCheckpoint: n_self materializes it, and stages 2-5 (plus
+    # their count() actions) read the materialized increment instead of
+    # re-running the scan + dedup window once per action
+    inc = inc.localCheckpoint(eager=False)
     n_self = inc.count()
 
     table = SnapshotTable(spark, args.table)
@@ -110,7 +114,14 @@ def main(argv=None) -> int:
         inc.select("doc_id", "text"), ref, "text", "doc_id",
         bands=args.bands, threshold=args.threshold,
     ).select("doc_id", "kept")
-    kept = inc.join(flags, "doc_id").filter(F.col("kept") == 1).drop("kept")
+    # checkpoint before counting: without it the append would re-run
+    # the whole LSH screen (the job's dominant cost) a second time
+    kept = (
+        inc.join(flags, "doc_id")
+        .filter(F.col("kept") == 1)
+        .drop("kept")
+        .localCheckpoint(eager=False)
+    )
     n_kept = kept.count()
 
     # 5. atomic snapshot append

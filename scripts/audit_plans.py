@@ -135,7 +135,9 @@ def main() -> None:
             try:
                 r = _audit_one(spark, dq.QUERIES[name], heavy_sf)
             except Exception as e:  # noqa: BLE001
-                heavy_rows.append((name, "-", "-", f"ERROR {type(e).__name__}"))
+                heavy_rows.append(
+                    (name, "-", "-", f"ERROR {type(e).__name__}", "-")
+                )
                 continue
             b = base.get(name)
             delta = (

@@ -247,3 +247,18 @@ def test_temperature_mix_deterministic_and_sized(spark):
     # explicit total_rows: downsample everything to ~300
     out300 = temperature_mix(df, "doc_id", "source", tau=0.5, total_rows=300)
     assert abs(out300.count() - 300) < 50
+
+
+def test_temperature_mix_null_source_rows_participate(spark):
+    """NULL is a source group like any other: groupBy assigns it a
+    share, and the rate join must match it back (a plain inner join
+    would drop every NULL-source row and under-deliver total_rows)."""
+    from dea_coastlines_spark.operators.sampling import temperature_mix
+
+    rows = [(i, None if i < 500 else "web") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "doc_id", "source", tau=1.0).collect()
+    # tau=1 preserves natural proportions: every row emits exactly one
+    # copy (rate == 1 for both groups), so NULL rows must all survive
+    assert len(out) == 1000
+    assert sum(1 for r in out if r.source is None) == 500

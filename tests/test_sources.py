@@ -328,6 +328,14 @@ def test_snapshot_incremental_read(spark, tmp_path, sample_df):
         tuple(sorted(d.items())) for d in t.changed_partitions(3)
     }
 
+    # a snapshot id beyond the table's version is a stale/typo'd
+    # reference, not an empty change set — it must raise, never
+    # silently skip the incremental work-list
+    with pytest.raises(ValueError, match="beyond the table"):
+        t.read_incremental(99)
+    with pytest.raises(ValueError, match="beyond the table"):
+        t.changed_partitions(99)
+
 
 def test_snapshot_merge_partition_moving_key(spark, tmp_path, sample_df):
     """A MERGE that changes a row's PARTITION value must rewrite the

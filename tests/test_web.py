@@ -58,7 +58,48 @@ CASES = [
         "a.co.nz",
         "a.co.nz",
     ),
+    # a second '?' is legal INSIDE a query string: the query is
+    # everything after the FIRST one (a last-'?' split would delete
+    # the x=1 segment and collide distinct URLs)
+    (
+        "https://a.com/p?utm_source=f&x=1?y=2#z",
+        "https://a.com/p?x=1?y=2",
+        "a.com",
+        "a.com",
+    ),
 ]
+
+
+def test_canon_cases_match_duckdb_oracle(spark):
+    """Engine parity on the branch cases: the DuckDB replica used by
+    the url_domain_caps driver oracle (_CANON_SQL) must produce the
+    identical canon_url/host/registered_domain for every CASES row —
+    including the second-'?' query-string case."""
+    import duckdb
+
+    from dea_coastlines_spark.plans.driver_queries import _CANON_SQL
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, *_rest) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r.i: (r.canon_url, r.host, r.registered_domain)
+        for r in with_url_parts(df).collect()
+    }
+    values = ", ".join(
+        "({}, '{}')".format(i, raw.replace("'", "''"))
+        for i, (raw, *_rest) in enumerate(CASES)
+    )
+    sql = (
+        f"WITH urls AS (SELECT * FROM (VALUES {values}) t(i, url)),\n"
+        + _CANON_SQL
+        + "\nSELECT i, canon_url, host, registered_domain FROM domains"
+    )
+    want = {
+        int(r[0]): (r[1], r[2], r[3])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
 
 
 def test_canonicalization_branches(spark):
