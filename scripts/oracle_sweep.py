@@ -62,6 +62,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="BENCH/oracle_sweep_sf01.json")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--skip", default="",
+        help="comma-separated queries to leave out (e.g. oracles whose "
+        "DuckDB replica is superlinear in corpus size and only feasible "
+        "at the driver's sf0.01 — the skip list is recorded in the "
+        "report so the gap is explicit, not silent)",
+    )
     args = ap.parse_args()
 
     # sf-dependent oracle builders (semdedup / ivf centroid literals)
@@ -99,6 +106,9 @@ def main() -> int:
     if args.only:
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
+    skipped = sorted(set(args.skip.split(",")) - {""})
+    if skipped:
+        names = [n for n in names if n not in skipped]
 
     results = {}
     n_fail = 0
@@ -151,6 +161,7 @@ def main() -> int:
         "sf_dir": args.sf_dir,
         "checked": len(names),
         "failed": n_fail,
+        "skipped": skipped,
         "results": results,
     }
     Path(args.out).write_text(json.dumps(report, indent=1))
