@@ -45,10 +45,11 @@ from ..index.cells_expr import cell_id_expr
 
 DEFAULT_RES = 14  # 512 m cells
 
-# Session-wide arrow.maxRecordsPerBatch is tuned small (256) for fat
-# image rows; point-sized rows would pay one Python crossing per 256
-# rows. Kernels below re-batch their input iterator to this many rows
-# before computing — an operator-local override of the Arrow batch size.
+# Session Arrow batches are byte-bounded (32 MB) to protect fat image
+# rows, record-bounded at 10k otherwise; upstream operators can still
+# hand kernels smaller batches than ideal. Kernels below re-batch their
+# input iterator to this many rows before computing — an operator-local
+# floor on the vectorization width, independent of session batching.
 _KERNEL_BATCH_ROWS = 65536
 
 

@@ -360,8 +360,8 @@ def transect_chainages_dist(
                 rows, columns=[transect_id, "year", "chainage_m"]
             )
 
-    # rebatch: session arrow batches are small (256 rows); one Python
-    # crossing per 64k pair rows instead
+    # rebatch to a 64k-row vectorization floor: one Python crossing per
+    # 64k pair rows even when upstream hands smaller Arrow batches
     partial = pairs.mapInPandas(
         lambda it: kernel(_rebatched(it)), out_schema
     )

@@ -49,11 +49,16 @@ def _norm(v):
 
 
 def _normalize(df_pandas):
+    # Column-wise .map instead of per-row iterrows: byte-identical
+    # _norm semantics to tests/test_driver_contract.py (None -> NULL,
+    # NaN -> NaN, floats %.9g), but ~50x faster on the million-pair
+    # results (iterrows materializes a Series per row).
     cols = sorted(df_pandas.columns)
-    rows = [
-        tuple(_norm(r[c]) for c in cols)
-        for _, r in df_pandas[cols].iterrows()
-    ]
+    rows = (
+        list(zip(*(df_pandas[c].map(_norm).tolist() for c in cols)))
+        if cols and len(df_pandas)
+        else []
+    )
     return cols, sorted(rows)
 
 
@@ -79,17 +84,22 @@ def main() -> int:
 
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf_dir
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as entrymod
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
-        .config("spark.sql.adaptive.enabled", "true")
-        .appName("oracle-sweep")
-        .getOrCreate()
+    from dea_coastlines_spark.session import get_spark
+
+    # The engine's own session factory, NOT a bespoke builder: an
+    # earlier sweep hand-built a session without Arrow and spent 120 s
+    # pickling charset_jaccard's 1.9 M result rows through row-at-a-
+    # time serialization (engine time: 6 s) — the artifact then read
+    # as an engine regression. get_spark carries the tuned defaults
+    # (Arrow transfer, AQE, skew join) that bench.py and pytest use,
+    # so sweep timings measure the same engine.
+    spark = get_spark(
+        "oracle-sweep",
+        cpus=32,
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
