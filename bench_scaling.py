@@ -41,13 +41,17 @@ SPEC = dict(tile_px=256, halo_px=8, tiles_x=40, tiles_y=8,
             year0=1990, year1=2005, obs_per_year=10, cloud_frac=0.05, seed=23)
 
 
-def synth_corpus(path: str, cpus: int) -> int:
+def synth_corpus(path: str, cpus: int, scale: int = 1) -> int:
     from dea_coastlines_spark.session import get_spark
     from dea_coastlines_spark.synth import corpus
 
     spark = get_spark("bench-scaling-synth", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    spec = corpus.CorpusSpec(**SPEC)
+    # --scale multiplies tiles_x: more GROUPS of the same shape (the
+    # way a bigger AOI grows the corpus), so per-task work is unchanged
+    # and only the parallel work W grows — the lever for keeping the
+    # fixed per-job cost F (~4 s) negligible as the engine gets faster.
+    spec = corpus.CorpusSpec(**{**SPEC, "tiles_x": SPEC["tiles_x"] * scale})
     corpus.generate_spark(spark, spec).write.mode("overwrite").parquet(path)
     n = spec.tiles_x * spec.tiles_y * len(spec.years) * spec.obs_per_year
     spark.stop()
@@ -152,6 +156,12 @@ def main() -> int:
                         "from 0.70 to 1.20")
     p.add_argument("--data-sweep", action="store_true",
                    help="fixed cores, 1x vs 4x data instead of N vs 4N cores")
+    p.add_argument("--scale", type=int, default=1,
+                   help="multiply tiles_x (more same-shape groups): grows "
+                        "the parallel work W so the fixed per-job cost F "
+                        "(~4 s) stays negligible in the efficiency ratio — "
+                        "at the default corpus F alone caps the measurable "
+                        "ratio at ~0.88 even for a perfectly-scaling engine")
     p.add_argument("--out-dir", default=os.path.join(REPO, "BENCH"))
     args = p.parse_args()
 
@@ -166,7 +176,7 @@ def main() -> int:
     tmp = tempfile.mkdtemp(prefix="bench_scaling_")
     tiles_path = f"{tmp}/tiles"
     try:
-        n_tiles = synth_corpus(tiles_path, args.high)
+        n_tiles = synth_corpus(tiles_path, args.high, scale=args.scale)
         runs: dict[int, list[dict]] = {args.low: [], args.high: []}
         # interleave lo/hi so slow host-steal episodes hit both levels
         # rather than biasing one; wait out loud host windows before

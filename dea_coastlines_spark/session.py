@@ -68,3 +68,45 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Engine defaults a spark-submit entrypoint needs regardless of cluster:
+# the Arrow contract (columnar JVM<->Python transfer, byte-bounded UDF
+# batches for fat image rows) plus AQE and a pinned timezone. Everything
+# cluster-shaped (master, executors, memory, shuffle width) is left to
+# spark-submit.
+_SUBMIT_DEFAULTS = {
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(32 * 1024 * 1024),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def submit_session(app_name: str) -> SparkSession:
+    """SparkSession for a spark-submit job entrypoint.
+
+    NOT get_spark(): that factory pins a local[] master and local-mode
+    sizing for tests/bench, while a submitted job must take master /
+    executors / memory from spark-submit. What every job needs is the
+    engine's Arrow contract — in particular
+    `arrow.maxBytesPerBatch` = 32 MB: the tile tables carry ~100 KB
+    encoded images per row, so the stock 10k-records-per-batch default
+    would feed UDFs ~1 GB encoded (several GB decoded) per batch — an
+    executor OOM on a real cluster. The byte cap bounds per-task batch
+    memory no matter the row width without throttling thin rows.
+
+    Every default yields to an explicit `spark-submit --conf` (checked
+    against the properties spark-submit planted in the base SparkConf —
+    the operator knows their cluster better than the app).
+    """
+    from pyspark import SparkConf
+
+    submitted = SparkConf()  # loads the spark.* properties spark-submit set
+    builder = SparkSession.builder.appName(app_name)
+    for key, value in _SUBMIT_DEFAULTS.items():
+        if submitted.get(key, None) is None:
+            builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -31,14 +31,9 @@ def main(argv=None) -> int:
                         "(reference --no-include-styles)")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    from pyspark.sql import SparkSession
+    from dea_coastlines_spark.session import submit_session
 
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:continental")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = submit_session("dea-coastlines-spark:continental")
 
     from dea_coastlines_spark.operators import composite as comp_op
     from dea_coastlines_spark.operators import contours as cont_op

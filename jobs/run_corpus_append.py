@@ -50,16 +50,12 @@ def main(argv=None) -> int:
                    help="initialize the table from the increment if empty")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:corpus-append")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from dea_coastlines_spark.session import submit_session
+
+    spark = submit_session("dea-coastlines-spark:corpus-append")
 
     from dea_coastlines_spark.operators.dedup import cross_corpus_neardup
     from dea_coastlines_spark.sources.table import SnapshotTable

@@ -86,15 +86,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:corpus-prep")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from dea_coastlines_spark.session import submit_session
+
+    spark = submit_session("dea-coastlines-spark:corpus-prep")
 
     from dea_coastlines_spark.operators.dedup import minhash_lsh_pairs
     from dea_coastlines_spark.operators.graph import keep_canonical

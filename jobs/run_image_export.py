@@ -34,14 +34,9 @@ def main(argv=None) -> int:
                    help=">=0 drops phash near-dups at this distance")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    from pyspark.sql import SparkSession
+    from dea_coastlines_spark.session import submit_session
 
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:image-export")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = submit_session("dea-coastlines-spark:image-export")
 
     from dea_coastlines_spark.operators.bucketing import ar_bucket_shards
     from dea_coastlines_spark.operators.dedup import phash_neardup_pairs

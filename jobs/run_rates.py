@@ -23,14 +23,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-tide-filter", action="store_true")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    from pyspark.sql import SparkSession
+    from dea_coastlines_spark.session import submit_session
 
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:rates")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = submit_session("dea-coastlines-spark:rates")
 
     from dea_coastlines_spark.plans.pipeline import rates_pipeline
     from dea_coastlines_spark.sources import read_tiles

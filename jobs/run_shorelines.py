@@ -70,13 +70,9 @@ def main(argv=None) -> int:
         SparkSession.getActiveSession() is None
         and SparkContext._active_spark_context is None
     )
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:shorelines")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from dea_coastlines_spark.session import submit_session
+
+    spark = submit_session("dea-coastlines-spark:shorelines")
 
     from dea_coastlines_spark.plans.checkpoint import CheckpointedPipeline
     from dea_coastlines_spark.plans.pipeline import shoreline_pipeline

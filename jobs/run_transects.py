@@ -96,15 +96,11 @@ def main(argv=None) -> int:
                    help="Douglas-Peucker tolerance; 0 disables")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:transects")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from dea_coastlines_spark.session import submit_session
+
+    spark = submit_session("dea-coastlines-spark:transects")
 
     from dea_coastlines_spark.operators.transects import (
         generate_transects,

@@ -27,14 +27,9 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="JSON stats file")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
-    from pyspark.sql import SparkSession
+    from dea_coastlines_spark.session import submit_session
 
-    spark = (
-        SparkSession.builder.appName("dea-coastlines-spark:validation")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = submit_session("dea-coastlines-spark:validation")
 
     import numpy as np
     import pandas as pd
