@@ -96,17 +96,26 @@ def overlay_lines_polygons(
     poly_ids = polys_pdf[poly_id].tolist()
 
     # candidate pairs via cell cover of both bboxes (+ match-col
-    # equality riding the same equi-join key)
-    cover_rows = []
-    for pos, g in enumerate(polys_pdf["geometry"]):
-        x0, y0, x1, y1 = wkb.bbox(bytes(g))
-        for c in cells.polyfill_bbox(x0, y0, x1, y1, res):
-            cover_rows.append((int(c), pos, *polys_pdf.iloc[pos][match_cols]))
-    cover_df = spark.createDataFrame(
-        pd.DataFrame(
-            cover_rows, columns=["cell_id", "_poly_pos", *match_cols]
-        ).astype({"cell_id": "int64", "_poly_pos": "int64"})
+    # equality riding the same equi-join key). Built column-wise:
+    # polyfill_bbox returns an int64 array per polygon, match values
+    # gather through ONE numpy take per column — never pandas .iloc in
+    # the per-cell loop (a world-spanning certainty polygon covers 10^4+
+    # cells; per-cell Series indexing measured 33 s of a 44 s build).
+    covers = [
+        cells.polyfill_bbox(*wkb.bbox(bytes(g)), res)
+        for g in polys_pdf["geometry"]
+    ]
+    cell_cat = (
+        np.concatenate(covers) if covers else np.array([], dtype=np.int64)
     )
+    pos_cat = np.repeat(
+        np.arange(len(covers), dtype=np.int64),
+        [len(c) for c in covers],
+    )
+    cover_pdf = pd.DataFrame({"cell_id": cell_cat, "_poly_pos": pos_cat})
+    for c in match_cols:
+        cover_pdf[c] = polys_pdf[c].to_numpy()[pos_cat]
+    cover_df = spark.createDataFrame(cover_pdf)
     line_cells = _line_cells(lines.select(line_id, "geometry", *match_cols), res)
     cand = (
         line_cells.join(F.broadcast(cover_df), ["cell_id", *match_cols])
