@@ -164,7 +164,7 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
         "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
         "pack_sequences", "url_domain_caps", "bloom_screen",
-        "temperature_mix", "ngram_lm_ppl", "dsir_weights",
+        "temperature_mix", "ngram_lm_ppl", "dsir_weights", "jsonl_ingest",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
         "coastal_transects", "cell_rollup",

@@ -4510,6 +4510,100 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+# q_jsonl_ingest stages its JSONL rendering once per (application,
+# sf_dir); temp roots are removed at interpreter exit (same discipline
+# as _MERGE_UPSERT_TABLES).
+_JSONL_DIRS: dict[tuple[str, str], str] = {}
+
+# the deterministic malformed shard injected next to the good JSONL —
+# truncated objects and non-JSON lines, the shapes crawl shards
+# actually break in. COUNT is part of the oracle contract below.
+_JSONL_BAD_LINES = (
+    '{"doc_id": 1, "lang": "en", "text": "truncated',
+    "this line is not JSON at all",
+    '{"doc_id": oops}',
+    '{"doc_id": 2 "lang": "de"}',
+    "<html>stray log output</html>",
+    '{"doc_id":',
+    "}{",
+)
+
+
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL corpus ingress end-to-end (sources/jsonl.py): render the
+    documents table to newline-delimited JSON (executor-parallel sink),
+    inject a deterministic malformed shard, scan it back with a PINNED
+    schema in PERMISSIVE mode capturing unparseable lines, and
+    aggregate per-language doc counts + character volume plus one
+    quarantine row. The oracle recomputes the per-language aggregate
+    straight from the parquet and pins the quarantine count to the
+    injected-line constant — verifying the JSON round trip (values
+    survive encode/decode exactly) AND the malformed-capture contract
+    (every bad line lands in quarantine, no good line does).
+
+    NOTE on timing semantics: the JSONL staging WRITE executes at build
+    time, memoized per (applicationId, sf_dir); a bench timing measures
+    the JSONL SCAN + aggregate. (Reference ingests per-path files,
+    coastlines/raster.py:240-280; this is the tabular corpus analog.)
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl_corpus, write_jsonl
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _JSONL_DIRS.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="jsonl_ingest_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/docs"
+        write_jsonl(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+            path,
+        )
+        with open(path + "/part-corrupt-extra.json", "w") as f:
+            f.write("\n".join(_JSONL_BAD_LINES) + "\n")
+        _JSONL_DIRS[key] = path
+
+    df = read_jsonl_corpus(
+        spark, path, "doc_id bigint, lang string, text string"
+    )
+    # ONE scan, conditional key — not split_corrupt: a two-branch split
+    # would parse the corpus twice (or force a checkpoint), and a
+    # quarantine-only branch trips Spark's corrupt-column-only scan
+    # restriction. Corrupt rows have NULL text, so their group's
+    # sum_chars is NULL — the oracle mirrors that.
+    from ..sources.jsonl import DEFAULT_CORRUPT_COL as _CC
+
+    key = (
+        F.when(F.col(_CC).isNotNull(), F.lit("__quarantine__"))
+        .otherwise(F.coalesce("lang", F.lit("__null__")))
+    )
+    return (
+        df.groupBy(key.alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_JSONL_INGEST = f"""
+SELECT COALESCE(lang, '__null__') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+UNION ALL
+SELECT '__quarantine__' AS lang,
+       {len(_JSONL_BAD_LINES)} AS n_docs,
+       CAST(NULL AS BIGINT) AS sum_chars
+ORDER BY lang
+"""
+
+
 ORACLE_MERGE_UPSERT = """
 WITH target AS (
   SELECT o_orderkey, o_orderpriority, o_custkey
@@ -5187,6 +5281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "ngram_lm_ppl": q_ngram_lm_ppl,
     "dsir_weights": q_dsir_weights,
+    "jsonl_ingest": q_jsonl_ingest,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5324,6 +5419,7 @@ ORACLES: dict[str, str] = {
     "temperature_mix": _temperature_mix_sql(),
     "ngram_lm_ppl": ORACLE_NGRAM_LM_PPL,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "jsonl_ingest": ORACLE_JSONL_INGEST,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
