@@ -151,13 +151,19 @@ class SnapshotTable:
 
     # --------------------------------------------------------------- write
 
-    def _write_files(self, df: DataFrame, partition_by: list[str]) -> list[dict]:
+    def _write_files(
+        self, df: DataFrame, partition_by: list[str], cluster: bool = True
+    ) -> list[dict]:
         """Write df to a unique staging dir under data/, return manifest
         entries (path, partition tuple, rows) — files become visible
-        only when a commit references them."""
+        only when a commit references them.
+
+        cluster=False skips the partition-key repartition for callers
+        that already sized df's partitioning deliberately (compact()'s
+        multi-file-target path)."""
         stage_id = uuid.uuid4().hex[:12]
         stage_dir = f"{self.data_dir}/stage-{stage_id}"
-        if partition_by:
+        if partition_by and cluster:
             # cluster rows so each partition directory gets ONE file:
             # avoids small-files explosion AND guarantees co-location of
             # a partition key's rows (enables the shuffle-free grouped
@@ -389,6 +395,93 @@ class SnapshotTable:
         new = self._write_files(remaining, m["partition_by"])
         return self._commit(
             "delete", kept + new, m["schema_json"], m["partition_by"],
+            expected_version=m["version"],
+        )
+
+    def compact(
+        self, target_bytes: int = 128 * 1024 * 1024, min_files: int = 2
+    ) -> int:
+        """Rewrite small-file partitions into ~target_bytes files —
+        content-identical new snapshot (Iceberg rewrite_data_files
+        analog). Incremental appends (jobs/run_corpus_append.py) add one
+        file per partition per commit, so a frequently-appended table
+        accumulates files whose per-file size no scan wants; compaction
+        is the maintenance half of that write pattern. Old files stay
+        referenced by prior snapshots for time travel until vacuum().
+
+        A partition qualifies when it has >= min_files files AND its
+        total bytes fit in fewer files of target_bytes than it currently
+        has (so already-compact layouts are a no-op — returns the
+        current version without a commit). Unpartitioned tables compact
+        the whole file set under the same rule.
+
+        Rewrites batch into ONE Spark job for every partition whose
+        target is a single file (the overwhelmingly common case — the
+        existing partition-key clustering write yields exactly one file
+        per partition), plus one sized repartition(n) job per partition
+        that still needs n > 1 files."""
+        import math
+
+        m = self._metadata()
+        part_cols = m["partition_by"]
+        schema_cols = [
+            f["name"] for f in json.loads(m["schema_json"])["fields"]
+        ]
+
+        groups: dict[tuple, list[dict]] = {}
+        for e in m["files"]:
+            groups.setdefault(
+                tuple(sorted(e["partition"].items())), []
+            ).append(e)
+
+        single, multi = [], []
+        for entries in groups.values():
+            if len(entries) < min_files:
+                continue
+            total = sum(e["bytes"] for e in entries)
+            n_target = max(1, math.ceil(total / target_bytes))
+            if n_target >= len(entries):
+                continue  # can't do better than the current layout
+            # the batched single-file path relies on the partition-key
+            # clustering write; an unpartitioned table has no key, so
+            # it always takes the explicitly-sized repartition path
+            if n_target == 1 and part_cols:
+                single.append((entries, n_target))
+            else:
+                multi.append((entries, n_target))
+        if not single and not multi:
+            return m["version"]
+
+        new: list[dict] = []
+        if single:
+            batch = [e for entries, _n in single for e in entries]
+            df = self._read_entries(m, batch).select(*schema_cols)
+            new += self._write_files(df, part_cols)
+        for entries, n_target in multi:
+            df = (
+                self._read_entries(m, entries)
+                .select(*schema_cols)
+                .repartition(n_target)
+            )
+            new += self._write_files(df, part_cols, cluster=False)
+
+        rewritten = {
+            e["path"] for entries, _n in single + multi for e in entries
+        }
+        kept = [e for e in m["files"] if e["path"] not in rewritten]
+        # content-identity guard from the manifests themselves: the
+        # rewrite must carry every row (footer counts, no extra scan)
+        rows_in = sum(
+            e["rows"] for e in m["files"] if e["path"] in rewritten
+        )
+        rows_out = sum(e["rows"] for e in new)
+        if rows_in != rows_out:
+            raise RuntimeError(
+                f"compact row-count mismatch: {rows_in} in rewritten "
+                f"files, {rows_out} in their replacements"
+            )
+        return self._commit(
+            "compact", kept + new, m["schema_json"], part_cols,
             expected_version=m["version"],
         )
 

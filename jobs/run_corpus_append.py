@@ -48,6 +48,13 @@ def main(argv=None) -> int:
                    help="MinHash LSH bands (64 perms; 8x8 matches t~0.77)")
     p.add_argument("--create", action="store_true",
                    help="initialize the table from the increment if empty")
+    p.add_argument("--compact-target-bytes", type=int, default=0,
+                   help="after appending, rewrite small-file partitions "
+                        "into files of ~this size (0 = off). Daily appends "
+                        "add one file per partition per commit; periodic "
+                        "compaction keeps scan parallelism tied to bytes, "
+                        "not commit count. Old files stay time-travelable "
+                        "until vacuum().")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from pyspark.sql import functions as F
@@ -122,11 +129,16 @@ def main(argv=None) -> int:
 
     # 5. atomic snapshot append
     version = table.append(kept)
+    # 6. optional small-file compaction (a separate snapshot: readers
+    # see old+increment first, then the content-identical rewrite)
+    if args.compact_target_bytes > 0:
+        version = table.compact(target_bytes=args.compact_target_bytes)
     print(json.dumps({
         "n_increment": n_inc, "n_after_self_dedup": n_self,
         "n_after_exact": n_exact,
         "n_dropped_id_collision": n_exact - n_ids,
         "n_appended": n_kept, "version": version, "created": False,
+        "compacted": args.compact_target_bytes > 0,
     }))
     return 0
 

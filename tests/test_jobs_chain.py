@@ -385,7 +385,7 @@ def test_corpus_append_job(spark, tmp_path, capsys):
     assert out2 == {
         "n_increment": 5, "n_after_self_dedup": 5, "n_after_exact": 4,
         "n_dropped_id_collision": 1, "n_appended": 2, "version": 2,
-        "created": False,
+        "created": False, "compacted": False,
     }
     t = SnapshotTable(spark, table_path)
     assert t.read().count() == 12
@@ -393,6 +393,27 @@ def test_corpus_append_job(spark, tmp_path, capsys):
     assert sorted(r.doc_id for r in new_rows.select("doc_id").collect()) == [102, 103]
     # existing doc 5 untouched by the colliding increment row
     assert t.read().filter("doc_id = 5").collect()[0].text == doc(5)
+
+    # third run with --compact-target-bytes: append commits, then the
+    # small-file rewrite lands as its own content-identical snapshot
+    inc3 = str(tmp_path / "inc3")
+    spark.createDataFrame(
+        [(104, "fresh notes on karst aquifer tracing methods kk")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(inc3)
+    assert run_corpus_append.main(
+        ["--table", table_path, "--increment", inc3,
+         "--compact-target-bytes", str(128 * 1024 * 1024)]
+    ) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["n_appended"] == 1 and out3["compacted"] is True
+    assert out3["version"] == 4  # v3 = append, v4 = compact
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops[-2:] == ["append", "compact"]
+    assert t.read().count() == 13
+    assert len(t._metadata()["files"]) == 1  # unpartitioned -> one file
+    # the pre-compact snapshot still reads (CoW time travel)
+    assert t.read(snapshot=3).count() == 13
 
 
 def test_image_export_job(spark, tmp_path, capsys):

@@ -621,3 +621,76 @@ def test_geojsonseq_distributed_export(spark, tmp_path):
     assert feat["type"] == "Feature"
     assert feat["geometry"]["type"] == "Point"
     assert "feat_id" in feat["properties"]
+
+
+def _files_per_partition(t):
+    m = t._metadata()
+    out = {}
+    for e in m["files"]:
+        out.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+    return {k: len(v) for k, v in out.items()}
+
+
+def test_snapshot_compact_small_files(spark, tmp_path, sample_df):
+    """Repeated appends -> one file per partition per commit; compact
+    rewrites each partition to a single file with identical content,
+    and time travel to the pre-compact snapshot still works."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(100 + 10 * i + j, j % 3, f"a{i}{j}") for j in range(6)],
+                "id long, year int, val string",
+            )
+        )
+    before = t.read().orderBy("id").collect()
+    v_pre = t.current_version()
+    assert max(_files_per_partition(t).values()) == 4  # create + 3 appends
+
+    v = t.compact()
+    assert v == v_pre + 1
+    assert set(_files_per_partition(t).values()) == {1}
+    assert t.read().orderBy("id").collect() == before
+    # old snapshot untouched (CoW), and already-compact layout is a no-op
+    assert t.read(snapshot=v_pre).orderBy("id").collect() == before
+    assert t.compact() == v
+    assert [s["operation"] for s in t.snapshots()][-1] == "compact"
+
+
+def test_snapshot_compact_multi_file_target(spark, tmp_path):
+    """A partition whose bytes exceed target_bytes compacts to ceil(
+    total/target) files, not one."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, 0, "x" * 2000) for i in range(2000)],
+        "id long, year int, val string",
+    )
+    t.create(df, partition_by=["year"])
+    for _ in range(5):
+        t.append(df)
+    m = t._metadata()
+    total = sum(e["bytes"] for e in m["files"])
+    n_files_before = len(m["files"])
+    target = total // 3 + 1  # expect 3 output files
+    assert n_files_before > 3
+    before_rows = t.read().count()
+    t.compact(target_bytes=int(target))
+    after = t._metadata()["files"]
+    assert len(after) == 3
+    assert t.read().count() == before_rows
+
+
+def test_snapshot_compact_unpartitioned_and_vacuum(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df.repartition(4))
+    t.append(sample_df.repartition(4))
+    assert len(t._metadata()["files"]) == 8
+    before = t.read().orderBy("id", "val").collect()
+    t.compact()
+    assert len(t._metadata()["files"]) == 1
+    assert t.read().orderBy("id", "val").collect() == before
+    # vacuum drops the pre-compact files; the compacted head still reads
+    removed = t.vacuum(keep_last=1, min_age_s=0.0)
+    assert removed >= 8
+    assert t.read().orderBy("id", "val").collect() == before
