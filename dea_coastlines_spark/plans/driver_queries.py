@@ -4604,6 +4604,138 @@ ORDER BY lang
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-feature linear quality classifier scoring (fastText-style
+    corpus gate, operators/classifier.py): zero-Python zero-shuffle
+    map-only plan; the oracle replays the polynomial token hash,
+    bucket-weight mix, and hard-sigmoid score in DuckDB list lambdas."""
+    from ..operators.classifier import quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_classifier(d).select(
+        "doc_id", "n_feats", "score", "keep"
+    ).orderBy("doc_id")
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, len(toks) AS n_feats,
+         list_transform(toks, tok ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(tok) + 1),
+                              i -> CAST(ascii(substr(tok, CAST(i AS INT), 1))
+                                        AS BIGINT))),
+             (hh, c) -> (hh * 31 + c) % 1000003)) AS hs
+  FROM t),
+s AS (
+  SELECT doc_id, CAST(n_feats AS INT) AS n_feats,
+         CASE WHEN n_feats > 0 THEN
+           ROUND(LEAST(1.0, GREATEST(0.0,
+             (4.0 * list_reduce(
+                list_prepend(0.0,
+                  list_transform(hs, hv ->
+                    ((hv % 1024) * 2654435761) % 4096 / 2048.0 - 1.0)),
+                (a, w) -> a + w) / n_feats) * 0.25 + 0.5)), 6)
+         END AS score
+  FROM h)
+SELECT doc_id, n_feats, score,
+       COALESCE(score >= 0.5, FALSE) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval range join (operators/interval.py): every
+    45-minute maintenance window (every 97th event opens one, keyed by
+    user_id % 20) left-joined to the events it contains via the
+    bucketized equi-join — no nested-loop node — then summarized per
+    window. The oracle is DuckDB's plain inequality join."""
+    from ..operators.interval import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    windows = e.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        (F.col("user_id") % 20).alias("grp"),
+        F.col("ts").alias("wstart"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("wend"),
+    )
+    points = e.select(
+        F.col("event_id").alias("pid"),
+        (F.col("user_id") % 20).alias("grp"),
+        "ts", "value",
+    )
+    j = interval_join(
+        points, windows, "ts", "wstart", "wend", by=["grp"],
+        bucket_s=2700, how="inner",
+    )
+    return (
+        j.groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.min("pid").alias("first_pid"),
+        )
+        .orderBy("window_id")
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH w AS (
+  SELECT event_id AS window_id, user_id % 20 AS grp,
+         ts AS wstart, ts + INTERVAL 45 MINUTE AS wend
+  FROM events WHERE event_id % 97 = 0),
+p AS (SELECT event_id AS pid, user_id % 20 AS grp, ts, value FROM events)
+SELECT w.window_id, COUNT(*) AS n_events,
+       ROUND(SUM(p.value), 3) AS sum_value,
+       MIN(p.pid) AS first_pid
+FROM w JOIN p ON p.grp = w.grp AND p.ts >= w.wstart AND p.ts < w.wend
+GROUP BY w.window_id
+ORDER BY w.window_id
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join with owner-bucket exactly-once
+    dedup: two derived session-window sets over the events table; each
+    overlapping pair is emitted once with its overlap duration."""
+    from ..operators.interval import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 53 == 0).select(
+        F.col("event_id").alias("aid"),
+        F.col("ts").alias("astart"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("aend"),
+    )
+    b = e.filter(F.col("event_id") % 71 == 0).select(
+        F.col("event_id").alias("bid"),
+        F.col("ts").alias("bstart"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("bend"),
+    )
+    out = interval_overlap_join(
+        a, b, "astart", "aend", "bstart", "bend", bucket_s=3600
+    )
+    return out.select("aid", "bid", "overlap_s").orderBy("aid", "bid")
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH a AS (
+  SELECT event_id AS aid, ts AS astart, ts + INTERVAL 2 HOUR AS aend
+  FROM events WHERE event_id % 53 = 0),
+b AS (
+  SELECT event_id AS bid, ts AS bstart, ts + INTERVAL 90 MINUTE AS bend
+  FROM events WHERE event_id % 71 = 0)
+SELECT aid, bid,
+       CAST(FLOOR(epoch(LEAST(aend, bend)))
+            - FLOOR(epoch(GREATEST(astart, bstart))) AS BIGINT) AS overlap_s
+FROM a JOIN b ON astart < bend AND bstart < aend
+ORDER BY aid, bid
+"""
+
+
 ORACLE_MERGE_UPSERT = """
 WITH target AS (
   SELECT o_orderkey, o_orderpriority, o_custkey
@@ -5282,6 +5414,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_lm_ppl": q_ngram_lm_ppl,
     "dsir_weights": q_dsir_weights,
     "jsonl_ingest": q_jsonl_ingest,
+    "interval_join": q_interval_join,
+    "interval_overlap": q_interval_overlap,
+    "quality_classifier": q_quality_classifier,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5420,6 +5555,9 @@ ORACLES: dict[str, str] = {
     "ngram_lm_ppl": ORACLE_NGRAM_LM_PPL,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "jsonl_ingest": ORACLE_JSONL_INGEST,
+    "interval_join": ORACLE_INTERVAL_JOIN,
+    "interval_overlap": ORACLE_INTERVAL_OVERLAP,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
