@@ -103,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB re-derives hamming pairs, recursive-CTE components,
         # and the per-cluster quality argmax
         "keep_best_images": driver_queries.keep_best_oracle_sql,
+        # DuckDB re-derives the caption SimHash tower (UHUGEINT FNV +
+        # per-bit majority) and the bit_count(xor) cosine scoring
+        "caption_alignment": driver_queries.caption_alignment_oracle_sql,
     }
     for name, build in lazy.items():
         # a failed builder (missing testdata dir, read-only tmp) must

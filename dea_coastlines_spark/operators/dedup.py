@@ -329,26 +329,37 @@ def cross_corpus_neardup(
     )
 
 
+def simhash64(texts) -> list:
+    """64-bit SimHash (sign of FNV-hash-weighted bit sums over
+    lowercased whitespace tokens) for an iterable of strings; int64
+    (two's-complement) per text, 0 for empty/None. Shared by the text
+    near-dup kernel and the cross-modal caption tower
+    (operators/multimodal.caption_alignment)."""
+    out = []
+    for text in texts:
+        toks = (text or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        hs = _hash_str_array(toks)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out.append(int(sig.astype(np.int64)))
+    return out
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (sign of hash-weighted sum)."""
 
     def kernel(batches):
         for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                toks = (text or "").lower().split()
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = _hash_str_array(toks)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for b in range(64):
-                    if acc[b] > 0:
-                        sig |= np.uint64(1) << np.uint64(b)
-                out.append(int(sig.astype(np.int64)))
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": simhash64(pdf[text_col])}
+            )
 
     return _spread(df.select(id_col, text_col)).mapInPandas(
         kernel, f"{id_col} long, simhash long"

@@ -189,6 +189,65 @@ def resize(tiles: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def caption_alignment(
+    tiles: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Cross-modal caption↔image alignment gate — the LAION/DataComp
+    CLIP-score filtering step re-expressed over hash embeddings.
+
+    Production pipelines embed each image and its caption with a
+    two-tower encoder and drop pairs whose cosine falls below a
+    threshold. No ML runtime ships in this environment, so the towers
+    are the documented deterministic stand-ins: the image tower is the
+    64-bit perceptual hash already computed at ingest (the input_hint
+    phash column), the text tower is the caption tokens' 64-bit
+    SimHash (operators/dedup.simhash64) — both read as ±1 hypercube
+    vectors, where cosine(a, b) = 1 - 2·hamming(a, b)/64 exactly.
+    Swapping in real encoders replaces ONE projection (the towers);
+    the plan — slim column prune, one Arrow pass for the text tower,
+    JVM bit_count(xor) scoring, the gate — is the production shape.
+
+    Plan shape at 10^12 pairs: zero shuffles. Columns are pruned to
+    (id, caption, phash) BEFORE the Arrow exchange so image bytes
+    never cross into Python; scoring and the keep flag are
+    whole-stage-codegen expressions. Alignment is an exact dyadic
+    rational (k/32 - 1), so thresholds compare bit-identically on any
+    engine. Empty/NULL captions embed to signature 0 and still score —
+    screening them is the upstream integrity gate's job.
+    """
+    from .dedup import simhash64
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    phash_col: pdf[phash_col],
+                    "caption_sig": simhash64(pdf[caption_col]),
+                }
+            )
+
+    slim = tiles.select(id_col, caption_col, phash_col)
+    sigs = slim.mapInPandas(
+        kernel, f"{id_col} string, {phash_col} long, caption_sig long"
+    )
+    ham = F.bit_count(
+        F.col("caption_sig").bitwiseXOR(F.col(phash_col))
+    ).cast("int")
+    return (
+        sigs.withColumn("hamming", ham)
+        .withColumn(
+            "alignment",
+            F.round(F.lit(1.0) - F.col("hamming") * 2.0 / 64.0, 6),
+        )
+        .withColumn("keep", F.col("alignment") >= float(threshold))
+    )
+
+
 def frame_sample(tiles_meta: DataFrame, every_k: int = 2) -> DataFrame:
     """Sample every k-th observation per (tile, year) 'clip' — pure
     relational (dense_rank over obs), no decode: pruning before decode is

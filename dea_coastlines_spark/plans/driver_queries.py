@@ -4604,6 +4604,86 @@ ORDER BY lang
 """
 
 
+def q_caption_alignment(spark, sf_dir):
+    """Cross-modal caption↔image alignment gate (LAION/DataComp-style
+    CLIP-score filtering with the documented deterministic hash towers:
+    phash = image tower, caption SimHash = text tower, cosine =
+    1 - 2·hamming/64). Fully hash-verified: the oracle re-derives the
+    caption SimHash in DuckDB UHUGEINT list lambdas (the proven
+    _simhash_sql construction) over a driver-written (image_id, phash,
+    caption) parquet and scores with bit_count(xor)."""
+    from ..operators.multimodal import caption_alignment
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    return caption_alignment(tiles, threshold=0.0).select(
+        "image_id", "caption_sig", "hamming", "alignment", "keep"
+    ).orderBy("image_id")
+
+
+def caption_alignment_oracle_sql() -> str:
+    """Oracle for q_caption_alignment: same deterministic corpus
+    written to a temp parquet; DuckDB independently recomputes the
+    token FNV hashes, the per-bit majority vote, the signed signature,
+    and the hamming/alignment scoring."""
+    import os
+    import tempfile
+
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    pdf = _corpus.generate_pandas(spec)[["image_id", "phash", "caption"]]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_caption_align_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return rf"""
+WITH toks AS (
+  SELECT image_id, phash,
+         list_filter(string_split_regex(lower(caption), '\s+'),
+                     x -> x <> '') AS toks
+  FROM read_parquet('{path}')),
+hashed AS (
+  SELECT image_id, phash, list_transform(toks, s -> {_FNV_SQL}) AS hs
+  FROM toks),
+sigs AS (
+  SELECT image_id, phash,
+    CASE WHEN len(hs) = 0 THEN 0::HUGEINT
+    ELSE list_reduce(list_prepend(0::HUGEINT,
+      list_transform(generate_series(0, 63), bb ->
+        CASE WHEN 2 * list_sum(list_transform(hs,
+                      h -> ((h >> bb::UHUGEINT) & 1::UHUGEINT)::INT))
+                  > len(hs)
+             THEN (1::UHUGEINT << bb::UHUGEINT)::HUGEINT
+             ELSE 0::HUGEINT END)),
+      (acc, x) -> acc + x)
+    END AS u
+  FROM hashed),
+scored AS (
+  SELECT image_id,
+    (CASE WHEN u >= 9223372036854775808::HUGEINT
+          THEN u - 18446744073709551616::HUGEINT
+          ELSE u END)::BIGINT AS caption_sig,
+    phash
+  FROM sigs)
+SELECT image_id, caption_sig,
+       CAST(bit_count(xor(caption_sig, phash)) AS INTEGER) AS hamming,
+       ROUND(1.0 - CAST(bit_count(xor(caption_sig, phash)) AS INTEGER)
+                   * 2.0 / 64.0, 6) AS alignment,
+       (1.0 - CAST(bit_count(xor(caption_sig, phash)) AS INTEGER)
+              * 2.0 / 64.0 >= 0.0) AS keep
+FROM scored ORDER BY image_id
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5374,7 +5454,8 @@ FROM r ORDER BY doc_id
 #   r5: swap the 30 keys outside r4's head back into the head in place
 #   of blocks A+C (which will then have fresh r4 driver rows). The
 #   exact r5 head list = block E plus the block-D tail pushed out by
-#   block B's growth: ann_topk, lsh_ann_topk,
+#   block B's growth: minhash_pairs, simhash_pairs, phash_neardup,
+#   embedding_neardup, ann_topk, lsh_ann_topk,
 #   ivf_ann_topk, charset_jaccard, ngram_jaccard,
 #   dedup_passages, decontaminate, tfidf_topk, pricing_summary,
 #   mode_median, error_stats, regr_slope, join_star, semi_anti_join,
@@ -5417,6 +5498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "interval_overlap": q_interval_overlap,
     "quality_classifier": q_quality_classifier,
+    "caption_alignment": q_caption_alignment,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)

@@ -561,3 +561,54 @@ def test_augment_images_crop_flip_deterministic(spark):
     pa = a.set_index("image_id").bytes.apply(bytes).to_dict()
     pb = b.set_index("image_id").bytes.apply(bytes).to_dict()
     assert pa == pb
+
+
+def test_caption_alignment_cosine_identities(spark):
+    """phash == caption SimHash -> cosine exactly 1; complement -> -1;
+    empty caption embeds to signature 0."""
+    import pandas as pd
+
+    from dea_coastlines_spark.operators.dedup import simhash64
+    from dea_coastlines_spark.operators.multimodal import caption_alignment
+
+    cap = "annual shoreline tile composite"
+    sig = simhash64([cap])[0]
+    rows = pd.DataFrame(
+        {
+            "image_id": ["same", "opposite", "empty"],
+            "caption": [cap, cap, ""],
+            "phash": [sig, ~sig, 12345],
+        }
+    )
+    got = (
+        caption_alignment(spark.createDataFrame(rows), threshold=0.0)
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert got.loc["same", "hamming"] == 0
+    assert got.loc["same", "alignment"] == 1.0
+    assert bool(got.loc["same", "keep"])
+    assert got.loc["opposite", "hamming"] == 64
+    assert got.loc["opposite", "alignment"] == -1.0
+    assert not bool(got.loc["opposite", "keep"])
+    assert got.loc["empty", "caption_sig"] == 0
+
+
+def test_caption_alignment_prunes_bytes_before_arrow(spark):
+    """Image bytes must never cross into the Python tower pass: the
+    operator narrows to (id, caption, phash) before mapInPandas."""
+    from dea_coastlines_spark.operators.multimodal import caption_alignment
+    from dea_coastlines_spark.synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=32, halo_px=2, tiles_x=2, tiles_y=1,
+                              year0=2000, year1=2000, obs_per_year=2,
+                              cloud_frac=0.0, seed=4)
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    out = caption_alignment(tiles)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    (arrow_schema,) = re.findall(r"MapInPandas.*", plan)[:1] or [""]
+    assert "bytes" not in arrow_schema
+    got = out.toPandas()
+    assert len(got) == 4 and got["alignment"].between(-1, 1).all()
