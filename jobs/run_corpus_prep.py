@@ -11,6 +11,10 @@ Stages, in order (each an engine operator, all one job):
                            at most N docs per registered domain)
   1. PII scrub            (text.scrub_pii — JVM regexp chain)
   2. quality filter       (text.with_quality, keep --keep-quality labels)
+  2b. classifier gate     (classifier.quality_classifier — hashed
+                           linear model, map-only JVM scoring;
+                           --classifier-threshold T drops docs below T,
+                           --classifier-weights plugs trained weights)
   3. repetition filter    (text.with_repetition_signals, drop docs over
                            the Gopher thresholds; --repetition-filter)
   4. exact dedup          (first occurrence per content hash)
@@ -80,6 +84,15 @@ def main(argv=None) -> int:
                         "(exact Bloom-screened anti-join; requires "
                         "--url-col)")
     p.add_argument("--seen-bloom-bits", type=int, default=1 << 24)
+    p.add_argument("--classifier-threshold", type=float, default=0.0,
+                   metavar="T",
+                   help="hashed linear quality-classifier gate "
+                        "(operators/classifier.py): drop docs scoring "
+                        "below T (0 = stage off)")
+    p.add_argument("--classifier-weights", default="",
+                   help="optional JSON file {\"dim\": D, \"weights\": "
+                        "[..D..]} with trained bucket weights; default "
+                        "is the deterministic placeholder mix")
     p.add_argument("--rates", default="",
                    help="lang=rate,... stratified sampling rates")
     p.add_argument("--default-rate", type=float, default=1.0)
@@ -145,6 +158,26 @@ def main(argv=None) -> int:
     if args.keep_quality:
         keep = [x.strip() for x in args.keep_quality.split(",")]
         docs = docs.filter(F.col("quality").isin(keep))
+
+    if args.classifier_threshold > 0:
+        # model-based gate after the heuristic one: heuristics are
+        # cheaper per byte, so they run first and shrink the input
+        from dea_coastlines_spark.operators.classifier import (
+            quality_classifier,
+        )
+
+        kw = {}
+        if args.classifier_weights:
+            with open(args.classifier_weights) as fh:
+                spec = json.load(fh)
+            kw = {"dim": int(spec["dim"]), "weights": spec["weights"]}
+        docs = (
+            quality_classifier(
+                docs, threshold=args.classifier_threshold, **kw
+            )
+            .filter(F.col("keep"))
+            .drop("n_feats", "score", "keep")
+        )
 
     if args.repetition_filter:
         from dea_coastlines_spark.operators.text import (

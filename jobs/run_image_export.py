@@ -4,6 +4,10 @@ beyond-reference surface; consumes the input_hint table shape
 image_id/bytes/w/h/fmt/caption/phash).
 
 Stages, in order:
+  0. optional alignment gate        (multimodal.caption_alignment —
+                                     drop pairs whose caption↔image
+                                     cosine falls below --min-alignment;
+                                     hash towers, see the operator doc)
   1. optional exact near-dup drop   (phash hamming pairs -> keep-one)
   2. AR bucket + shard assignment   (bucketing.ar_bucket_shards —
                                      deterministic, partition-invariant)
@@ -32,6 +36,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-hamming", type=int, default=-1,
                    help=">=0 drops phash near-dups at this distance")
+    p.add_argument("--min-alignment", type=float, default=None,
+                   metavar="C",
+                   help="drop image/caption pairs with alignment "
+                        "cosine < C (caption_alignment hash towers; "
+                        "omit to skip the gate)")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from dea_coastlines_spark.session import submit_session
@@ -45,6 +54,20 @@ def main(argv=None) -> int:
 
     imgs = spark.read.parquet(args.images)
     n_in = imgs.count()
+
+    if args.min_alignment is not None:
+        # gate BEFORE the near-dup join: alignment is map-only (one
+        # slim Arrow pass, bytes never move), the pair join is not
+        from dea_coastlines_spark.operators.multimodal import (
+            caption_alignment,
+        )
+
+        keep_ids = (
+            caption_alignment(imgs, threshold=args.min_alignment)
+            .filter("keep")
+            .select("image_id")
+        )
+        imgs = imgs.join(keep_ids, "image_id", "left_semi")
 
     if args.max_hamming >= 0:
         pairs = phash_neardup_pairs(

@@ -227,6 +227,62 @@ def test_corpus_prep_hygiene_stages(spark, tmp_path, capsys):
     assert all("about" not in t for t in texts.values())
 
 
+def test_corpus_prep_classifier_gate(spark, tmp_path, capsys):
+    """--classifier-threshold drops exactly the docs the trained-weight
+    model scores below T; --classifier-weights round-trips the JSON."""
+    import run_corpus_prep
+    from dea_coastlines_spark.operators.classifier import (
+        HASH_MOD,
+        quality_classifier,
+    )
+
+    docs_path = str(tmp_path / "docs_c")
+    out_path = str(tmp_path / "shards_c")
+    words = ["harbor", "glacier", "forest", "timber", "quartz", "meadow"]
+    rows = [
+        (i, f"doc {i} about {words[i % 6]} uniq{i * 17} tok{i * 29}", "en")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(docs_path)
+
+    # a weights vector that up-scores 'harbor' and down-scores 'glacier'
+    def bucket(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % HASH_MOD
+        return h % 64
+
+    w = [0.0] * 64
+    w[bucket("harbor")] = 1.0
+    w[bucket("glacier")] = -1.0
+    wpath = tmp_path / "weights.json"
+    wpath.write_text(json.dumps({"dim": 64, "weights": w}))
+
+    assert run_corpus_prep.main([
+        "--documents", docs_path, "--output", out_path,
+        "--n-shards", "1",
+        "--classifier-threshold", "0.5",
+        "--classifier-weights", str(wpath),
+    ]) == 0
+    survivors = {
+        r.doc_id
+        for r in spark.read.parquet(out_path).select("doc_id").collect()
+    }
+    # independent expectation from the operator itself
+    expect = {
+        r.doc_id
+        for r in quality_classifier(
+            spark.read.parquet(docs_path), dim=64, weights=w, threshold=0.5
+        ).filter("keep").select("doc_id").collect()
+    }
+    assert survivors == expect
+    # glacier docs (negative mean weight) must be gone, harbor docs kept
+    assert not {1, 7} & survivors
+    assert {0, 6} <= survivors
+
+
 def test_corpus_prep_url_stage(spark, tmp_path, capsys):
     """--url-col canonical-URL dedup, --seen-urls Bloom screening and
     --domain-cap each drop exactly the planted documents."""
@@ -451,6 +507,23 @@ def test_image_export_job(spark, tmp_path, capsys):
     ]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < out2["n_out"] < len(pdf)
+
+    # alignment gate keeps exactly the operator's own survivors
+    from dea_coastlines_spark.operators.multimodal import caption_alignment
+
+    expect = {
+        r.image_id
+        for r in caption_alignment(
+            spark.read.parquet(imgs_path), threshold=0.0
+        ).filter("keep").select("image_id").collect()
+    }
+    assert 0 < len(expect) < len(pdf)  # gate is non-trivial on this corpus
+    assert run_image_export.main([
+        "--images", imgs_path, "--output", str(tmp_path / "wds3"),
+        "--shard-size", "16", "--min-alignment", "0.0",
+    ]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["n_out"] == len(expect)
 
 
 def test_transects_job(spark, tmp_path, capsys):
