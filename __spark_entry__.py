@@ -106,6 +106,8 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB re-derives the caption SimHash tower (UHUGEINT FNV +
         # per-bit majority) and the bit_count(xor) cosine scoring
         "caption_alignment": driver_queries.caption_alignment_oracle_sql,
+        # towers + visual-bucket join + md5 donor cap + rank window
+        "hard_negatives": driver_queries.hard_negatives_oracle_sql,
     }
     for name, build in lazy.items():
         # a failed builder (missing testdata dir, read-only tmp) must

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..codecs import image as img_codec
 
@@ -245,6 +246,100 @@ def caption_alignment(
             F.round(F.lit(1.0) - F.col("hamming") * 2.0 / 64.0, 6),
         )
         .withColumn("keep", F.col("alignment") >= float(threshold))
+    )
+
+
+def hard_negatives(
+    tiles: DataFrame,
+    k: int = 3,
+    prefix_bits: int = 16,
+    bucket_cap: int | None = 256,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for every image, the
+    k WRONG captions it is most confusable with — captions of OTHER
+    images in the same visual bucket, ranked by the cross-modal
+    alignment of (this image's tower, that caption's tower). The
+    standard CLIP-style batch-construction step, done corpus-wide and
+    deterministically instead of per-minibatch.
+
+    Towers are the caption_alignment hash stand-ins (phash image
+    tower, caption-SimHash text tower; cosine = 1 - 2·hamming/64).
+    Visual buckets are the top ``prefix_bits`` bits of the perceptual
+    hash — images sharing them look alike, so their captions make
+    HARD negatives (visually plausible, semantically wrong).
+
+    Scale shape: the pair surface is bucket-local, never corpus-wide.
+    ``bucket_cap`` bounds the candidate side per bucket (members are
+    ranked by a deterministic id hash and only the first cap serve as
+    negative DONORS; every image still RECEIVES its k negatives), so
+    one mega-bucket of look-alike images — the skew case after a
+    sloppy dedup — costs O(bucket · cap), not O(bucket²). Run
+    keep_best_images first; the cap is the backstop, not the plan.
+    Output: (image_id, rank, neg_image_id, neg_alignment), rank 1..k
+    by descending alignment, ties broken by ascending donor id.
+    """
+    from .dedup import simhash64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 1 <= prefix_bits <= 63:
+        raise ValueError("prefix_bits must be in 1..63")
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    phash_col: pdf[phash_col],
+                    "caption_sig": simhash64(pdf[caption_col]),
+                }
+            )
+
+    sigs = tiles.select(id_col, caption_col, phash_col).mapInPandas(
+        kernel, f"{id_col} string, {phash_col} long, caption_sig long"
+    )
+    bucket = F.shiftright(F.col(phash_col), 64 - prefix_bits)
+    sigs = sigs.withColumn("_hn_bucket", bucket)
+
+    donors = sigs.select(
+        F.col(id_col).alias("neg_image_id"),
+        F.col("caption_sig").alias("neg_sig"),
+        "_hn_bucket",
+    )
+    if bucket_cap is not None:
+        # md5 order = deterministic pseudo-random donor choice that any
+        # engine reproduces (same portability rationale as DSIR's
+        # md5-prefix buckets); id tie-break for the (improbable) collision
+        wcap = Window.partitionBy("_hn_bucket").orderBy(
+            F.md5(F.col("neg_image_id")), F.col("neg_image_id")
+        )
+        donors = (
+            donors.withColumn("_hn_rk", F.row_number().over(wcap))
+            .filter(F.col("_hn_rk") <= int(bucket_cap))
+            .drop("_hn_rk")
+        )
+
+    ham = F.bit_count(
+        F.col(phash_col).bitwiseXOR(F.col("neg_sig"))
+    ).cast("int")
+    pairs = (
+        sigs.join(donors, "_hn_bucket")
+        .filter(F.col(id_col) != F.col("neg_image_id"))
+        .withColumn(
+            "neg_alignment",
+            F.round(F.lit(1.0) - ham * 2.0 / 64.0, 6),
+        )
+    )
+    wtop = Window.partitionBy(id_col).orderBy(
+        F.col("neg_alignment").desc(), F.col("neg_image_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "rank", "neg_image_id", "neg_alignment")
     )
 
 

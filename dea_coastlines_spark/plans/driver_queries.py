@@ -4684,6 +4684,98 @@ FROM scored ORDER BY image_id
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (multimodal.hard_negatives):
+    top-3 most-confusable wrong captions per image within 8-bit phash
+    visual buckets, donor side capped at 16 per bucket by portable md5
+    order. Fully hash-verified: the oracle re-derives the caption
+    SimHash towers, bucket join, cap window, and rank window in DuckDB
+    over the same driver-written parquet as caption_alignment."""
+    from ..operators.multimodal import hard_negatives
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
+    return hard_negatives(
+        tiles, k=3, prefix_bits=8, bucket_cap=16
+    ).orderBy("image_id", "rank")
+
+
+def hard_negatives_oracle_sql() -> str:
+    """Oracle for q_hard_negatives: caption towers re-derived with the
+    UHUGEINT FNV/majority-vote lambdas, then the visual-bucket join,
+    md5-ordered donor cap, alignment scoring, and top-k rank window —
+    every step independently in DuckDB."""
+    import os
+    import tempfile
+
+    from ..synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=64, halo_px=4, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2002, obs_per_year=4,
+                              cloud_frac=0.05, seed=9)
+    pdf = _corpus.generate_pandas(spec)[["image_id", "phash", "caption"]]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hard_neg_{os.getpid()}.parquet",
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return rf"""
+WITH toks AS (
+  SELECT image_id, phash,
+         list_filter(string_split_regex(lower(caption), '\s+'),
+                     x -> x <> '') AS toks
+  FROM read_parquet('{path}')),
+hashed AS (
+  SELECT image_id, phash, list_transform(toks, s -> {_FNV_SQL}) AS hs
+  FROM toks),
+sigs AS (
+  SELECT image_id, phash,
+    CASE WHEN len(hs) = 0 THEN 0::HUGEINT
+    ELSE list_reduce(list_prepend(0::HUGEINT,
+      list_transform(generate_series(0, 63), bb ->
+        CASE WHEN 2 * list_sum(list_transform(hs,
+                      h -> ((h >> bb::UHUGEINT) & 1::UHUGEINT)::INT))
+                  > len(hs)
+             THEN (1::UHUGEINT << bb::UHUGEINT)::HUGEINT
+             ELSE 0::HUGEINT END)),
+      (acc, x) -> acc + x)
+    END AS u
+  FROM hashed),
+b AS (
+  SELECT image_id, phash,
+    (CASE WHEN u >= 9223372036854775808::HUGEINT
+          THEN u - 18446744073709551616::HUGEINT
+          ELSE u END)::BIGINT AS caption_sig,
+    phash >> 56 AS bucket
+  FROM sigs),
+donors AS (
+  SELECT image_id AS neg_image_id, caption_sig AS neg_sig, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY md5(image_id), image_id) AS rk
+  FROM b),
+pairs AS (
+  SELECT a.image_id, d.neg_image_id,
+         ROUND(1.0 - CAST(bit_count(xor(a.phash, d.neg_sig)) AS INTEGER)
+                     * 2.0 / 64.0, 6) AS neg_alignment
+  FROM b a JOIN donors d
+    ON a.bucket = d.bucket AND a.image_id <> d.neg_image_id
+  WHERE d.rk <= 16),
+r AS (
+  SELECT image_id, neg_image_id, neg_alignment,
+         ROW_NUMBER() OVER (PARTITION BY image_id
+                            ORDER BY neg_alignment DESC, neg_image_id)
+           AS rank
+  FROM pairs)
+SELECT image_id, CAST(rank AS INT) AS rank, neg_image_id, neg_alignment
+FROM r WHERE rank <= 3 ORDER BY image_id, rank
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5499,6 +5591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap": q_interval_overlap,
     "quality_classifier": q_quality_classifier,
     "caption_alignment": q_caption_alignment,
+    "hard_negatives": q_hard_negatives,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)

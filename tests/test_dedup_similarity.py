@@ -612,3 +612,75 @@ def test_caption_alignment_prunes_bytes_before_arrow(spark):
     assert "bytes" not in arrow_schema
     got = out.toPandas()
     assert len(got) == 4 and got["alignment"].between(-1, 1).all()
+
+
+def test_hard_negatives_matches_bruteforce(spark):
+    """Uncapped mining equals a pandas brute force over the same hash
+    towers; the donor cap only ever shrinks each image's donor pool to
+    the md5-first members of its bucket."""
+    import hashlib
+
+    import pandas as pd
+
+    from dea_coastlines_spark.operators.dedup import simhash64
+    from dea_coastlines_spark.operators.multimodal import hard_negatives
+    from dea_coastlines_spark.synth import corpus as _corpus
+
+    spec = _corpus.CorpusSpec(tile_px=32, halo_px=2, tiles_x=3, tiles_y=2,
+                              year0=2000, year1=2001, obs_per_year=3,
+                              cloud_frac=0.05, seed=21)
+    pdf = _corpus.generate_pandas(spec)
+    tiles = spark.createDataFrame(pdf)
+    k, bits = 2, 6
+
+    got = (
+        hard_negatives(tiles, k=k, prefix_bits=bits, bucket_cap=None)
+        .toPandas()
+        .sort_values(["image_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    sigs = simhash64(pdf["caption"])
+    rows = []
+    for i in range(len(pdf)):
+        bucket_i = int(pdf["phash"].iloc[i]) >> (64 - bits)
+        cands = []
+        for j in range(len(pdf)):
+            if i == j or (int(pdf["phash"].iloc[j]) >> (64 - bits)) != bucket_i:
+                continue
+            ham = bin((int(pdf["phash"].iloc[i]) ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+            cands.append((round(1 - ham * 2 / 64, 6), pdf["image_id"].iloc[j]))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for r, (al, nid) in enumerate(cands[:k], 1):
+            rows.append((pdf["image_id"].iloc[i], r, nid, al))
+    want = pd.DataFrame(
+        rows, columns=["image_id", "rank", "neg_image_id", "neg_alignment"]
+    ).sort_values(["image_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), want.astype({"rank": "int64"})
+    )
+
+    # cap semantics: donors restricted to each bucket's md5-first 3
+    capped = hard_negatives(
+        tiles, k=k, prefix_bits=bits, bucket_cap=3
+    ).toPandas()
+    by_bucket = {}
+    for j in range(len(pdf)):
+        b = int(pdf["phash"].iloc[j]) >> (64 - bits)
+        by_bucket.setdefault(b, []).append(pdf["image_id"].iloc[j])
+    allowed = set()
+    for b, ids in by_bucket.items():
+        ids.sort(key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s))
+        allowed |= set(ids[:3])
+    assert set(capped["neg_image_id"]) <= allowed
+    # an image receives negatives iff its bucket's capped donor set
+    # contains someone other than itself
+    recv = set(capped["image_id"])
+    for i in range(len(pdf)):
+        b = int(pdf["phash"].iloc[i]) >> (64 - bits)
+        iid = pdf["image_id"].iloc[i]
+        cap_set = set(
+            sorted(by_bucket[b],
+                   key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s))[:3]
+        ) - {iid}
+        assert (iid in recv) == bool(cap_set)
