@@ -103,7 +103,8 @@ class SnapshotTable:
         return out
 
     def _commit(self, operation: str, files: list[dict], schema_json: str,
-                partition_by: list[str], expected_version: int | None = None) -> int:
+                partition_by: list[str], expected_version: int | None = None,
+                retire: list[str] | None = None) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
@@ -112,6 +113,11 @@ class SnapshotTable:
                 f"v{expected_version}); re-read and retry"
             )
         v = cur + 1
+        # the retired-name tombstone list survives every commit: a
+        # dropped column's physical data still sits in old files, so
+        # re-using its name would silently resurrect stale values
+        # (name-based parquet mapping has no Iceberg field ids)
+        retired = self._metadata(cur).get("retired_names", []) if cur else []
         meta = {
             "format": "dea-coastlines-spark/snapshot-table-v1",
             "version": v,
@@ -119,6 +125,7 @@ class SnapshotTable:
             "timestamp_ms": int(time.time() * 1000),
             "partition_by": partition_by,
             "schema_json": schema_json,
+            "retired_names": sorted(set(retired) | set(retire or [])),
             "files": files,
         }
         # Publish content ATOMICALLY with the commit point: write + fsync
@@ -487,6 +494,113 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- read
 
+    # ---------------------------------------------------- schema evolution
+    #
+    # Metadata-only DDL, Iceberg-style: a new snapshot with a new
+    # schema_json and the SAME file list — zero data movement at any
+    # table size. Reads resolve heterogeneous files lazily
+    # (_read_entries), CoW rewrites materialize the current schema.
+    # Without Iceberg's field ids the mapping is name-based, so names
+    # that ever carried OTHER data (dropped columns, and the previous
+    # names of renames when their field is dropped) are tombstoned in
+    # `retired_names` and can never be reused — the alternative is
+    # silent resurrection of stale values from old files.
+
+    def _unusable_names(self, m: dict) -> set:
+        taken = set(m.get("retired_names", []))
+        for f in json.loads(m["schema_json"])["fields"]:
+            taken.add(f["name"])
+            taken.update(_previous_names(f))
+        return taken
+
+    def add_columns(self, columns: dict[str, str]) -> int:
+        """Append nullable columns (name -> Spark SQL type string, e.g.
+        "double", "array<string>"). Pre-evolution files read the new
+        columns as NULL (parquet requested-schema clipping)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        m = self._metadata()
+        taken = self._unusable_names(m)
+        schema = json.loads(m["schema_json"])
+        for name, dtype in columns.items():
+            if name in taken:
+                raise ValueError(
+                    f"column name {name!r} is in use or retired "
+                    "(re-using it would resurrect stale file data)"
+                )
+            schema["fields"].append(
+                {
+                    "name": name,
+                    "type": _parse_datatype_string(dtype).jsonValue(),
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+        return self._commit(
+            "add-columns", m["files"], json.dumps(schema),
+            m["partition_by"], expected_version=m["version"],
+        )
+
+    def drop_columns(self, names: list[str]) -> int:
+        """Remove columns from the schema (metadata-only; file bytes
+        stay until CoW rewrites/compaction age them out). Partition
+        columns cannot be dropped. The dropped names — and the whole
+        name lineage of a dropped renamed field — are retired."""
+        m = self._metadata()
+        fields = json.loads(m["schema_json"])["fields"]
+        have = {f["name"] for f in fields}
+        for n in names:
+            if n not in have:
+                raise KeyError(f"{n} is not a table column")
+            if n in m["partition_by"]:
+                raise ValueError(f"cannot drop partition column {n}")
+        if not have - set(names):
+            raise ValueError("cannot drop every column")
+        retire = []
+        kept = []
+        for f in fields:
+            if f["name"] in names:
+                retire += [f["name"], *_previous_names(f)]
+            else:
+                kept.append(f)
+        schema = json.loads(m["schema_json"])
+        schema["fields"] = kept
+        return self._commit(
+            "drop-columns", m["files"], json.dumps(schema),
+            m["partition_by"], expected_version=m["version"],
+            retire=retire,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column (metadata-only). The old name joins the
+        field's lineage so files written before the rename keep
+        resolving; partition columns cannot be renamed (their name is
+        baked into every data-file path)."""
+        m = self._metadata()
+        if old in m["partition_by"]:
+            raise ValueError(f"cannot rename partition column {old}")
+        taken = self._unusable_names(m)
+        if new in taken:
+            raise ValueError(
+                f"column name {new!r} is in use or retired "
+                "(re-using it would resurrect stale file data)"
+            )
+        schema = json.loads(m["schema_json"])
+        hit = False
+        for f in schema["fields"]:
+            if f["name"] == old:
+                meta = dict(f.get("metadata") or {})
+                meta["previous_names"] = [old, *_previous_names(f)]
+                f["metadata"] = meta
+                f["name"] = new
+                hit = True
+        if not hit:
+            raise KeyError(f"{old} is not a table column")
+        return self._commit(
+            "rename-column", m["files"], json.dumps(schema),
+            m["partition_by"], expected_version=m["version"],
+        )
+
     def read(
         self,
         snapshot: int | None = None,
@@ -623,18 +737,41 @@ class SnapshotTable:
 
     def _read_entries(self, m: dict, files: list[dict]) -> DataFrame:
         """Read an explicit manifest-entry list from snapshot metadata m
-        (the path read() and the copy-on-write rewrites share)."""
-        if not files:
-            from pyspark.sql.types import StructType
+        (the path read() and the copy-on-write rewrites share).
 
+        Schema evolution makes the file set heterogeneous: files
+        written before an add_columns lack the new columns, files
+        written before a rename_column carry the old physical name.
+        The read therefore REQUESTS an explicit physical schema — every
+        data field under its current name plus every previous name
+        (parquet requested-schema clipping returns NULL for names a
+        file lacks) — and coalesces each renamed field from its name
+        lineage: exactly one lineage name is physically present per
+        file, so the coalesce resolves losslessly. CoW rewrites
+        (merge/delete/compact) read through this path and write the
+        CURRENT schema, so files converge lazily, as in Iceberg."""
+        from pyspark.sql.types import StructType
+
+        fields = json.loads(m["schema_json"])["fields"]
+        if not files:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(m["schema_json"]))
             )
         paths = [f"{self.path}/{f['path']}" for f in files]
-        reader = self.spark.read
-        schema_cols = [
-            f["name"] for f in json.loads(m["schema_json"])["fields"]
-        ]
+        part_set = set(m["partition_by"])
+        data_fields = [f for f in fields if f["name"] not in part_set]
+        phys = []
+        for f in data_fields:
+            lineage = [f["name"], *_previous_names(f)]
+            for nm in lineage:
+                phys.append(
+                    {"name": nm, "type": f["type"], "nullable": True,
+                     "metadata": {}}
+                )
+        reader = self.spark.read.schema(
+            StructType.fromJson({"type": "struct", "fields": phys})
+        )
+        schema_cols = [f["name"] for f in fields]
         if m["partition_by"]:
             # basePath keeps partition columns, but partition values live
             # under per-commit staging dirs; recover them from dir names
@@ -674,8 +811,10 @@ class SnapshotTable:
             # the withColumn loop appends partition columns last, and a
             # positional union of an empty read with a non-empty one
             # would mis-align columns
-            return df.select(*schema_cols)
-        return reader.parquet(*paths).select(*schema_cols)
+            return _resolve_lineage(df, data_fields).select(*schema_cols)
+        return _resolve_lineage(
+            reader.parquet(*paths), data_fields
+        ).select(*schema_cols)
 
     def prune_stats(
         self,
@@ -744,6 +883,27 @@ class SnapshotTable:
             ):
                 shutil.rmtree(full)
         return removed
+
+
+def _previous_names(field: dict) -> list[str]:
+    """Name lineage a renamed field still resolves from (newest first)."""
+    return list((field.get("metadata") or {}).get("previous_names", []))
+
+
+def _resolve_lineage(df: DataFrame, data_fields: list[dict]) -> DataFrame:
+    """Coalesce every renamed field from its physical-name lineage and
+    drop the retired physical columns. Exactly one lineage name exists
+    per file (the others read as NULL via schema clipping), so the
+    coalesce is lossless — except that a genuinely-NULL value in a
+    newer file falls through to the older name, which is also NULL in
+    that file, keeping the result correct."""
+    for f in data_fields:
+        prev = _previous_names(f)
+        if prev:
+            df = df.withColumn(
+                f["name"], F.coalesce(F.col(f["name"]), *prev)
+            ).drop(*prev)
+    return df
 
 
 def _footer_column_stats(md) -> dict:

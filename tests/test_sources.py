@@ -694,3 +694,114 @@ def test_snapshot_compact_unpartitioned_and_vacuum(spark, tmp_path, sample_df):
     removed = t.vacuum(keep_last=1, min_age_s=0.0)
     assert removed >= 8
     assert t.read().orderBy("id", "val").collect() == before
+
+
+def test_schema_evolution_add_drop_rename(spark, tmp_path, sample_df):
+    """Metadata-only DDL: adds read as NULL on old files, renames
+    resolve the whole name lineage, drops disappear; mixed-era file
+    sets read consistently and time travel sees each era's schema."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])  # v1
+
+    v2 = t.add_columns({"score": "double", "tags": "array<string>"})
+    assert v2 == 2
+    got = t.read()
+    assert set(got.columns) == {"id", "year", "val", "score", "tags"}
+    assert got.filter("score IS NOT NULL").count() == 0  # old files -> NULL
+    # a post-evolution append carries real values
+    t.append(spark.createDataFrame(
+        [(100, 3, "new", 0.9, ["a", "b"])],
+        "id long, year int, val string, score double, tags array<string>",
+    ))  # v3
+    got = t.read()
+    assert got.filter("score IS NOT NULL").count() == 1
+    assert got.filter("id = 100").collect()[0].tags == ["a", "b"]
+    # time travel: v1 has the original schema
+    assert set(t.read(snapshot=1).columns) == {"id", "year", "val"}
+
+    # rename resolves BOTH eras (files written before and after)
+    v4 = t.rename_column("val", "label")
+    got = t.read()
+    assert "val" not in got.columns
+    vals = {r.id: r.label for r in got.collect()}
+    assert vals[0] == "v0" and vals[100] == "new"
+    # second rename extends the lineage
+    t.rename_column("label", "name")
+    vals = {r.id: r.name for r in t.read().collect()}
+    assert vals[7] == "v7" and vals[100] == "new"
+    # a post-rename append writes the new physical name and still reads
+    t.append(spark.createDataFrame(
+        [(101, 3, "fresh", None, None)],
+        "id long, year int, name string, score double, tags array<string>",
+    ))
+    assert {r.name for r in t.read().filter("id >= 100").collect()} == {
+        "new", "fresh"}
+
+    # drop: disappears from reads; name (and lineage) is tombstoned
+    t.drop_columns(["score"])
+    assert "score" not in t.read().columns
+    with pytest.raises(ValueError, match="retired"):
+        t.add_columns({"score": "double"})
+    t.drop_columns(["name"])
+    for dead in ("name", "label", "val"):
+        with pytest.raises(ValueError, match="retired"):
+            t.add_columns({dead: "string"})
+    assert set(t.read().columns) == {"id", "year", "tags"}
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops.count("add-columns") == 1
+    assert ops.count("rename-column") == 2
+    assert ops.count("drop-columns") == 2
+
+
+def test_schema_evolution_guards(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    with pytest.raises(ValueError, match="partition"):
+        t.rename_column("year", "yr")
+    with pytest.raises(ValueError, match="partition"):
+        t.drop_columns(["year"])
+    with pytest.raises(KeyError):
+        t.drop_columns(["nope"])
+    with pytest.raises(KeyError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="in use"):
+        t.add_columns({"val": "string"})
+    with pytest.raises(ValueError, match="in use"):
+        t.rename_column("val", "id")
+    t.rename_column("val", "label")
+    # the previous name stays unusable while its field lives
+    with pytest.raises(ValueError, match="in use"):
+        t.add_columns({"val": "string"})
+    t.drop_columns(["id"])
+    assert set(t.read().columns) == {"year", "label"}
+    # an unpartitioned table refuses to drop its last columns
+    u = SnapshotTable(spark, str(tmp_path / "u"))
+    u.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="cannot drop every column"):
+        u.drop_columns(["id", "v"])
+
+
+def test_schema_evolution_cow_materializes_current_schema(
+    spark, tmp_path, sample_df
+):
+    """A merge after add+rename rewrites touched files under the
+    CURRENT schema; untouched old files keep resolving via lineage."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    t.add_columns({"score": "double"})
+    t.rename_column("val", "label")
+    src = spark.createDataFrame(
+        [(0, 0, "upd", 1.5)], "id long, year int, label string, score double"
+    )
+    t.merge(src, on=["id"])
+    got = t.read()
+    assert got.count() == 30
+    row = got.filter("id = 0").collect()[0]
+    assert row.label == "upd" and row.score == 1.5
+    # untouched rows still resolve the renamed column from old files
+    assert got.filter("id = 1").collect()[0].label == "v1"
+    # compact converges every file to the current physical schema
+    t.compact()
+    assert t.read().count() == 30
+    assert {r.label for r in t.read().filter("id <= 1").collect()} == {
+        "upd", "v1"}
