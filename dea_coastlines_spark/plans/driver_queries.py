@@ -5546,7 +5546,8 @@ FROM r ORDER BY doc_id
 #   r5: swap the 30 keys outside r4's head back into the head in place
 #   of blocks A+C (which will then have fresh r4 driver rows). The
 #   exact r5 head list = block E plus the block-D tail pushed out by
-#   block B's growth: minhash_pairs, simhash_pairs, phash_neardup,
+#   block B's growth: multimodal_decode_stats, dedup_exact,
+#   minhash_pairs, simhash_pairs, phash_neardup,
 #   embedding_neardup, ann_topk, lsh_ann_topk,
 #   ivf_ann_topk, charset_jaccard, ngram_jaccard,
 #   dedup_passages, decontaminate, tfidf_topk, pricing_summary,

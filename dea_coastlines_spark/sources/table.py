@@ -492,6 +492,122 @@ class SnapshotTable:
             expected_version=m["version"],
         )
 
+    def rewrite_sorted(
+        self,
+        sort_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
+        target_bytes: int = 128 * 1024 * 1024,
+        zorder_bits: int = 16,
+    ) -> int:
+        """Data-layout rewrite for scan pruning — the Iceberg
+        rewrite_data_files(strategy='sort' | 'zorder') analog. Rewrites
+        every partition's rows range-clustered so per-file column
+        min/max stats become narrow and read(stats_where=...) SKIPS
+        files a range predicate cannot match instead of opening them.
+        Content-identical snapshot (row-count guard), old files remain
+        time-travelable until vacuum().
+
+        sort_by: lexicographic range clustering (repartitionByRange +
+        sortWithinPartitions) — ideal for one dominant filter column.
+        zorder_by: two numeric columns interleaved bitwise on
+        ``zorder_bits``-bucket QUANTILE ranks (edges from
+        approxQuantile, so skew cannot collapse buckets) — balanced
+        pruning for 2-D box predicates, the classic spatial layout.
+        Exactly one of the two must be given.
+
+        Scale: one range shuffle per partition group (Spark's range
+        partitioner samples keys, no global sort barrier); the zorder
+        key is a pure JVM expression (bucket lookup over broadcast
+        literal edges + constant-folded bit interleave)."""
+        import math
+
+        if (sort_by is None) == (zorder_by is None):
+            raise ValueError("give exactly one of sort_by / zorder_by")
+        m = self._metadata()
+        part_cols = m["partition_by"]
+        schema_cols = [
+            f["name"] for f in json.loads(m["schema_json"])["fields"]
+        ]
+        data_cols = [c for c in schema_cols if c not in part_cols]
+        for c in list(sort_by or []) + list(zorder_by or []):
+            if c not in data_cols:
+                raise KeyError(
+                    f"{c} is not a data column (partition columns are "
+                    "constant per file — sorting them prunes nothing)"
+                )
+
+        def _zkey(df: DataFrame):
+            cx, cy = zorder_by
+            nb = int(zorder_bits)
+            # quantile edges once, driver-side, bounded error; literals
+            # broadcast with the plan
+            ex, ey = df.stat.approxQuantile(
+                [cx, cy], [i / nb for i in range(1, nb)], 0.001
+            )
+            def bucket(col, edges):
+                b = F.lit(0)
+                for e in edges:
+                    b = b + F.when(
+                        F.col(col).cast("double") >= float(e), 1
+                    ).otherwise(0)
+                return b
+            bx, by = bucket(cx, ex), bucket(cy, ey)
+            bits = max(1, (nb - 1)).bit_length()
+            z = F.lit(0).cast("long")
+            for i in range(bits):
+                # Column | is LOGICAL or in PySpark — bitwiseOR is the
+                # bit interleave
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(bx, i).bitwiseAND(F.lit(1)).cast("long"),
+                        2 * i + 1,
+                    )
+                ).bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(by, i).bitwiseAND(F.lit(1)).cast("long"),
+                        2 * i,
+                    )
+                )
+            return df.withColumn("_zkey", z)
+
+        groups: dict[tuple, list[dict]] = {}
+        for e in m["files"]:
+            groups.setdefault(
+                tuple(sorted(e["partition"].items())), []
+            ).append(e)
+
+        new: list[dict] = []
+        rewritten: set = set()
+        for entries in groups.values():
+            total = sum(e["bytes"] for e in entries)
+            n_target = max(1, math.ceil(total / target_bytes))
+            df = self._read_entries(m, entries).select(*schema_cols)
+            if sort_by is not None:
+                keys = [F.col(c) for c in sort_by]
+            else:
+                df = _zkey(df)
+                keys = [F.col("_zkey")]
+            df = df.repartitionByRange(n_target, *keys)
+            df = df.sortWithinPartitions(*keys).select(*schema_cols)
+            new += self._write_files(df, part_cols, cluster=False)
+            rewritten |= {e["path"] for e in entries}
+
+        kept = [e for e in m["files"] if e["path"] not in rewritten]
+        rows_in = sum(
+            e["rows"] for e in m["files"] if e["path"] in rewritten
+        )
+        rows_out = sum(e["rows"] for e in new)
+        if rows_in != rows_out:
+            raise RuntimeError(
+                f"rewrite row-count mismatch: {rows_in} in rewritten "
+                f"files, {rows_out} in their replacements"
+            )
+        op = "rewrite-sorted" if sort_by is not None else "rewrite-zorder"
+        return self._commit(
+            op, kept + new, m["schema_json"], part_cols,
+            expected_version=m["version"],
+        )
+
     # ---------------------------------------------------------------- read
 
     # ---------------------------------------------------- schema evolution

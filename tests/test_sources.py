@@ -805,3 +805,77 @@ def test_schema_evolution_cow_materializes_current_schema(
     assert t.read().count() == 30
     assert {r.label for r in t.read().filter("id <= 1").collect()} == {
         "upd", "v1"}
+
+
+def test_rewrite_sorted_enables_file_skipping(spark, tmp_path):
+    """Sort rewrite narrows per-file id ranges so a stats_where range
+    opens ~1 file instead of all; content stays identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(4000).tolist()
+    df = spark.createDataFrame(
+        [(int(i), f"p{i}") for i in ids], "id long, payload string"
+    ).repartition(8)  # shuffled: every file spans ~the full id range
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    before = t.prune_stats(stats_where={"id": (100, 150)})
+    assert before["kept_files"] == before["total_files"]  # no skip possible
+
+    v = t.rewrite_sorted(sort_by=["id"], target_bytes=12_000)
+    assert t.snapshots()[-1]["operation"] == "rewrite-sorted"
+    after = t.prune_stats(stats_where={"id": (100, 150)})
+    assert after["total_files"] >= 4
+    assert after["kept_files"] <= 2  # disjoint ranges -> narrow prune
+    # content identity + correctness of the pruned read
+    got = t.read(stats_where={"id": (100, 150)}).filter(
+        "id BETWEEN 100 AND 150"
+    )
+    assert got.count() == 51
+    assert t.read().count() == 4000
+    assert t.read(snapshot=v - 1).count() == 4000  # time travel intact
+
+
+def test_rewrite_zorder_prunes_box_queries(spark, tmp_path):
+    """Z-order rewrite prunes 2-D box predicates on BOTH axes; a
+    single-axis sort cannot do that for the second column."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    xs = rng.uniform(0, 1000, n)
+    ys = rng.uniform(0, 1000, n)
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "id long, x double, y double",
+    ).repartition(8)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(df)
+    t.rewrite_sorted(zorder_by=("x", "y"), target_bytes=20_000)
+    assert t.snapshots()[-1]["operation"] == "rewrite-zorder"
+    st = t.prune_stats(stats_where={"x": (0.0, 120.0), "y": (0.0, 120.0)})
+    assert st["total_files"] >= 6
+    # a corner box touches a corner of the Z-curve -> most files skip
+    assert st["kept_files"] < st["total_files"] / 2
+    got = t.read(
+        stats_where={"x": (0.0, 120.0), "y": (0.0, 120.0)}
+    ).filter("x <= 120 AND y <= 120")
+    want = sum(1 for x, y in zip(xs, ys) if x <= 120 and y <= 120)
+    assert got.count() == want
+    assert t.read().count() == n
+
+
+def test_rewrite_sorted_partitioned_and_guards(spark, tmp_path, sample_df):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(sample_df, partition_by=["year"])
+    with pytest.raises(ValueError, match="exactly one"):
+        t.rewrite_sorted()
+    with pytest.raises(ValueError, match="exactly one"):
+        t.rewrite_sorted(sort_by=["id"], zorder_by=("id", "id"))
+    with pytest.raises(KeyError, match="data column"):
+        t.rewrite_sorted(sort_by=["year"])
+    v = t.rewrite_sorted(sort_by=["id"], target_bytes=1 << 30)
+    got = t.read()
+    assert got.count() == 30
+    assert dict(got.dtypes)["year"] == "int"  # partition layout intact
+    assert t.read(where={"year": 1}).count() == 10
