@@ -258,11 +258,36 @@ class SnapshotTable:
                 )
                 for d in drop_partitions
             }
+        # legacy-layout files (partition evolution) may hold rows of
+        # MANY current-layout partitions: rewrite them with the replaced
+        # partitions' rows anti-joined out (typed equi keys — exact),
+        # which also migrates them to the current layout.
+        legacy = [
+            e for e in m["files"] if set(e["partition"]) != set(part_cols)
+        ]
         kept = [
             e
             for e in m["files"]
-            if tuple(sorted(e["partition"].items())) not in replaced
+            if set(e["partition"]) == set(part_cols)
+            and tuple(sorted(e["partition"].items())) not in replaced
         ]
+        if legacy:
+            repl_keys = df.select(*part_cols).distinct()
+            if drop_partitions:
+                extra = self.spark.createDataFrame(
+                    [tuple(d[c] for c in part_cols) for d in drop_partitions],
+                    repl_keys.schema,
+                )
+                repl_keys = repl_keys.unionByName(extra).distinct()
+            ldf = self._read_entries(m, legacy)
+            cond = None
+            for c in part_cols:
+                # eqNullSafe: a replaced NULL-valued partition must also
+                # anti-match legacy rows carrying NULL
+                term = ldf[c].eqNullSafe(repl_keys[c])
+                cond = term if cond is None else cond & term
+            survivors = ldf.join(repl_keys, cond, "left_anti")
+            new += self._write_files(survivors, part_cols)
         return self._commit(
             "overwrite_partitions", kept + new, m["schema_json"], part_cols,
             expected_version=m["version"],
@@ -315,10 +340,16 @@ class SnapshotTable:
                 )
                 for r in source.select(*part_cols).distinct().collect()
             }
-            kept = [
-                e for e in m["files"]
-                if tuple(sorted(e["partition"].items())) not in touched
-            ]
+            # legacy-layout entries (partition evolution) cannot be
+            # classified by current-layout tuples — always rewrite them
+            # (which also migrates them to the current layout)
+            def _is_affected(e):
+                return (
+                    set(e["partition"]) != set(part_cols)
+                    or tuple(sorted(e["partition"].items())) in touched
+                )
+
+            kept = [e for e in m["files"] if not _is_affected(e)]
             if kept and not set(part_cols) <= set(on):
                 # The upsert can MOVE a row across partitions: a target
                 # row whose key matches a source row may live in a
@@ -348,14 +379,8 @@ class SnapshotTable:
                     )
                     for r in moved
                 }
-            affected = [
-                e for e in m["files"]
-                if tuple(sorted(e["partition"].items())) in touched
-            ]
-            kept = [
-                e for e in m["files"]
-                if tuple(sorted(e["partition"].items())) not in touched
-            ]
+            affected = [e for e in m["files"] if _is_affected(e)]
+            kept = [e for e in m["files"] if not _is_affected(e)]
         else:
             affected, kept = m["files"], []
         target = self._read_entries(m, affected)
@@ -387,9 +412,12 @@ class SnapshotTable:
             for col, want in where.items():
                 if col not in m["partition_by"]:
                     raise KeyError(f"{col} is not a partition column")
+                # legacy-layout files stay IN scope (conservative): the
+                # row-level condition re-applies exactly below
                 affected = [
                     f for f in affected
-                    if _part_match(f["partition"].get(col), want)
+                    if col not in f["partition"]
+                    or _part_match(f["partition"][col], want)
                 ]
         affected_paths = {e["path"] for e in affected}
         kept = [e for e in files if e["path"] not in affected_paths]
@@ -687,14 +715,43 @@ class SnapshotTable:
             retire=retire,
         )
 
+    def set_partitioning(self, cols: list[str]) -> int:
+        """Partition evolution (metadata-only): FUTURE writes lay out
+        under `cols`; existing files keep their layout and stay fully
+        readable — a column lives in the directory path for old files
+        and in the parquet data for new ones (or vice versa), and
+        _read_entries resolves whichever side exists per file. CoW
+        rewrites and compact/rewrite_sorted migrate files to the
+        current layout as they touch them; partition pruning
+        (read(where=...)) stays EXACT by keeping legacy files
+        conservatively and re-applying the predicate as a row filter.
+        `cols=[]` un-partitions the table going forward."""
+        m = self._metadata()
+        have = {f["name"] for f in json.loads(m["schema_json"])["fields"]}
+        for c in cols:
+            if c not in have:
+                raise KeyError(f"{c} is not a table column")
+        if list(cols) == m["partition_by"]:
+            return m["version"]
+        return self._commit(
+            "set-partitioning", m["files"], m["schema_json"], list(cols),
+            expected_version=m["version"],
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column (metadata-only). The old name joins the
         field's lineage so files written before the rename keep
-        resolving; partition columns cannot be renamed (their name is
-        baked into every data-file path)."""
+        resolving; columns whose name is baked into any data-file path
+        (current partition columns, and former ones while pre-evolution
+        files remain) cannot be renamed."""
         m = self._metadata()
-        if old in m["partition_by"]:
-            raise ValueError(f"cannot rename partition column {old}")
+        if old in m["partition_by"] or any(
+            old in f["partition"] for f in m["files"]
+        ):
+            raise ValueError(
+                f"cannot rename partition column {old} (its name is in "
+                "data-file paths; compact/rewrite first)"
+            )
         taken = self._unusable_names(m)
         if new in taken:
             raise ValueError(
@@ -742,11 +799,21 @@ class SnapshotTable:
         via Catalyst as usual."""
         m = self._metadata(snapshot)
         files = m["files"]
+        post_filters = []
         if where:
             for col, want in where.items():
                 if col not in m["partition_by"]:
                     raise KeyError(f"{col} is not a partition column")
-                files = [f for f in files if _part_match(f["partition"].get(col), want)]
+                # partition evolution: a legacy-layout file has no
+                # manifest value for this key — keep it (conservative)
+                # and re-apply the predicate as an exact row filter
+                if any(col not in f["partition"] for f in files):
+                    post_filters.append(_pred_column(col, want))
+                files = [
+                    f for f in files
+                    if col not in f["partition"]
+                    or _part_match(f["partition"][col], want)
+                ]
         if stats_where:
             schema_cols = {
                 f["name"] for f in json.loads(m["schema_json"])["fields"]
@@ -759,7 +826,10 @@ class SnapshotTable:
                         f"{col} is a partition column — use where="
                     )
                 files = [f for f in files if _stats_match(f, col, want)]
-        return self._read_entries(m, files)
+        out = self._read_entries(m, files)
+        for p in post_filters:
+            out = out.filter(p)
+        return out
 
     def _new_entries(
         self, since_snapshot: int, end_snapshot: int | None,
@@ -859,13 +929,22 @@ class SnapshotTable:
         written before an add_columns lack the new columns, files
         written before a rename_column carry the old physical name.
         The read therefore REQUESTS an explicit physical schema — every
-        data field under its current name plus every previous name
-        (parquet requested-schema clipping returns NULL for names a
-        file lacks) — and coalesces each renamed field from its name
-        lineage: exactly one lineage name is physically present per
-        file, so the coalesce resolves losslessly. CoW rewrites
-        (merge/delete/compact) read through this path and write the
-        CURRENT schema, so files converge lazily, as in Iceberg."""
+        field under its current name plus every previous name (parquet
+        requested-schema clipping returns NULL for names a file lacks)
+        — and coalesces each renamed field from its name lineage:
+        exactly one lineage name is physically present per file, so the
+        coalesce resolves losslessly.
+
+        Partition evolution (set_partitioning) additionally makes the
+        LAYOUT heterogeneous: a column may live in the directory path
+        for some files and inside the parquet data for others. Every
+        name that is a current partition column or appears as a
+        partition key of any entry being read resolves as
+        coalesce(path-derived value, physical column) — per file
+        exactly one of the two exists. CoW rewrites (merge/delete/
+        compact/rewrite_sorted) read through this path and write the
+        CURRENT schema and layout, so files converge lazily, as in
+        Iceberg."""
         from pyspark.sql.types import StructType
 
         fields = json.loads(m["schema_json"])["fields"]
@@ -875,61 +954,66 @@ class SnapshotTable:
             )
         paths = [f"{self.path}/{f['path']}" for f in files]
         part_set = set(m["partition_by"])
-        data_fields = [f for f in fields if f["name"] not in part_set]
+        for f in files:
+            part_set |= set(f["partition"])
         phys = []
-        for f in data_fields:
-            lineage = [f["name"], *_previous_names(f)]
-            for nm in lineage:
+        for f in fields:
+            for nm in [f["name"], *_previous_names(f)]:
                 phys.append(
                     {"name": nm, "type": f["type"], "nullable": True,
                      "metadata": {}}
                 )
-        reader = self.spark.read.schema(
+        df = self.spark.read.schema(
             StructType.fromJson({"type": "struct", "fields": phys})
-        )
+        ).parquet(*paths)
         schema_cols = [f["name"] for f in fields]
-        if m["partition_by"]:
-            # basePath keeps partition columns, but partition values live
-            # under per-commit staging dirs; recover them from dir names
-            # relative to each stage root instead.
-            df = reader.parquet(*paths)
-            for col in m["partition_by"]:
-                raw = F.regexp_extract(
-                    F.input_file_name(), f"/{col}=([^/]+)/", 1
+        for col in sorted(part_set):
+            if col not in schema_cols:
+                # a historical partition key whose field was dropped —
+                # nothing in the current schema resolves from it
+                continue
+            # partition values live under per-commit staging dirs;
+            # recover them from dir names relative to each stage root.
+            raw = F.regexp_extract(
+                F.input_file_name(), f"/{col}=([^/]+)/", 1
+            )
+
+            # input_file_name() is a URI, so the dir segment is
+            # URI-encoded ON TOP of Hive path escaping (value "a%b"
+            # -> Hive dir "a%25b" -> URI "a%2525b"; space is NOT
+            # Hive-escaped but IS URI-encoded). Two decode passes
+            # invert both layers exactly; url_decode additionally
+            # maps '+' -> ' ' which neither layer produces, so
+            # shield literal '+' before each pass.
+            def _decode_once(c):
+                return F.url_decode(
+                    F.regexp_replace(c, r"\+", "%2B")
                 )
 
-                # input_file_name() is a URI, so the dir segment is
-                # URI-encoded ON TOP of Hive path escaping (value "a%b"
-                # -> Hive dir "a%25b" -> URI "a%2525b"; space is NOT
-                # Hive-escaped but IS URI-encoded). Two decode passes
-                # invert both layers exactly; url_decode additionally
-                # maps '+' -> ' ' which neither layer produces, so
-                # shield literal '+' before each pass.
-                def _decode_once(c):
-                    return F.url_decode(
-                        F.regexp_replace(c, r"\+", "%2B")
-                    )
-
-                decoded = _decode_once(_decode_once(raw))
-                # a NULL partition value is written as the Hive default-
-                # partition sentinel; map it back to NULL BEFORE the
-                # cast (under ANSI mode casting the sentinel to a
-                # non-string type throws; for string columns the
-                # sentinel would otherwise leak through as a literal)
-                decoded = F.when(
-                    decoded == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
-                ).otherwise(decoded)
-                df = df.withColumn(
-                    col,
-                    decoded.cast(_partition_dtype(m["schema_json"], col)),
-                )
-            # schema_json column ORDER, matching the empty-prune branch:
-            # the withColumn loop appends partition columns last, and a
-            # positional union of an empty read with a non-empty one
-            # would mis-align columns
-            return _resolve_lineage(df, data_fields).select(*schema_cols)
+            decoded = _decode_once(_decode_once(raw))
+            # a NULL partition value is written as the Hive default-
+            # partition sentinel; map it back to NULL BEFORE the
+            # cast (under ANSI mode casting the sentinel to a
+            # non-string type throws; for string columns the
+            # sentinel would otherwise leak through as a literal)
+            decoded = F.when(
+                decoded == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+            ).otherwise(decoded)
+            typed = decoded.cast(_partition_dtype(m["schema_json"], col))
+            # raw == "" means this file has no such path segment: the
+            # value (if any) is the file's physical column. A file that
+            # HAS the segment carries the authoritative value there
+            # (never both — the writer drops partition columns from
+            # file data).
+            df = df.withColumn(
+                col, F.when(raw == "", F.col(col)).otherwise(typed)
+            )
+        # schema_json column ORDER, matching the empty-prune branch:
+        # the withColumn loop reorders appended columns, and a
+        # positional union of an empty read with a non-empty one
+        # would mis-align columns
         return _resolve_lineage(
-            reader.parquet(*paths), data_fields
+            df, [f for f in fields if _previous_names(f)]
         ).select(*schema_cols)
 
     def prune_stats(
@@ -945,7 +1029,13 @@ class SnapshotTable:
         kept = self.read(where=where, stats_where=stats_where)  # validates
         files = m["files"]
         for col, want in (where or {}).items():
-            files = [f for f in files if _part_match(f["partition"].get(col), want)]
+            # legacy-layout files (partition evolution) are kept
+            # conservatively, mirroring read()
+            files = [
+                f for f in files
+                if col not in f["partition"]
+                or _part_match(f["partition"][col], want)
+            ]
         for col, want in (stats_where or {}).items():
             files = [f for f in files if _stats_match(f, col, want)]
         return {
@@ -1120,6 +1210,25 @@ def _unescape_partition(s: str) -> str:
     return re.sub(
         r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
     )
+
+
+def _pred_column(col: str, want) -> F.Column:
+    """read(where=...)'s predicate as a row-level Column — the exact
+    re-application for legacy-layout files manifest pruning cannot
+    classify (same forms as _part_match: value | list | (lo, hi))."""
+    c = F.col(col)
+    if isinstance(want, tuple) and len(want) == 2:
+        return (c >= F.lit(want[0])) & (c <= F.lit(want[1]))
+    if isinstance(want, (list, set)):
+        vals = list(want)
+        non_null = [v for v in vals if v is not None]
+        p = c.isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in vals):
+            p = p | c.isNull()
+        return p
+    if want is None:
+        return c.isNull()
+    return c == F.lit(want)
 
 
 def _part_match(raw: str | None, want) -> bool:

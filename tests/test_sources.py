@@ -879,3 +879,97 @@ def test_rewrite_sorted_partitioned_and_guards(spark, tmp_path, sample_df):
     assert got.count() == 30
     assert dict(got.dtypes)["year"] == "int"  # partition layout intact
     assert t.read(where={"year": 1}).count() == 10
+
+
+def test_partition_evolution_read_and_prune(spark, tmp_path):
+    """set_partitioning changes layout for FUTURE writes only; mixed
+    layouts read consistently, pruning stays exact (legacy files kept
+    conservatively + row filter), and rewrites migrate files."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [(i, i % 3, i % 5, f"v{i}") for i in range(30)],
+        "id long, year int, cell int, val string",
+    )
+    t.create(df1, partition_by=["year"])  # v1: year-partitioned
+    t.set_partitioning(["year", "cell"])  # v2: finer layout forward
+    assert t.snapshots()[-1]["operation"] == "set-partitioning"
+    t.append(spark.createDataFrame(
+        [(100 + i, 3, i % 5, "new") for i in range(10)],
+        "id long, year int, cell int, val string",
+    ))  # v3: new layout files
+    got = t.read()
+    assert got.count() == 40
+    # legacy rows resolve year from path, cell from file data;
+    # new rows resolve both from path
+    assert got.filter("id = 7").collect()[0].cell == 2
+    assert got.filter("id = 104").collect()[0].cell == 4
+    # pruning on the NEW key is exact: legacy files kept + row filter
+    c3 = t.read(where={"cell": 3})
+    assert sorted(r.id for r in c3.collect()) == sorted(
+        [i for i in range(30) if i % 5 == 3] + [103, 108]
+    )
+    st = t.prune_stats(where={"cell": 3})
+    assert st["kept_files"] < st["total_files"]  # new-layout files pruned
+    # pruning on the old key still prunes legacy files AND filters new
+    y1 = t.read(where={"year": 1})
+    assert sorted(r.id for r in y1.collect()) == [i for i in range(30)
+                                                  if i % 3 == 1]
+
+    # un-partition going forward
+    t.set_partitioning([])
+    t.append(spark.createDataFrame(
+        [(200, 9, 9, "flat")], "id long, year int, cell int, val string"
+    ))
+    got = t.read()
+    assert got.count() == 41
+    assert got.filter("id = 200").collect()[0].year == 9
+    # where= now refuses (no partition columns in the current spec)
+    with pytest.raises(KeyError):
+        t.read(where={"year": 1})
+
+
+def test_partition_evolution_merge_and_overwrite(spark, tmp_path):
+    """CoW ops stay row-exact across mixed layouts and migrate legacy
+    files to the current layout."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(30)],
+            "id long, year int, val string",
+        ),
+        partition_by=["year"],
+    )
+    t.add_columns({"val_bucket": "int"})
+    t.set_partitioning(["val_bucket"])  # a fresh partition key
+    # merge under the new layout: key pins nothing; legacy files are
+    # always affected, so the matched row is really replaced
+    src = spark.createDataFrame(
+        [(7, 1, "upd", 0), (300, 0, "ins", 1)],
+        "id long, year int, val string, val_bucket int",
+    )
+    t.merge(src, on=["id"])
+    got = t.read()
+    assert got.count() == 31
+    assert got.filter("id = 7").collect()[0].val == "upd"
+    assert got.filter("id = 7").count() == 1  # no duplicate survivor
+    # every file now carries the current layout (legacy all rewritten)
+    m = t._metadata()
+    assert all(set(e["partition"]) == {"val_bucket"} for e in m["files"])
+
+    # overwrite under another evolution: legacy (val_bucket) files hold
+    # rows of many year partitions; replaced year's rows must vanish
+    t.set_partitioning(["year"])
+    repl = spark.createDataFrame(
+        [(1000, 1, "recomputed", 5)],
+        "id long, year int, val string, val_bucket int",
+    )
+    t.overwrite_partitions(repl)
+    got = t.read()
+    y1 = got.filter("year = 1").collect()
+    assert len(y1) == 1 and y1[0].val == "recomputed"
+    # other years' rows all survived the legacy rewrite
+    assert got.count() == 1 + got.filter("year != 1").count()
+    assert got.filter("year = 0").count() == 11  # 10 originals + id 300
+    # delete scoped to a partition stays exact across mixed layout
+    t.delete_where("id >= 1000", where={"year": 1})
+    assert t.read().filter("year = 1").count() == 0
