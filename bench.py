@@ -174,7 +174,7 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         # exact group percentiles, snapshot-table read (the CoW write
         # path executes once at build time — the timing is the read)
         "zonal_stats", "transect_rates", "group_percentiles",
-        "merge_upsert",
+        "merge_upsert", "table_evolution",
     ]
     # best-of-2 after a warmup pass: this sandbox host shows bursty
     # vCPU steal; a single timed run can read 2-3x high across the board

@@ -4908,6 +4908,87 @@ ORDER BY aid, bid
 """
 
 
+_TABLE_EVOLUTION_TABLES: dict[tuple, str] = {}
+
+
+def q_table_evolution(spark, sf_dir):
+    """Schema + partition evolution end-to-end on the snapshot table:
+    create partitioned by priority, rename a column, add a column,
+    re-partition by a derived bucket, append under the new layout,
+    Z-order-rewrite the whole table (migrating legacy files), then
+    aggregate BOTH eras' rows through the mixed-resolution read path.
+    The oracle recomputes the final content relationally straight from
+    orders — verifying that no row was lost, duplicated, or mis-read
+    across two layouts and three schema versions. Same build-time
+    memoized-write semantics as q_merge_upsert (the timing measures
+    the final read + aggregate)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources import SnapshotTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TABLE_EVOLUTION_TABLES.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="table_evolution_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/t"
+        orders = _t(spark, sf_dir, "orders")
+        base = orders.filter(F.col("o_orderkey") <= 500).select(
+            "o_orderkey", "o_orderpriority", "o_custkey"
+        )
+        t = SnapshotTable(spark, path)
+        t.create(base, partition_by=["o_orderpriority"])
+        t.rename_column("o_custkey", "cust")
+        t.add_columns({"bucket": "int"})
+        t.set_partitioning(["bucket"])
+        extra = orders.filter(
+            (F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 800)
+        ).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_custkey").alias("cust"),
+            (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+        )
+        t.append(extra)
+        t.rewrite_sorted(zorder_by=("o_orderkey", "cust"),
+                         target_bytes=1 << 20)
+        _TABLE_EVOLUTION_TABLES[key] = path
+    else:
+        t = SnapshotTable(spark, path)
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cust").alias("sum_cust"),
+            F.count("bucket").alias("n_bucketed"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_TABLE_EVOLUTION = """
+WITH final AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey AS cust,
+         CAST(NULL AS INTEGER) AS bucket
+  FROM orders WHERE o_orderkey <= 500
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_custkey AS cust,
+         CAST(o_orderkey % 4 AS INTEGER) AS bucket
+  FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 800
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(cust) AS BIGINT) AS sum_cust,
+       COUNT(bucket) AS n_bucketed,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_MERGE_UPSERT = """
 WITH target AS (
   SELECT o_orderkey, o_orderpriority, o_custkey
@@ -5593,6 +5674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "caption_alignment": q_caption_alignment,
     "hard_negatives": q_hard_negatives,
+    "table_evolution": q_table_evolution,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5734,6 +5816,7 @@ ORACLES: dict[str, str] = {
     "interval_join": ORACLE_INTERVAL_JOIN,
     "interval_overlap": ORACLE_INTERVAL_OVERLAP,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "table_evolution": ORACLE_TABLE_EVOLUTION,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
