@@ -84,6 +84,7 @@ HEAVY_SF_QUERIES = [
     "dedup_clusters", "url_domain_caps", "bloom_screen",
     "rates_regression", "group_percentiles", "cell_rollup",
     "ngram_lm_ppl", "dsir_weights",
+    "interval_join", "interval_overlap", "quality_classifier",
 ]
 
 
