@@ -104,7 +104,8 @@ class SnapshotTable:
 
     def _commit(self, operation: str, files: list[dict], schema_json: str,
                 partition_by: list[str], expected_version: int | None = None,
-                retire: list[str] | None = None) -> int:
+                retire: list[str] | None = None,
+                txn: tuple[str, int] | None = None) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
@@ -118,6 +119,9 @@ class SnapshotTable:
         # re-using its name would silently resurrect stale values
         # (name-based parquet mapping has no Iceberg field ids)
         retired = self._metadata(cur).get("retired_names", []) if cur else []
+        txns = dict(self._metadata(cur).get("txns", {})) if cur else {}
+        if txn is not None:
+            txns[txn[0]] = max(int(txn[1]), int(txns.get(txn[0], -1)))
         meta = {
             "format": "dea-coastlines-spark/snapshot-table-v1",
             "version": v,
@@ -126,6 +130,7 @@ class SnapshotTable:
             "partition_by": partition_by,
             "schema_json": schema_json,
             "retired_names": sorted(set(retired) | set(retire or [])),
+            "txns": txns,
             "files": files,
         }
         # Publish content ATOMICALLY with the commit point: write + fsync
@@ -222,13 +227,32 @@ class SnapshotTable:
         files = self._write_files(df, partition_by)
         return self._commit("create", files, df.schema.json(), partition_by)
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Append df as a new snapshot. (txn_app, txn_version) makes
+        the append IDEMPOTENT — the Delta txnAppId/txnVersion pattern
+        streaming foreachBatch sinks need for exactly-once: the table
+        records the highest committed version per app id, and a replay
+        of an already-committed (app, version) returns the current
+        version WITHOUT writing (the crash-between-table-commit-and-
+        checkpoint-commit window otherwise duplicates the batch)."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version come together")
         base_v = self.current_version()
         m = self._metadata(base_v)
+        if txn_app is not None:
+            done = m.get("txns", {}).get(txn_app)
+            if done is not None and int(txn_version) <= int(done):
+                return base_v  # replayed batch: already committed
         new = self._write_files(df, m["partition_by"])
         return self._commit(
             "append", m["files"] + new, m["schema_json"], m["partition_by"],
             expected_version=base_v,
+            txn=(txn_app, int(txn_version)) if txn_app is not None else None,
         )
 
     def overwrite_partitions(

@@ -281,3 +281,56 @@ def test_streaming_exact_dedup_first_seen_wins(spark, dirs):
     assert texts == sorted(f"doc {i}" for i in range(5))
     # survivors keep full rows with valid ids from the input
     assert all(0 <= r.doc_id < 12 for r in rows)
+
+
+def test_table_ingest_exactly_once(spark, tmp_path):
+    """File-stream -> snapshot-table ingest: all rows land, a restart
+    with the same checkpoint ingests only NEW files, and a replayed
+    (txn_app, txn_version) append is a no-op (the crash-between-
+    commits window)."""
+    from dea_coastlines_spark.sources.table import SnapshotTable
+    from dea_coastlines_spark.streaming.ingest import start_table_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_table_ingest(stream, table, ckpt, ingest_id="t1",
+                               dedupe_cols=["doc_id"])
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    t = SnapshotTable(spark, table)
+    assert t.read().count() == 10
+
+    # second wave of files, same checkpoint: only the delta appends
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8, 16)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    got = t.read()
+    assert got.count() == 16  # 8..9 screened as duplicates by key
+    assert got.select("doc_id").distinct().count() == 16
+
+    # replayed batch id (crash between table commit and checkpoint
+    # commit): same txn version appends nothing
+    v_before = t.current_version()
+    extra = spark.createDataFrame([(99, "replay")], schema)
+    m = t._metadata()
+    done = m["txns"]["t1"]
+    assert t.append(extra, txn_app="t1", txn_version=done) == v_before
+    assert t.read().count() == 16
+    # a NEWER version still appends
+    t.append(extra, txn_app="t1", txn_version=done + 1)
+    assert t.read().count() == 17
+    with pytest.raises(ValueError, match="come together"):
+        t.append(extra, txn_app="t1")
