@@ -166,7 +166,7 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         "pack_sequences", "url_domain_caps", "bloom_screen",
         "temperature_mix", "ngram_lm_ppl", "dsir_weights", "jsonl_ingest",
         "interval_join", "interval_overlap", "quality_classifier",
-        "caption_alignment", "hard_negatives",
+        "caption_alignment", "hard_negatives", "chunk_documents",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
         "coastal_transects", "cell_rollup",

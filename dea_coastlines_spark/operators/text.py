@@ -159,6 +159,60 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / long-context
+    pretraining splitter): each document becomes ceil((n - overlap) /
+    stride) chunks of up to `window` whitespace tokens, consecutive
+    chunks sharing `overlap` tokens; a final fragment shorter than the
+    overlap is still emitted iff it is the document's only chunk.
+    Deterministic ids: (doc_id, chunk_idx).
+
+    All JVM: tokenize once (materialized — see lower-tokens note),
+    chunk starts via sequence(), slices + concat_ws rebuild the text.
+    Map-side only, no shuffle; row fan-out is the output itself.
+    Whitespace-normalized reconstruction: chunk text joins tokens with
+    single spaces (the standard normalization; byte-exact offsets
+    would come from a char-offset variant).
+
+    Output: (id_col, chunk_idx int, n_chunk_tokens int, chunk string).
+    """
+    if window < 1 or overlap < 0 or overlap >= window:
+        raise ValueError("need window >= 1 and 0 <= overlap < window")
+    stride = window - overlap
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")
+                  ).otherwise(F.split(trimmed, WS_CLASS))
+    out = df.withColumn("_ck_toks", toks)
+    n = F.size(F.col("_ck_toks"))
+    # chunk starts: 0, stride, 2*stride, ... while start < max(n - overlap, 1)
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil((n - F.lit(overlap)) / F.lit(stride)) - 1, F.lit(0)
+            ).cast("int")
+            * stride,
+            F.lit(stride),
+        )
+    )
+    out = out.select(
+        id_col, "_ck_toks", F.posexplode_outer(starts).alias("chunk_idx", "_ck_start")
+    ).filter(F.col("_ck_start").isNotNull())
+    piece = F.slice(F.col("_ck_toks"), F.col("_ck_start") + 1, window)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk"),
+    )
+
+
 # ------------------------------------------------- corpus-level cleanup
 
 # RE2-compatible (no lookbehind/lookahead) so the DuckDB oracle can run

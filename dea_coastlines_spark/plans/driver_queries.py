@@ -4776,6 +4776,43 @@ FROM r WHERE rank <= 3 ORDER BY image_id, rank
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (RAG / long-context splitter,
+    operators/text.chunk_documents): 20-token windows, 5-token overlap,
+    map-only fan-out. The oracle rebuilds the chunk grid with DuckDB
+    generate_series + list slicing."""
+    from ..operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return chunk_documents(d, window=20, overlap=5).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(TRIM(text), '[ \t\n\r\f\x0B]+')
+         END AS toks
+  FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT doc_id, toks,
+         CAST(GREATEST(CEIL((len(toks) - 5) / 15.0) - 1, 0) AS INTEGER)
+           AS last_i
+  FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks, UNNEST(generate_series(0, last_i)) AS chunk_idx
+  FROM g)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20]) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 20], ' ')
+         AS chunk
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5675,6 +5712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_alignment": q_caption_alignment,
     "hard_negatives": q_hard_negatives,
     "table_evolution": q_table_evolution,
+    "chunk_documents": q_chunk_documents,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5817,6 +5855,7 @@ ORACLES: dict[str, str] = {
     "interval_overlap": ORACLE_INTERVAL_OVERLAP,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "table_evolution": ORACLE_TABLE_EVOLUTION,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,

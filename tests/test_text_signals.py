@@ -292,3 +292,52 @@ def test_dedup_passages_no_python_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_chunk_documents_edges_and_coverage(spark):
+    """Chunk grid: full token coverage with exact overlap, short docs
+    one chunk, empty docs none; map-only plan."""
+    import pandas as pd
+
+    from dea_coastlines_spark.operators.text import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                " ".join(f"t{i}" for i in range(10)),  # 10 toks
+                "a b c",                                # shorter than window
+                "",                                     # empty -> no chunks
+                " ".join(f"u{i}" for i in range(12)),   # exact multiple
+            ],
+        }
+    )
+    out = (
+        chunk_documents(spark.createDataFrame(docs), window=4, overlap=1)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    assert list(d0.chunk) == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"
+    ]
+    assert list(d0.n_chunk_tokens) == [4, 4, 4]
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk) == ["a b c"] and list(d1.chunk_idx) == [0]
+    assert len(out[out.doc_id == 2]) == 0
+    d3 = out[out.doc_id == 3]
+    # 12 toks, stride 3: starts 0,3,6,9 -> last chunk 3 tokens
+    assert list(d3.n_chunk_tokens) == [4, 4, 4, 3]
+    assert d3.chunk.iloc[-1] == "u9 u10 u11"
+
+    plan = (
+        chunk_documents(spark.createDataFrame(docs), window=4, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(spark.createDataFrame(docs), window=4, overlap=4)
