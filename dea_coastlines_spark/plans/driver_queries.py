@@ -4813,6 +4813,50 @@ FROM c ORDER BY doc_id, chunk_idx
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event_type
+    (operators/sketch.hll_distinct, p=10): map-only Arrow (bucket, rho)
+    kernel, then two map-side-combinable aggregations whose shuffle
+    volume is O(groups * 2^p) regardless of row count — the mergeable-
+    register cardinality sketch every 10^12-row planning pass relies
+    on. The oracle replays splitmix64, the exact integer register sum
+    (UHUGEINT), and the linear-counting correction bit-for-bit."""
+    from ..operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", ["event_type"], p=10).orderBy(
+        "event_type"
+    )
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketch import hll_sql
+
+    return hll_sql("events", "user_id", ["event_type"], p=10) + (
+        " ORDER BY event_type"
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters over the documents corpus
+    (operators/sketch.cms_heavy_hitters, depth 4 x width 1024): exact
+    per-token reduce (the word-count shuffle), then the counter grid is
+    folded from the DISTINCT-token table (no second pass over raw
+    tokens) and the exact top-20 probe it broadcast-side. cms_count >=
+    exact_count by construction; integer end-to-end. The oracle replays
+    the FNV-1a + splitmix bucket hashes and the min-probe in DuckDB."""
+    from ..operators.sketch import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(d, "text", k=20, depth=4, width=1024)
+
+
+def _cms_oracle() -> str:
+    from ..operators.sketch import cms_sql
+
+    return cms_sql("documents", "text", k=20, depth=4, width=1024)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5664,7 +5708,8 @@ FROM r ORDER BY doc_id
 #   r5: swap the 30 keys outside r4's head back into the head in place
 #   of blocks A+C (which will then have fresh r4 driver rows). The
 #   exact r5 head list = block E plus the block-D tail pushed out by
-#   block B's growth: multimodal_decode_stats, dedup_exact,
+#   block B's growth: keep_best_images, image_quality,
+#   corpus_integrity, multimodal_decode_stats, dedup_exact,
 #   minhash_pairs, simhash_pairs, phash_neardup,
 #   embedding_neardup, ann_topk, lsh_ann_topk,
 #   ivf_ann_topk, charset_jaccard, ngram_jaccard,
@@ -5713,6 +5758,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "table_evolution": q_table_evolution,
     "chunk_documents": q_chunk_documents,
+    "hll_distinct": q_hll_distinct,
+    "heavy_hitters": q_heavy_hitters,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5856,6 +5903,8 @@ ORACLES: dict[str, str] = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "table_evolution": ORACLE_TABLE_EVOLUTION,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "hll_distinct": _hll_oracle(),
+    "heavy_hitters": _cms_oracle(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
