@@ -4857,6 +4857,33 @@ def _cms_oracle() -> str:
     return cms_sql("documents", "text", k=20, depth=4, width=1024)
 
 
+def q_pagerank(spark, sf_dir):
+    """8 synchronous PageRank iterations over a deterministic citation
+    graph (operators/pagerank.py) in fixed-point integer arithmetic:
+    every division is an integer div and every sum an integer sum, so
+    the ranks are partition-order invariant and hash-verifiable — the
+    oracle unrolls the same recurrence as 8 chained GROUP BY CTEs
+    (aggregation inside recursive CTEs is not portable SQL; a fixed
+    iteration count needs no recursion). Top-20 by rank."""
+    from ..operators.pagerank import pagerank_fixed_point, synth_citation_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_citation_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    ranks = pagerank_fixed_point(nodes, edges, id_col="id", iters=8)
+    return (
+        ranks.orderBy(F.desc("rank_fp"), F.asc("id"))
+        .limit(20)
+        .select(F.col("id").alias("doc_id"), "rank_fp")
+    )
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.pagerank import pagerank_sql
+
+    return pagerank_sql(iters=8, k=20)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5760,6 +5787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
+    "pagerank": q_pagerank,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5905,6 +5933,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "hll_distinct": _hll_oracle(),
     "heavy_hitters": _cms_oracle(),
+    "pagerank": _pagerank_oracle(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
