@@ -167,7 +167,7 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         "temperature_mix", "ngram_lm_ppl", "dsir_weights", "jsonl_ingest",
         "interval_join", "interval_overlap", "quality_classifier",
         "caption_alignment", "hard_negatives", "chunk_documents",
-        "hll_distinct", "heavy_hitters", "pagerank",
+        "hll_distinct", "heavy_hitters", "pagerank", "ivfpq_ann_topk",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
         "coastal_transects", "cell_rollup",

@@ -4884,6 +4884,48 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(iters=8, k=20)
 
 
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ ANN top-5 (operators/pq.py): the memory-scale path of the
+    ANN family — 8x64 product quantization (~32x vector compression:
+    8 sub-byte codes vs 64 float32),
+    coarse-cluster candidate join, JVM-side ADC table-lookup scoring.
+    All post-training arithmetic is exact fixed-point integers, so the
+    DuckDB oracle (refit quantizers from the same deterministic sample,
+    embedded as literals) reproduces codes and ADC sums bit-for-bit."""
+    from ..operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, queries, k=5, n_clusters=16, nprobe=4, m=8, ksub=64
+    ).orderBy("query_id", "rank")
+
+
+def ivfpq_ann_oracle_sql() -> str:
+    """Hash-verified oracle for q_ivfpq_ann_topk: refits the coarse
+    quantizer AND the PQ codebook from the same deterministic sample
+    (lowest-20000 vec_ids, seeded, fixed iterations) and embeds both as
+    literals; DuckDB recomputes assignment, probes, integer codes, and
+    ADC sums independently (see operators/pq.ivfpq_oracle_sql)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.pq import ivfpq_oracle_sql, pq_fit_codebook_np
+    from ..operators.similarity import kmeans_fit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = pdf.sort_values("vec_id").head(20_000)
+    x = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    coarse = kmeans_fit(x, n_clusters=16, n_iter=10, seed=0)
+    codebook = pq_fit_codebook_np(x, m=8, ksub=64, n_iter=10, seed=0)
+    return ivfpq_oracle_sql(coarse, codebook, n_queries=10, k=5, nprobe=4)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5788,6 +5830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "pagerank": q_pagerank,
+    "ivfpq_ann_topk": q_ivfpq_ann_topk,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5934,6 +5977,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": _hll_oracle(),
     "heavy_hitters": _cms_oracle(),
     "pagerank": _pagerank_oracle(),
+    "ivfpq_ann_topk": ivfpq_ann_oracle_sql(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
