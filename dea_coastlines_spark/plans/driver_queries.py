@@ -4926,6 +4926,38 @@ def ivfpq_ann_oracle_sql() -> str:
     return ivfpq_oracle_sql(coarse, codebook, n_queries=10, k=5, nprobe=4)
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficients over the
+    deterministic citation graph (operators/triangles.py), top-20 by
+    participation. The Spark plan uses degree-ordered orientation
+    (compact-forward) so hub wedges can't explode at web scale; the
+    oracle counts the same triangles from the unoriented a<b<c form —
+    orientation changes the plan, never the integers."""
+    from ..operators.pagerank import synth_citation_edges
+    from ..operators.triangles import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_citation_edges(docs)
+    return (
+        triangle_counts(edges)
+        .orderBy(F.desc("tri_count"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _triangles_oracle() -> str:
+    from ..operators.sketch import _splitmix_sql_fragment
+    from ..operators.triangles import triangles_sql
+
+    sm = _splitmix_sql_fragment("CAST(id * 31 + k AS UBIGINT)::UHUGEINT")
+    edges_cte = f"""nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+edges AS (
+  SELECT id AS src, CAST(({sm}) % (SELECT n FROM nn)::UHUGEINT AS BIGINT) AS dst
+  FROM nodes, (VALUES (1),(2),(3)) AS ks(k))"""
+    return triangles_sql(edges_cte) + " ORDER BY tri_count DESC, id LIMIT 20"
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5831,6 +5863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "pagerank": q_pagerank,
     "ivfpq_ann_topk": q_ivfpq_ann_topk,
+    "triangle_counts": q_triangle_counts,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -5978,6 +6011,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _cms_oracle(),
     "pagerank": _pagerank_oracle(),
     "ivfpq_ann_topk": ivfpq_ann_oracle_sql(),
+    "triangle_counts": _triangles_oracle(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
