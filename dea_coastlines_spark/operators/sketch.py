@@ -122,10 +122,20 @@ def hll_distinct(
     result is independent of partition count and combine order —
     required for the cross-engine value-hash gate, and a freebie for
     reproducible pipelines."""
+    regs = hll_registers(df, key_col, group_cols, p)
+    return registers_to_estimates(regs, group_cols, p)
+
+
+def registers_to_estimates(
+    regs: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Register table -> (group..., n_registers, estimate).  A pure
+    function of the registers, shared by the batch sketch and the
+    streaming store reader (streaming/sketch_stream.py) — which is why
+    the stream converges to the batch estimate exactly."""
     m = 1 << p
     rho_max = 64 - p + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(df, key_col, group_cols, p)
     # integer term 2^(rho_max - rho) fits a bigint (rho >= 1); the sum
     # (up to m * 2^rho_max ~ 2^65 at p=10) needs decimal headroom
     # shiftleft() needs a literal bit count, so spell it in SQL

@@ -2713,6 +2713,51 @@ ORDER BY text_md5
 """
 
 
+_HLL_STREAM_STORES: dict[tuple, str] = {}
+
+
+def q_streaming_hll_parity(spark, sf_dir):
+    """Batch-equivalence gate for the streaming HyperLogLog
+    (streaming/sketch_stream.py): events split into 4 files stream in
+    as 4 micro-batches whose registers max-merge into a persisted
+    store; the estimates read from that store must equal the batch
+    sketch bit-for-bit (registers are merge-invariant state, and the
+    estimate is a pure function of them) — so the same DuckDB oracle
+    that checks hll_distinct checks the stream. The stream executes at
+    build time, memoized per (applicationId, sf_dir) like merge_upsert;
+    a bench timing measures the store read + estimate aggregate."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..streaming.sketch_stream import read_estimates, start_hll_stream
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    store = _HLL_STREAM_STORES.get(key)
+    if store is None:
+        root = _tf.mkdtemp(prefix="hll_stream_")
+        src = _os.path.join(root, "src")
+        # 4 source files -> 4 micro-batches at maxFilesPerTrigger=1:
+        # the parity is over a genuinely incremental run, not one batch
+        _t(spark, sf_dir, "events").repartitionByRange(
+            4, "event_id"
+        ).write.parquet(src)
+        store = _os.path.join(root, "store")
+        q = start_hll_stream(
+            spark, src, store, _os.path.join(root, "ckpt"), p=10
+        )
+        q.awaitTermination(300)
+        _HLL_STREAM_STORES[key] = store
+    return read_estimates(spark, store, p=10).orderBy("event_type")
+
+
+def _hll_stream_oracle() -> str:
+    from ..operators.sketch import hll_sql
+
+    return hll_sql("events", "user_id", ["event_type"], p=10) + (
+        " ORDER BY event_type"
+    )
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     from ..operators.multimodal import decode_stats
     from ..synth import corpus as _corpus
@@ -5809,7 +5854,8 @@ FROM r ORDER BY doc_id
 #   r5: swap the 30 keys outside r4's head back into the head in place
 #   of blocks A+C (which will then have fresh r4 driver rows). The
 #   exact r5 head list = block E plus the block-D tail pushed out by
-#   block B's growth: keep_best_images, image_quality,
+#   block B's growth: spatial_pip_join, knn_anchor_join, overlay_clip,
+#   keep_best_images, image_quality,
 #   corpus_integrity, multimodal_decode_stats, dedup_exact,
 #   minhash_pairs, simhash_pairs, phash_neardup,
 #   embedding_neardup, ann_topk, lsh_ann_topk,
@@ -5864,6 +5910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "ivfpq_ann_topk": q_ivfpq_ann_topk,
     "triangle_counts": q_triangle_counts,
+    "streaming_hll_parity": q_streaming_hll_parity,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -6012,6 +6059,7 @@ ORACLES: dict[str, str] = {
     "pagerank": _pagerank_oracle(),
     "ivfpq_ann_topk": ivfpq_ann_oracle_sql(),
     "triangle_counts": _triangles_oracle(),
+    "streaming_hll_parity": _hll_stream_oracle(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,

@@ -99,3 +99,38 @@ def test_hll_plan_shape(spark, events):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
     assert "HashAggregate" in plan
+
+
+def test_streaming_hll_converges_to_batch(spark, events, tmp_path):
+    """4-micro-batch stream over a 4-file split of events: the register
+    store and the estimates must equal the batch sketch exactly —
+    merge-invariance of HLL state, end to end through foreachBatch."""
+    from dea_coastlines_spark.streaming.sketch_stream import (
+        read_estimates,
+        start_hll_stream,
+    )
+
+    src = str(tmp_path / "src")
+    events.repartitionByRange(4, "event_id").write.parquet(src)
+    store = str(tmp_path / "store")
+    q = start_hll_stream(spark, src, store, str(tmp_path / "ckpt"), p=10)
+    q.awaitTermination(300)
+    got = read_estimates(spark, store, p=10)
+    want = sketch.hll_distinct(events, "user_id", ["event_type"], p=10)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_hll_replay_idempotent(spark, events, tmp_path):
+    """At-least-once safety: re-merging an already-applied batch leaves
+    the store unchanged (max is idempotent), so a replayed micro-batch
+    after a crash cannot corrupt the sketch."""
+    from dea_coastlines_spark.streaming.sketch_stream import _merge_registers
+
+    store = str(tmp_path / "store2")
+    regs = sketch.hll_registers(events, "user_id", ["event_type"], p=10)
+    _merge_registers(store, regs).write.parquet(store)
+    once = spark.read.parquet(store)
+    again = _merge_registers(store, regs)  # same batch re-applied
+    assert again.exceptAll(once).count() == 0
+    assert once.exceptAll(again).count() == 0
