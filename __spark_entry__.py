@@ -108,6 +108,9 @@ def oracle_sql() -> dict[str, str]:
         "caption_alignment": driver_queries.caption_alignment_oracle_sql,
         # towers + visual-bucket join + md5 donor cap + rank window
         "hard_negatives": driver_queries.hard_negatives_oracle_sql,
+        # sequential composite recompute + plain-loop pyramid; DuckDB
+        # reads the replayed fingerprint rows
+        "tile_pyramid": driver_queries.tile_pyramid_oracle_sql,
     }
     for name, build in lazy.items():
         # a failed builder (missing testdata dir, read-only tmp) must

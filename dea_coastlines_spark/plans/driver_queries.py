@@ -2758,6 +2758,75 @@ def _hll_stream_oracle() -> str:
     )
 
 
+def _pyramid_spec():
+    from ..synth.corpus import CorpusSpec
+
+    return CorpusSpec(tile_px=64, halo_px=4, tiles_x=4, tiles_y=4,
+                      year0=2000, year1=2001, obs_per_year=4,
+                      cloud_frac=0.05, seed=13)
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Overview pyramid over the annual composite mosaics
+    (operators/pyramid.py): 4x4 level-0 tiles -> 2x2 -> 1x1 per year,
+    each level one quadrant shuffle + grouped Arrow kernel. Output rows
+    carry fixed-point pixel fingerprints, so the hash gate verifies the
+    distributed quadrant assembly and level chaining pixel-exactly
+    against a single-threaded replay."""
+    from ..operators.composite import annual_composites
+    from ..operators.pyramid import build_pyramid
+    from ..synth import corpus as _corpus
+
+    tiles = _corpus.generate_spark(spark, _pyramid_spec())
+    comps = annual_composites(tiles, apply_tide_filter=True)
+    return build_pyramid(comps, levels=2).orderBy("year", "level", "x", "y")
+
+
+def tile_pyramid_oracle_sql() -> str:
+    """Hash-verified oracle for q_tile_pyramid: sequential composite
+    recompute (shared with the shoreline oracles), then the pyramid as
+    plain dict loops — one big in-memory mosaic per level in place of
+    the quadrant shuffle and the grouped map."""
+    import pandas as pd
+
+    from ..operators.pyramid import (
+        _tile_row,
+        assemble_parent,
+    )
+
+    comps, _ = _sequential_composites(_pyramid_spec(), apply_tide_filter=True)
+    spec = _pyramid_spec()
+    rows = []
+    # level 0: halo-cropped mosaics
+    level_px: dict[tuple, dict] = {}
+    for (tx, ty, year), c in sorted(comps.items()):
+        h = c["halo_px"]
+        px = c["mndwi"].astype("float64")
+        if h:
+            px = px[h:-h, h:-h]
+        level_px.setdefault(year, {})[(tx, ty)] = px
+        rows.append(_tile_row(year, 0, tx, ty, px))
+    for level in (1, 2):
+        nxt: dict[tuple, dict] = {}
+        for year, tiles_d in sorted(level_px.items()):
+            parents: dict[tuple, dict] = {}
+            for (x, y), px in tiles_d.items():
+                parents.setdefault((x // 2, y // 2), {})[(x % 2, 1 - (y % 2))] = px
+            for (px_, py_), children in sorted(parents.items()):
+                size = next(iter(children.values())).shape[0]
+                parent = assemble_parent(children, size)
+                nxt.setdefault(year, {})[(px_, py_)] = parent
+                rows.append(_tile_row(year, level, px_, py_, parent))
+        level_px = nxt
+    pdf = pd.DataFrame(rows)
+    path = _write_oracle_parquet(pdf, "tile_pyramid_oracle")
+    return f"""
+SELECT year, level, x, y, w, h, n_valid, mean_q, px_hash
+FROM read_parquet('{path}')
+ORDER BY year, level, x, y
+"""
+
+
 def q_multimodal_decode_stats(spark, sf_dir):
     from ..operators.multimodal import decode_stats
     from ..synth import corpus as _corpus
@@ -5911,6 +5980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_ann_topk": q_ivfpq_ann_topk,
     "triangle_counts": q_triangle_counts,
     "streaming_hll_parity": q_streaming_hll_parity,
+    "tile_pyramid": q_tile_pyramid,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
