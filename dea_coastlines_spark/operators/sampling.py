@@ -314,3 +314,128 @@ def pack_sequences(
             ).cast("long"),
         )
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    n_buckets: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling by systematic thresholding: lay
+    the corpus out in a deterministic shuffled order (the u01 chain),
+    concatenate the integer weights into one global interval [0, W),
+    and select every item whose interval crosses one of n equally
+    spaced boundaries.  Inclusion probability is proportional to
+    weight, the pick multiset is EXACTLY n (sum of n_picks == n), and
+    an item heavier than W/n is always selected — all as exact integer
+    arithmetic: boundary test (C_i * n) div W > ((C_i - w_i) * n) div W
+    on longs, so no float (or scale-rounded decimal quotient) ever
+    enters and the DuckDB oracle matches bit-for-bit.  Requires
+    W * n < 2^63 (ANSI mode raises rather than silently wraps); past
+    that — a quadrillion token-weights sampled a million times — split
+    into strata and sample per stratum, which is the recommended
+    layout anyway at that scale.
+
+    Scale shape: the global cumulative sum is two-phase — a per-bucket
+    window over the deterministic order (parallel across n_buckets)
+    plus a bucket-offset join from an n_buckets-row aggregate — the
+    same plan family as pack_sequences, never a single-partition global
+    window.  W itself is a 1-row aggregate broadcast-crossed in (the
+    scalar-subquery pattern PLANS.md notes on ngram_lm_ppl).
+
+    Returns the selected rows: (key, weight, cum_w, first_pick,
+    n_picks), ordered by cum_w."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    u = u01(key_col, seed)
+    keyed = (
+        df.select(F.col(key_col), F.col(weight_col).cast("long").alias("w"))
+        .filter(F.col("w") > 0)
+        .withColumn("_u", u)
+        .withColumn(
+            "bucket",
+            F.least(F.floor(F.col("_u") * n_buckets), F.lit(n_buckets - 1)).cast(
+                "int"
+            ),
+        )
+    )
+    wub = Window.partitionBy("bucket").orderBy("_u", key_col)
+    inbucket = keyed.withColumn(
+        "cum_in_bucket", F.sum("w").over(wub.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = keyed.groupBy("bucket").agg(F.sum("w").alias("bucket_w"))
+    offs = totals.withColumn(
+        "bucket_off",
+        F.coalesce(
+            F.sum("bucket_w").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("bucket", "bucket_off")
+    total = keyed.agg(F.sum("w").cast("long").alias("_w_total"))
+    cum = (
+        inbucket.join(F.broadcast(offs), "bucket")
+        .withColumn("cum_w", F.col("bucket_off") + F.col("cum_in_bucket"))
+        .crossJoin(F.broadcast(total))
+    )
+    # exact long division: a decimal quotient is ROUNDED to its result
+    # scale before floor(), which flips the boundary when the true
+    # quotient sits within 5e-7 of an integer — `div` cannot
+    picked = (
+        cum.withColumn("pick_hi", F.expr(f"(cum_w * {n}L) div _w_total"))
+        .withColumn("pick_lo", F.expr(f"((cum_w - w) * {n}L) div _w_total"))
+        .filter(F.col("pick_hi") > F.col("pick_lo"))
+    )
+    return picked.select(
+        F.col(key_col),
+        F.col("w").alias(weight_col),
+        "cum_w",
+        (F.col("pick_lo") + 1).alias("first_pick"),
+        (F.col("pick_hi") - F.col("pick_lo")).alias("n_picks"),
+    ).orderBy("cum_w")
+
+
+def weighted_systematic_sql(
+    table: str, key_col: str, weight_col: str, n: int,
+    n_buckets: int = 16, seed: int = 0,
+) -> str:
+    """DuckDB oracle: identical u01 chain, identical two-phase layout
+    (the bucket decomposition is order-preserving, so a single global
+    window would also match — the oracle keeps the bucket form to pin
+    the exact construction), HUGEINT boundary arithmetic."""
+    u = u01_sql(key_col, seed)
+    return f"""
+WITH keyed AS (
+  SELECT {key_col}, CAST({weight_col} AS BIGINT) AS w, ({u}) AS _u,
+         LEAST(CAST(FLOOR(({u}) * {n_buckets}) AS INT), {n_buckets - 1}) AS bucket
+  FROM {table} WHERE {weight_col} > 0
+), cums AS (
+  SELECT *, SUM(w) OVER (PARTITION BY bucket ORDER BY _u, {key_col}
+                         ROWS UNBOUNDED PRECEDING) AS cum_in_bucket
+  FROM keyed
+), offs AS (
+  SELECT bucket, COALESCE(SUM(bucket_w) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS bucket_off
+  FROM (SELECT bucket, SUM(w) AS bucket_w FROM keyed GROUP BY bucket)
+), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM keyed),
+cum AS (
+  SELECT c.{key_col}, c.w,
+         CAST(o.bucket_off + c.cum_in_bucket AS BIGINT) AS cum_w
+  FROM cums c JOIN offs o USING (bucket), tot
+), picked AS (
+  SELECT {key_col}, w, cum_w,
+         (cum_w * {n}) // (SELECT W FROM tot) AS pick_hi,
+         ((cum_w - w) * {n}) // (SELECT W FROM tot) AS pick_lo
+  FROM cum
+)
+SELECT {key_col}, w AS {weight_col}, cum_w,
+       CAST(pick_lo + 1 AS BIGINT) AS first_pick,
+       CAST(pick_hi - pick_lo AS BIGINT) AS n_picks
+FROM picked WHERE pick_hi > pick_lo
+ORDER BY cum_w
+"""

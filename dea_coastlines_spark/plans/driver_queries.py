@@ -5072,6 +5072,24 @@ edges AS (
     return triangles_sql(edges_cte) + " ORDER BY tri_count DESC, id LIMIT 20"
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted systematic sampling (operators/sampling.
+    weighted_systematic_sample): inclusion probability proportional to
+    n_chars, exactly 100 picks by construction (sum of n_picks == 100),
+    all-long boundary arithmetic (no float thresholds), two-phase
+    bucketed prefix sum — never a single-partition global window."""
+    from ..operators.sampling import weighted_systematic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_systematic_sample(d, "doc_id", "n_chars", n=100)
+
+
+def _weighted_sample_oracle() -> str:
+    from ..operators.sampling import weighted_systematic_sql
+
+    return weighted_systematic_sql("documents", "doc_id", "n_chars", n=100)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier scoring (fastText-style
     corpus gate, operators/classifier.py): zero-Python zero-shuffle
@@ -5981,6 +5999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_counts": q_triangle_counts,
     "streaming_hll_parity": q_streaming_hll_parity,
     "tile_pyramid": q_tile_pyramid,
+    "weighted_sample": q_weighted_sample,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -6130,6 +6149,7 @@ ORACLES: dict[str, str] = {
     "ivfpq_ann_topk": ivfpq_ann_oracle_sql(),
     "triangle_counts": _triangles_oracle(),
     "streaming_hll_parity": _hll_stream_oracle(),
+    "weighted_sample": _weighted_sample_oracle(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,

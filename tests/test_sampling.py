@@ -262,3 +262,53 @@ def test_temperature_mix_null_source_rows_participate(spark):
     # copy (rate == 1 for both groups), so NULL rows must all survive
     assert len(out) == 1000
     assert sum(1 for r in out if r.source is None) == 500
+
+
+# ---- weighted systematic sampling ----------------------------------------
+
+
+def test_weighted_sample_exact_pick_count(spark):
+    from dea_coastlines_spark.operators.sampling import weighted_systematic_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = weighted_systematic_sample(d, "doc_id", "n_chars", n=37)
+    rows = out.collect()
+    assert sum(r["n_picks"] for r in rows) == 37
+    assert all(r["n_picks"] >= 1 for r in rows)
+
+
+def test_weighted_sample_heavy_item_always_in(spark):
+    """An item heavier than W/n spans at least one boundary, so it can
+    never be missed — the defining guarantee of systematic sampling."""
+    from pyspark.sql import functions as F
+
+    from dea_coastlines_spark.operators.sampling import weighted_systematic_sample
+
+    rows = [(i, 10) for i in range(100)] + [(999, 5000)]  # W = 6000
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    out = weighted_systematic_sample(df, "doc_id", "wt", n=6)  # step = 1000
+    picked = {r["doc_id"]: r["n_picks"] for r in out.collect()}
+    assert 999 in picked
+    # the heavy item covers 5000/6000 of the interval -> 5 of 6 picks
+    assert picked[999] == 5
+    assert sum(picked.values()) == 6
+
+
+def test_weighted_sample_partition_invariance(spark):
+    from dea_coastlines_spark.operators.sampling import weighted_systematic_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = weighted_systematic_sample(d.coalesce(1), "doc_id", "n_chars", n=50)
+    b = weighted_systematic_sample(d.repartition(16), "doc_id", "n_chars", n=50)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from dea_coastlines_spark.operators.sampling import weighted_systematic_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 10), (3, 0), (4, 10)], "doc_id long, wt long"
+    )
+    out = weighted_systematic_sample(df, "doc_id", "wt", n=2)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids <= {2, 4} and sum(r["n_picks"] for r in out.collect()) == 2
