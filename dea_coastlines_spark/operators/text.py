@@ -696,3 +696,105 @@ def corpus_profile(
             F.avg(F.when(F.col("quality") == "ok", 1.0).otherwise(0.0)), 6
         ).alias("ok_frac"),
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    k: int = 30,
+) -> DataFrame:
+    """Skip-gram co-occurrence with pointwise mutual information — the
+    classic corpus-analysis pass behind collocation mining and
+    embedding pre-screens.  Pairs are generated ROW-LOCALLY: for each
+    token position i, partners are the next `window` tokens, built with
+    a nested JVM transform+flatten over the token array — no self-join,
+    no shuffle until the pair groupBy, so a hub token cannot explode a
+    join (the fan-out is a fixed L*window per document).
+
+    pmi(x, y) = ln( (c_xy / P) / ((c_x / T) * (c_y / T)) )
+    with P = total pairs, T = total tokens; canonical unordered pairs
+    (a <= b).  Ordering and selection are integer-only (count desc,
+    pair asc) — pmi is a rounded OUTPUT, never a sort key, so the 1-ulp
+    libm difference between engines cannot reorder the top-k.
+
+    Returns top-k rows (a, b, pair_count, pmi)."""
+    toks = df.select(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "toks"
+        )
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(toks, (t, i) ->
+                     transform(slice(toks, i + 2, {window}), u ->
+                       struct(least(t, u) AS a, greatest(t, u) AS b))))"""
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_counts = pairs.groupBy("a", "b").agg(F.count("*").alias("pair_count"))
+    tok_counts = (
+        toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = pair_counts.agg(
+        F.sum("pair_count").cast("double").alias("P")
+    ).crossJoin(tok_counts.agg(F.sum("c").cast("double").alias("T")))
+    top = (
+        pair_counts.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )
+    scored = (
+        top.join(F.broadcast(tok_counts.withColumnRenamed("t", "a")
+                 .withColumnRenamed("c", "ca")), "a")
+        .join(F.broadcast(tok_counts.withColumnRenamed("t", "b")
+              .withColumnRenamed("c", "cb")), "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("pair_count").cast("double") / F.col("P"))
+        / ((F.col("ca") / F.col("T")) * (F.col("cb") / F.col("T")))
+    )
+    return scored.select(
+        "a", "b", "pair_count", F.round(pmi, 6).alias("pmi")
+    ).orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+
+
+def cooccurrence_pmi_sql(
+    table: str, text_col: str = "text", window: int = 3, k: int = 30
+) -> str:
+    """DuckDB oracle: the same tokenizer, the same row-local pair
+    construction via list comprehension over positions, the same
+    canonical pairs and PMI formula (ln arguments built in the same
+    order; pmi rounded, never ordered on)."""
+    return f"""
+WITH toks AS (
+  SELECT REGEXP_EXTRACT_ALL(LOWER({text_col}), '[a-z0-9]+') AS toks
+  FROM {table}
+), pairs AS (
+  SELECT LEAST(p.t, p.u) AS a, GREATEST(p.t, p.u) AS b
+  FROM toks, UNNEST(flatten(list_transform(range(1, len(toks) + 1), i ->
+         list_transform(toks[i + 1 : i + {window}], u ->
+           struct_pack(t := toks[i], u := u))))) AS x(p)
+), pair_counts AS (
+  SELECT a, b, COUNT(*) AS pair_count FROM pairs GROUP BY a, b
+), tok_counts AS (
+  SELECT t, COUNT(*) AS c FROM (SELECT UNNEST(toks) AS t FROM toks) GROUP BY t
+), totals AS (
+  SELECT (SELECT SUM(pair_count)::DOUBLE FROM pair_counts) AS P,
+         (SELECT SUM(c)::DOUBLE FROM tok_counts) AS T
+), top AS (
+  SELECT a, b, pair_count FROM pair_counts
+  ORDER BY pair_count DESC, a, b LIMIT {k}
+)
+SELECT t.a, t.b, t.pair_count,
+       ROUND(LN((t.pair_count::DOUBLE / tt.P)
+                / ((ca.c / tt.T) * (cb.c / tt.T))), 6) AS pmi
+FROM top t
+JOIN tok_counts ca ON ca.t = t.a
+JOIN tok_counts cb ON cb.t = t.b
+CROSS JOIN totals tt
+ORDER BY t.pair_count DESC, t.a, t.b
+"""

@@ -5072,6 +5072,23 @@ edges AS (
     return triangles_sql(edges_cte) + " ORDER BY tri_count DESC, id LIMIT 20"
 
 
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Skip-gram co-occurrence + PMI (operators/text.cooccurrence_pmi):
+    row-local pair fan-out (nested transform+flatten, no self-join),
+    one pair groupBy, broadcast count/total attachment; top-30 selected
+    by integer keys only (pmi is rounded output, never a sort key)."""
+    from ..operators.text import cooccurrence_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return cooccurrence_pmi(d, "text", window=3, k=30)
+
+
+def _pmi_oracle() -> str:
+    from ..operators.text import cooccurrence_pmi_sql
+
+    return cooccurrence_pmi_sql("documents", "text", window=3, k=30)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted systematic sampling (operators/sampling.
     weighted_systematic_sample): inclusion probability proportional to
@@ -6000,6 +6017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hll_parity": q_streaming_hll_parity,
     "tile_pyramid": q_tile_pyramid,
     "weighted_sample": q_weighted_sample,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -6150,6 +6168,7 @@ ORACLES: dict[str, str] = {
     "triangle_counts": _triangles_oracle(),
     "streaming_hll_parity": _hll_stream_oracle(),
     "weighted_sample": _weighted_sample_oracle(),
+    "cooccurrence_pmi": _pmi_oracle(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,

@@ -341,3 +341,46 @@ def test_chunk_documents_edges_and_coverage(spark):
 
     with _pt.raises(ValueError):
         chunk_documents(spark.createDataFrame(docs), window=4, overlap=4)
+
+
+# ---- skip-gram co-occurrence + PMI ----------------------------------------
+
+
+def test_pmi_closed_form(spark):
+    """Two-token docs: pair counts and PMI from the closed form.
+    Corpus: 3x "a b", 1x "a c" -> pairs: (a,b)x3, (a,c)x1; T=8 tokens,
+    P=4 pairs; pmi(a,b) = ln((3/4) / ((4/8)*(3/8)))."""
+    import math
+
+    from dea_coastlines_spark.operators.text import cooccurrence_pmi
+
+    docs = spark.createDataFrame(
+        [("a b",), ("a b",), ("a b",), ("a c",)], "text string"
+    )
+    out = {(r["a"], r["b"]): r for r in cooccurrence_pmi(docs, k=10).collect()}
+    assert out[("a", "b")]["pair_count"] == 3
+    assert out[("a", "c")]["pair_count"] == 1
+    assert out[("a", "b")]["pmi"] == round(math.log((3 / 4) / ((4 / 8) * (3 / 8))), 6)
+
+
+def test_pmi_window_bounds(spark):
+    """window=2: tokens 3 apart never pair; adjacent + skip-1 do."""
+    from dea_coastlines_spark.operators.text import cooccurrence_pmi
+
+    docs = spark.createDataFrame([("w x y z",)], "text string")
+    pairs = {
+        (r["a"], r["b"]) for r in cooccurrence_pmi(docs, window=2, k=10).collect()
+    }
+    assert ("w", "x") in pairs and ("w", "y") in pairs
+    assert ("w", "z") not in pairs
+
+
+def test_pmi_no_join_in_pair_generation(spark):
+    """The pair fan-out must be row-local: the plan up to the pair
+    aggregation contains Generate (explode), not a join."""
+    from dea_coastlines_spark.operators.text import cooccurrence_pmi
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = cooccurrence_pmi(d)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") >= 1
