@@ -169,7 +169,7 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
         "caption_alignment", "hard_negatives", "chunk_documents",
         "hll_distinct", "heavy_hitters", "pagerank", "ivfpq_ann_topk",
         "triangle_counts", "streaming_hll_parity", "tile_pyramid",
-        "weighted_sample", "cooccurrence_pmi",
+        "weighted_sample", "cooccurrence_pmi", "resample_interpolate",
         # geospatial aggregation operators
         "rates_regression", "dissolve", "crs_project",
         "coastal_transects", "cell_rollup",

@@ -5072,6 +5072,29 @@ edges AS (
     return triangles_sql(edges_cte) + " ORDER BY tri_count DESC, id LIMIT 20"
 
 
+def q_resample_interpolate(spark, sf_dir):
+    """Per-user 6-hour resampling with linear interpolation
+    (operators/resample.py): row-local sequence() grid, one union + one
+    per-key window pass bracketing each grid point with running
+    IGNORE-NULLS last-values, row-local interpolation. One shuffle
+    total; the oracle replays it with generate_series + the same
+    windows (sub-second parts floored on both engines)."""
+    from ..operators.resample import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_interpolate(ev, "user_id", "ts", "value", step_s=21600).orderBy(
+        "user_id", "grid_ts"
+    )
+
+
+def _resample_oracle() -> str:
+    from ..operators.resample import resample_interpolate_sql
+
+    return resample_interpolate_sql(
+        "events", "user_id", "ts", "value", step_s=21600
+    ) + " ORDER BY user_id, grid_ts"
+
+
 def q_cooccurrence_pmi(spark, sf_dir):
     """Skip-gram co-occurrence + PMI (operators/text.cooccurrence_pmi):
     row-local pair fan-out (nested transform+flatten, no self-join),
@@ -6018,6 +6041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_pyramid": q_tile_pyramid,
     "weighted_sample": q_weighted_sample,
     "cooccurrence_pmi": q_cooccurrence_pmi,
+    "resample_interpolate": q_resample_interpolate,
     # --- block C: r2 hash-green, rotated out of the r3 snapshot
     # ("shorelines_annual" also belongs here; it is registered by
     # __spark_entry__.queries() and placed via QUERY_ORDER below)
@@ -6169,6 +6193,7 @@ ORACLES: dict[str, str] = {
     "streaming_hll_parity": _hll_stream_oracle(),
     "weighted_sample": _weighted_sample_oracle(),
     "cooccurrence_pmi": _pmi_oracle(),
+    "resample_interpolate": _resample_oracle(),
     "cell_rollup": ORACLE_CELL_ROLLUP,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "merge_upsert": ORACLE_MERGE_UPSERT,
