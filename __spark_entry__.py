@@ -85,6 +85,8 @@ def oracle_sql() -> dict[str, str]:
         # ivf additionally reads the sf0.01 embeddings parquet
         "lsh_ann_topk": driver_queries.lsh_ann_oracle_sql,
         "ivf_ann_topk": driver_queries.ivf_ann_oracle_sql,
+        # refit coarse centroids + PQ codebook embedded as literals
+        "ivfpq_ann_topk": driver_queries.ivfpq_ann_oracle_sql,
         # refit-centroid literals + keep-priority prune recompute
         "semdedup": driver_queries.semdedup_oracle_sql,
         # recomputes the composite median driver-side and writes core

@@ -152,12 +152,16 @@ def build_pyramid(
     from pyspark.sql import functions as F
 
     for _ in range(levels):
+        # floor-div + pmod, NOT truncating int-cast + sign-following %:
+        # a negative tile coordinate (west/south of the grid origin)
+        # must key to floor(x/2) with quadrant in {0,1} — the same
+        # arithmetic the sequential oracle's Python // and % use
         keyed = cur.select(
             "*",
-            (F.col("x") / 2).cast("int").alias("px_"),
-            (F.col("y") / 2).cast("int").alias("py_"),
-            (F.col("x") % 2).alias("qx"),
-            (F.lit(1) - (F.col("y") % 2)).alias("qy"),
+            F.floor(F.col("x") / 2).cast("int").alias("px_"),
+            F.floor(F.col("y") / 2).cast("int").alias("py_"),
+            F.pmod(F.col("x"), F.lit(2)).alias("qx"),
+            (F.lit(1) - F.pmod(F.col("y"), F.lit(2))).alias("qy"),
         )
         cur = (
             keyed.groupBy("year", "px_", "py_")

@@ -37,26 +37,37 @@ def resample_interpolate(
     grid point has both brackets and no extrapolation happens).
     Grid points coinciding with an observation take its exact value."""
     epoch = F.unix_timestamp(F.col(ts_col))
-    obs = df.select(
-        F.col(key_col).alias("k"),
-        epoch.alias("t"),
-        F.col(value_col).cast("double").alias("v"),
+    obs = (
+        df.select(
+            F.col(key_col).alias("k"),
+            epoch.alias("t"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        # observations that collapse to the same (key, second) after
+        # truncation must resolve deterministically: min(v) is
+        # order-free, where a window tie-break would pick whichever row
+        # the physical layout sorted last (confirmed divergent between
+        # layouts on the shipped sf0.01 events table)
+        .groupBy("k", "t")
+        .agg(F.min("v").alias("v"))
     )
-    # per-key aligned grid bounds; sequence() is row-local fan-out
+    # per-key aligned grid bounds; sequence() is row-local fan-out.
+    # Keys whose observed range contains NO aligned point would give
+    # sequence(start > stop), which Spark REJECTS (DuckDB's
+    # generate_series returns empty) — filter them out first.
+    g0 = (F.col("t0") + step_s - 1) - F.pmod(F.col("t0") + step_s - 1, F.lit(step_s))
+    g1 = F.col("t1") - F.pmod(F.col("t1"), F.lit(step_s))
     grid = (
         obs.groupBy("k")
         .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+        .withColumn("g0", g0)
+        .withColumn("g1", g1)
+        .filter(F.col("g0") <= F.col("g1"))
         .select(
             "k",
-            F.explode(
-                F.sequence(
-                    (F.col("t0") + step_s - 1) - F.pmod(
-                        F.col("t0") + step_s - 1, F.lit(step_s)
-                    ),
-                    F.col("t1") - F.pmod(F.col("t1"), F.lit(step_s)),
-                    F.lit(step_s),
-                )
-            ).alias("t"),
+            F.explode(F.sequence(F.col("g0"), F.col("g1"), F.lit(step_s))).alias(
+                "t"
+            ),
         )
         .withColumn("is_grid", F.lit(1))
     )
@@ -128,10 +139,13 @@ def resample_interpolate_sql(
     return f"""
 WITH obs AS (
   -- FLOOR before the cast: Spark's unix_timestamp() truncates
-  -- sub-second parts, DuckDB's BIGINT cast would round them
-  SELECT {key_col} AS k, CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS t,
-         CAST({value_col} AS DOUBLE) AS v, 0 AS is_grid
-  FROM {table}
+  -- sub-second parts, DuckDB's BIGINT cast would round them.
+  -- min(v) per (k, second): same-second collisions resolve
+  -- deterministically on both engines
+  SELECT k, t, MIN(v) AS v, 0 AS is_grid FROM (
+    SELECT {key_col} AS k, CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS t,
+           CAST({value_col} AS DOUBLE) AS v
+    FROM {table}) GROUP BY k, t
 ), bounds AS (
   SELECT k, MIN(t) AS t0, MAX(t) AS t1 FROM obs GROUP BY k
 ), grid AS (

@@ -351,8 +351,13 @@ def weighted_systematic_sample(
     if n < 1:
         raise ValueError("n must be >= 1")
     u = u01(key_col, seed)
+    # FLOOR before the long conversion: Spark's cast truncates but
+    # DuckDB's rounds half-away, so a fractional weight column would
+    # diverge; floor-then-filter is identical on both engines
     keyed = (
-        df.select(F.col(key_col), F.col(weight_col).cast("long").alias("w"))
+        df.select(
+            F.col(key_col), F.floor(F.col(weight_col)).cast("long").alias("w")
+        )
         .filter(F.col("w") > 0)
         .withColumn("_u", u)
         .withColumn(
@@ -410,9 +415,9 @@ def weighted_systematic_sql(
     u = u01_sql(key_col, seed)
     return f"""
 WITH keyed AS (
-  SELECT {key_col}, CAST({weight_col} AS BIGINT) AS w, ({u}) AS _u,
+  SELECT {key_col}, CAST(FLOOR({weight_col}) AS BIGINT) AS w, ({u}) AS _u,
          LEAST(CAST(FLOOR(({u}) * {n_buckets}) AS INT), {n_buckets - 1}) AS bucket
-  FROM {table} WHERE {weight_col} > 0
+  FROM {table} WHERE FLOOR({weight_col}) > 0
 ), cums AS (
   SELECT *, SUM(w) OVER (PARTITION BY bucket ORDER BY _u, {key_col}
                          ROWS UNBOUNDED PRECEDING) AS cum_in_bucket

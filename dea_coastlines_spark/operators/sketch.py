@@ -177,7 +177,8 @@ def hll_sql(
     sm = _splitmix_sql_fragment(f"CAST({key_col} AS UBIGINT)::UHUGEINT")
     return f"""
 WITH hashed AS (
-  SELECT {gcols}, ({sm}) AS h FROM {table}
+  -- NULL keys are dropped, mirroring hll_registers' isNotNull filter
+  SELECT {gcols}, ({sm}) AS h FROM {table} WHERE {key_col} IS NOT NULL
 ), br AS (
   SELECT {gcols}, CAST(h >> {low}::UHUGEINT AS INT) AS bucket,
          CAST(CASE WHEN (h & {(1 << low) - 1}::UHUGEINT) = 0 THEN {rho_max}
@@ -209,14 +210,30 @@ FROM est
 """
 
 
+U64MASK_SQL = "18446744073709551615::UHUGEINT"
+
+
 def _splitmix_sql_fragment(z0: str) -> str:
     """splitmix64 over a SQL fragment (UHUGEINT wraparound via mask);
-    constants identical to operators.dedup._splitmix."""
-    mask = "18446744073709551615::UHUGEINT"
+    constants identical to operators.dedup._splitmix.  THE canonical
+    copy — plans/driver_queries.py and the graph/pq oracles all import
+    this, so the magic constants live in exactly one place."""
+    mask = U64MASK_SQL
     z1 = f"(({z0}) + 11400714819323198485::UHUGEINT) & {mask}"
     z2 = f"(xor(({z1}), ({z1}) >> 30) * 13787848793156543929::UHUGEINT) & {mask}"
     z3 = f"(xor(({z2}), ({z2}) >> 27) * 10723151780598845931::UHUGEINT) & {mask}"
     return f"xor(({z3}), ({z3}) >> 31)"
+
+
+def fnv_sql(var: str) -> str:
+    """FNV-1a 64 fold over the utf-8 bytes of SQL variable `var`
+    (DuckDB UHUGEINT; ASCII corpora, so ord(char) == utf-8 byte).
+    Canonical copy — matches operators.dedup._hash_str_array."""
+    return (
+        f"list_reduce(list_prepend(14695981039346656037::UHUGEINT, "
+        f"list_transform(split({var}, ''), c -> ord(c)::UHUGEINT)), "
+        f"(hh, b) -> (xor(hh, b) * 1099511628211::UHUGEINT) & {U64MASK_SQL})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -340,12 +357,7 @@ def cms_sql(table: str, text_col: str = "text", k: int = 20,
     """DuckDB oracle for cms_heavy_hitters: same tokenizer, same FNV-1a
     + splitmix bucket hashes (UHUGEINT), same grid fold and min-probe."""
     seeds = _cms_seeds(depth)
-    fnv = (
-        "list_reduce(list_prepend(14695981039346656037::UHUGEINT, "
-        "list_transform(split(token, ''), c -> ord(c)::UHUGEINT)), "
-        "(hh, b) -> (xor(hh, b) * 1099511628211::UHUGEINT) "
-        "& 18446744073709551615::UHUGEINT)"
-    )
+    fnv = fnv_sql("token")
     bucket_cols = ",\n         ".join(
         f"CAST(({_splitmix_sql_fragment(f'xor(h, {int(seeds[i])}::UHUGEINT)')}) "
         f"& {width - 1}::UHUGEINT AS INT) AS b{i}"

@@ -746,11 +746,33 @@ def cooccurrence_pmi(
         pair_counts.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+    # broadcast the <=2k-row TOP token set into the big count table
+    # (never the reverse: tok_counts is one row per distinct corpus
+    # token — millions at web scale — and shipping it to every
+    # executor twice to annotate k pairs would be the wrong side)
+    needed = (
+        top.select(F.col("a").alias("t"))
+        .unionByName(top.select(F.col("b").alias("t")))
+        .distinct()
+    )
+    counts_small = tok_counts.join(F.broadcast(needed), "t")
     scored = (
-        top.join(F.broadcast(tok_counts.withColumnRenamed("t", "a")
-                 .withColumnRenamed("c", "ca")), "a")
-        .join(F.broadcast(tok_counts.withColumnRenamed("t", "b")
-              .withColumnRenamed("c", "cb")), "b")
+        top.join(
+            F.broadcast(
+                counts_small.withColumnRenamed("t", "a").withColumnRenamed(
+                    "c", "ca"
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                counts_small.withColumnRenamed("t", "b").withColumnRenamed(
+                    "c", "cb"
+                )
+            ),
+            "b",
+        )
         .crossJoin(F.broadcast(totals))
     )
     pmi = F.log(

@@ -2076,23 +2076,15 @@ def q_validation_stats(spark, sf_dir):
 # (128-bit unsigned: products of two <2^64 factors never overflow) plus
 # list lambdas. Corpus text is ASCII, so ord(char) == utf-8 byte.
 
-_U64MASK = "18446744073709551615::UHUGEINT"
-
-# FNV-1a 64 fold over the utf-8 bytes of a token/shingle `s`
-_FNV_SQL = (
-    "list_reduce(list_prepend(14695981039346656037::UHUGEINT, "
-    "list_transform(split(s, ''), c -> ord(c)::UHUGEINT)), "
-    f"(hh, b) -> (xor(hh, b) * 1099511628211::UHUGEINT) & {_U64MASK})"
+# the canonical UHUGEINT splitmix64 / FNV-1a fragments live in
+# operators/sketch.py (one copy of the magic constants tree-wide);
+# `s` is the conventional lambda variable in the dedup oracles below
+from ..operators.sketch import (  # noqa: E402
+    _splitmix_sql_fragment as _splitmix_sql,
+    fnv_sql as _fnv_sql,
 )
 
-
-def _splitmix_sql(z0: str) -> str:
-    """splitmix64 expanded inline over a SQL fragment z0 (wraparound via
-    explicit & mask; constants match operators.dedup._splitmix)."""
-    z1 = f"(({z0}) + 11400714819323198485::UHUGEINT) & {_U64MASK}"
-    z2 = f"(xor(({z1}), ({z1}) >> 30) * 13787848793156543929::UHUGEINT) & {_U64MASK}"
-    z3 = f"(xor(({z2}), ({z2}) >> 27) * 10723151780598845931::UHUGEINT) & {_U64MASK}"
-    return f"xor(({z3}), ({z3}) >> 31)"
+_FNV_SQL = _fnv_sql("s")
 
 
 def _minhash_sql(threshold: float = 0.6) -> str:
@@ -2745,7 +2737,11 @@ def q_streaming_hll_parity(spark, sf_dir):
         q = start_hll_stream(
             spark, src, store, _os.path.join(root, "ckpt"), p=10
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # memoizing a partial store would serve wrong estimates for
+            # the rest of the session with no hint the stream hung
+            q.stop()
+            raise TimeoutError("hll stream did not finish within 300 s")
         _HLL_STREAM_STORES[key] = store
     return read_estimates(spark, store, p=10).orderBy("event_type")
 
@@ -6188,7 +6184,10 @@ ORACLES: dict[str, str] = {
     "hll_distinct": _hll_oracle(),
     "heavy_hitters": _cms_oracle(),
     "pagerank": _pagerank_oracle(),
-    "ivfpq_ann_topk": ivfpq_ann_oracle_sql(),
+    # ivfpq_ann_topk: registered lazily in __spark_entry__.oracle_sql()
+    # (reads the testdata parquet + runs two k-means fits — an eager
+    # call here would break the whole module import on a machine
+    # without the testdata dir, and bill every importer for the fit)
     "triangle_counts": _triangles_oracle(),
     "streaming_hll_parity": _hll_stream_oracle(),
     "weighted_sample": _weighted_sample_oracle(),

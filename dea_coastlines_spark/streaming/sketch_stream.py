@@ -29,10 +29,15 @@ from ..operators.sketch import hll_distinct, hll_registers
 def _merge_registers(store_dir: str, new_regs: DataFrame) -> DataFrame:
     """Union the incoming micro-batch registers with the persisted
     store and re-take max(rho) — the shard-merge identity."""
+    from pyspark.errors import AnalysisException
+
     spark = new_regs.sparkSession
     try:
         old = spark.read.parquet(store_dir)
-    except Exception:
+    except AnalysisException:
+        # path-not-found only (first batch). A broader except would
+        # treat a CORRUPT store (crash mid-overwrite) as empty and
+        # silently discard every prior micro-batch's registers.
         old = None
     merged = new_regs if old is None else old.unionByName(new_regs)
     return merged.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))

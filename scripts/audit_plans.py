@@ -87,6 +87,7 @@ HEAVY_SF_QUERIES = [
     "interval_join", "interval_overlap", "quality_classifier",
     "hll_distinct", "heavy_hitters", "pagerank", "ivfpq_ann_topk",
     "triangle_counts", "streaming_hll_parity", "chunk_documents",
+    "weighted_sample", "cooccurrence_pmi", "resample_interpolate",
 ]
 
 

@@ -71,3 +71,41 @@ def test_single_shuffle_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_aligned_grid_point_returns_empty(spark):
+    """A key whose observed range straddles no aligned point must yield
+    zero rows, not a sequence(start > stop) crash."""
+    t0 = dt.datetime(2024, 1, 1, 0, 10)
+    t1 = dt.datetime(2024, 1, 1, 0, 50)
+    out = resample_interpolate(
+        _df(spark, [(1, t0, 1.0), (1, t1, 2.0)]), "user_id", "ts", "value",
+        step_s=3600,
+    )
+    assert out.count() == 0
+    # single unaligned observation: same guarantee
+    out1 = resample_interpolate(
+        _df(spark, [(2, t0, 1.0)]), "user_id", "ts", "value", step_s=3600
+    )
+    assert out1.count() == 0
+
+
+def test_same_second_collisions_resolve_deterministically(spark):
+    """Two observations in the same (user, second) with different
+    values must interpolate identically under any physical layout
+    (min-per-second semantics) — the review-confirmed nondeterminism."""
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, base, 80.0),
+        (1, base + dt.timedelta(microseconds=500), 20.0),  # same second
+        (1, dt.datetime(2024, 1, 1, 1, 30), 40.0),
+    ]
+    a = resample_interpolate(_df(spark, rows).coalesce(1),
+                             "user_id", "ts", "value", 3600).collect()
+    b = resample_interpolate(_df(spark, list(reversed(rows))).repartition(8),
+                             "user_id", "ts", "value", 3600).collect()
+    ga = {r["grid_ts"]: r["value"] for r in a}
+    gb = {r["grid_ts"]: r["value"] for r in b}
+    assert ga == gb
+    # min-of-second bracket: prev value at 01:00 is min(80, 20) = 20
+    assert ga[dt.datetime(2024, 1, 1, 1)] == 30.0  # 20 + (40-20)*0.5
