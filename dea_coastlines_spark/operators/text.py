@@ -733,11 +733,22 @@ def cooccurrence_pmi(
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    pair_counts = pairs.groupBy("a", "b").agg(F.count("*").alias("pair_count"))
+    # localCheckpoint the two REDUCED tables: five consumers below
+    # (top, totals x2, counts_small, and the final joins) would each
+    # otherwise re-tokenize the corpus from the scan — 5 full passes
+    # where 2 suffice (pairs and tokens aggregate on different keys,
+    # so they cannot share one pass without materializing raw tokens,
+    # which at corpus scale costs more than the second scan)
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
     tok_counts = (
         toks.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     totals = pair_counts.agg(
         F.sum("pair_count").cast("double").alias("P")
