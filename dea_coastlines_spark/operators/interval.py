@@ -45,11 +45,14 @@ _START = "_ij_start_s"
 _END = "_ij_end_s"
 
 
-def _epoch_s(col):
-    """Seconds-since-epoch LONG for a timestamp / numeric column
-    (timestamp casts truncate sub-second parts — both join sides use
-    the same truncation so the refine filter compares raw values)."""
-    return F.col(col).cast("timestamp").cast("long")
+def _epoch_us(col):
+    """MICROseconds-since-epoch LONG for a timestamp / numeric column.
+    Full timestamp precision: a seconds truncation here would admit a
+    point in the same second as — but before — an interval start that
+    a raw-timestamp oracle comparison excludes (surfaced by the sf0.1
+    oracle sweep: 10x event density puts events on sub-second
+    boundaries the sf0.01 gate never hit)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def _prep_intervals(
@@ -58,8 +61,8 @@ def _prep_intervals(
     """Attach epoch-second bounds; drop empty/NULL intervals (end <=
     start matches nothing under the half-open [start, end) contract,
     and F.sequence would raise on a descending range)."""
-    out = intervals.withColumn(_START, _epoch_s(start_col)).withColumn(
-        _END, _epoch_s(end_col)
+    out = intervals.withColumn(_START, _epoch_us(start_col)).withColumn(
+        _END, _epoch_us(end_col)
     )
     return out.filter(
         F.col(_START).isNotNull()
@@ -96,9 +99,9 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError(how)
     by = list(by or [])
-    b = int(bucket_s)
-    if b <= 0:
+    if int(bucket_s) <= 0:
         raise ValueError("bucket_s must be positive")
+    b = int(bucket_s) * 1_000_000  # internal arithmetic is in micros
     dup = set(points.columns) & set(intervals.columns) - set(by)
     if dup:
         raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
@@ -115,7 +118,7 @@ def interval_join(
         short, long_ = iv, None
 
     pts = points.withColumn(
-        _POINT_BUCKET, F.floor(_epoch_s(ts_col) / b)
+        _POINT_BUCKET, F.floor(_epoch_us(ts_col) / b)
     )
     # interval side: one row per covered bucket. end is exclusive, so
     # the last covered bucket is floor((end-1)/b).
@@ -128,7 +131,7 @@ def interval_join(
             )
         ),
     )
-    pe = _epoch_s(ts_col)
+    pe = _epoch_us(ts_col)
     refine = (pe >= F.col(_START)) & (pe < F.col(_END))
     iv_payload = [c for c in intervals.columns if c not in by]
     matched = pts.join(expl, by + [_POINT_BUCKET], "inner").filter(
@@ -138,7 +141,7 @@ def interval_join(
     if long_ is not None:
         # few-row sliver: broadcast range join (the ONLY sanctioned
         # nested-loop here — the side is bounded by construction).
-        plt = points.withColumn(_START + "_p", _epoch_s(ts_col))
+        plt = points.withColumn(_START + "_p", _epoch_us(ts_col))
         cond = (plt[_START + "_p"] >= long_[_START]) & (
             plt[_START + "_p"] < long_[_END]
         )
@@ -187,9 +190,9 @@ def interval_overlap_join(
     overlap). Overlapping column names must be disjoint across sides.
     """
     by = list(by or [])
-    b = int(bucket_s)
-    if b <= 0:
+    if int(bucket_s) <= 0:
         raise ValueError("bucket_s must be positive")
+    b = int(bucket_s) * 1_000_000  # internal arithmetic is in micros
     dup = set(left.columns) & set(right.columns) - set(by)
     if dup:
         raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
@@ -221,7 +224,11 @@ def interval_overlap_join(
     out = joined.filter(
         (ls < re_) & (rs < le_) & (F.col(_POINT_BUCKET) == owner)
     )
-    overlap = F.least(le_, re_) - F.greatest(ls, rs)
+    # floor-seconds at each endpoint THEN subtract (matches the oracle's
+    # FLOOR(epoch(..)) - FLOOR(epoch(..)); != floor of the micro diff)
+    overlap = F.expr(
+        f"least({_END}_l, {_END}_r) div 1000000"
+    ) - F.expr(f"greatest({_START}_l, {_START}_r) div 1000000")
     keep = by + [
         c
         for c in left.columns + right.columns

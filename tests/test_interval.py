@@ -196,3 +196,36 @@ def test_empty_and_null_intervals_dropped(spark):
     )
     got = interval_join(pts, ivs, "ts", "s", "e", bucket_s=60).toPandas()
     assert len(got) == 0
+
+
+def test_subsecond_boundaries_are_exact(spark):
+    """A point in the same SECOND as — but microseconds before — the
+    interval start must not match (and symmetrically at the end).
+    Seconds-truncated epochs admitted both; surfaced by the sf0.1
+    oracle sweep, where 10x event density puts events on sub-second
+    boundaries."""
+    import datetime as dt
+
+    from dea_coastlines_spark.operators.interval import interval_join
+
+    w0 = dt.datetime(2024, 1, 1, 10, 0, 0, 700000)
+    intervals = spark.createDataFrame(
+        [(1, w0, w0 + dt.timedelta(minutes=45))],
+        "wid long, wstart timestamp, wend timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, w0 - dt.timedelta(microseconds=500000)),  # same second, before
+            (2, w0),                                      # exact start: in
+            (3, w0 + dt.timedelta(minutes=45)),           # exact end: out
+            (4, w0 + dt.timedelta(minutes=44, seconds=59, microseconds=999999)),
+        ],
+        "pid long, ts timestamp",
+    )
+    got = sorted(
+        r["pid"]
+        for r in interval_join(
+            points, intervals, "ts", "wstart", "wend", bucket_s=600
+        ).collect()
+    )
+    assert got == [2, 4]
