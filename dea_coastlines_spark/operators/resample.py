@@ -118,10 +118,16 @@ def resample_interpolate(
             / (F.col("t_next") - F.col("t_prev")).cast("double")
         )
     )
+    # floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): an interpolated value
+    # landing on an exact decimal half (e.g. 65.2369375 — one row in
+    # 174k at sf0.1) rounds differently between Spark (HALF_UP on the
+    # shortest-decimal rendering) and DuckDB (correct rounding of the
+    # binary double); the floor form is pure IEEE arithmetic both
+    # engines evaluate identically
     return bracketed.select(
         F.col("k").alias(key_col),
         F.to_timestamp(F.from_unixtime("t")).alias("grid_ts"),
-        F.round(interp, 6).alias(value_col),
+        (F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(value_col),
     )
 
 
@@ -172,9 +178,9 @@ WITH obs AS (
 )
 SELECT k AS {key_col},
        CAST(to_timestamp(t) AT TIME ZONE 'UTC' AS TIMESTAMP) AS grid_ts,
-       ROUND(CASE WHEN t_next IS NULL OR t_next = t_prev THEN v_prev
-             ELSE v_prev + (v_next - v_prev)
-                  * ((t - t_prev)::DOUBLE / (t_next - t_prev)::DOUBLE)
-        END, 6) AS {value_col}
+       FLOOR((CASE WHEN t_next IS NULL OR t_next = t_prev THEN v_prev
+              ELSE v_prev + (v_next - v_prev)
+                   * ((t - t_prev)::DOUBLE / (t_next - t_prev)::DOUBLE)
+         END) * 1e6 + 0.5) / 1e6 AS {value_col}
 FROM bracketed WHERE is_grid = 1
 """
