@@ -376,11 +376,30 @@ def test_pmi_window_bounds(spark):
 
 
 def test_pmi_no_join_in_pair_generation(spark):
-    """The pair fan-out must be row-local: the plan up to the pair
-    aggregation contains Generate (explode), not a join."""
+    """The pair fan-out must be row-local (Generate/explode, not a
+    self-join) and zero-Python. The count tables localCheckpoint inside
+    the operator, so the FINAL plan only shows the checkpoint reads —
+    gate the fan-out on the un-checkpointed pair aggregation instead."""
+    from pyspark.sql import functions as F
+
     from dea_coastlines_spark.operators.text import cooccurrence_pmi
 
     d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    plan = cooccurrence_pmi(d)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert plan.count("Generate") >= 1
+    final = cooccurrence_pmi(d)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in final
+    assert "MapInPandas" not in final and "ArrowEvalPython" not in final
+    # rebuild the pair-generation stage exactly as the operator does
+    pairs = d.select(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks")
+    ).select(
+        F.explode(
+            F.expr(
+                """flatten(transform(toks, (t, i) ->
+                     transform(slice(toks, i + 2, 3), u ->
+                       struct(least(t, u) AS a, greatest(t, u) AS b))))"""
+            )
+        ).alias("p")
+    )
+    stage = pairs._jdf.queryExecution().executedPlan().toString()
+    assert stage.count("Generate") >= 1
+    assert "Join" not in stage
