@@ -225,10 +225,21 @@ def interval_overlap_join(
         (ls < re_) & (rs < le_) & (F.col(_POINT_BUCKET) == owner)
     )
     # floor-seconds at each endpoint THEN subtract (matches the oracle's
-    # FLOOR(epoch(..)) - FLOOR(epoch(..)); != floor of the micro diff)
-    overlap = F.expr(
-        f"least({_END}_l, {_END}_r) div 1000000"
-    ) - F.expr(f"greatest({_START}_l, {_START}_r) div 1000000")
+    # FLOOR(epoch(..)) - FLOOR(epoch(..)); != floor of the micro diff).
+    # `x div 1000000` alone truncates toward zero, which disagrees with
+    # FLOOR by 1 on negative (pre-1970) micros — subtract pmod first so
+    # the dividend is an exact multiple and div IS floor, with no
+    # double-precision detour (micros overflow 2^53 within range)
+    def _floor_s(expr_sql: str) -> F.Column:
+        # long-exact: pmod-adjusted dividend is a multiple of 1e6, so
+        # integer `div` is floor (no double-precision `/` detour)
+        return F.expr(
+            f"(({expr_sql}) - pmod(({expr_sql}), 1000000)) div 1000000"
+        )
+
+    overlap = _floor_s(f"least({_END}_l, {_END}_r)") - _floor_s(
+        f"greatest({_START}_l, {_START}_r)"
+    )
     keep = by + [
         c
         for c in left.columns + right.columns

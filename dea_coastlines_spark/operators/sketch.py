@@ -81,10 +81,29 @@ def hll_registers(
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     low_bits = 64 - p
+    # Validate the key type up front: a blind cast("long") on a
+    # non-numeric key either throws deep in ANSI execution or (post
+    # null-filter) silently nulls into wrong registers.  Integral keys
+    # splitmix directly; strings pre-fold through FNV-1a (the same
+    # fold fnv_sql replicates in DuckDB, so string-keyed sketches stay
+    # oracle-verifiable); anything else is a clear error here.
+    kind = dict(df.dtypes).get(key_col)
+    if kind is None:
+        raise ValueError(f"no column {key_col!r} in {df.columns}")
+    if kind not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise ValueError(
+            f"hll key column {key_col!r} must be integral or string, "
+            f"got {kind}"
+        )
+    is_str = kind == "string"
 
     def kernel(batches):
         for pdf in batches:
-            keys = pdf[key_col].to_numpy(np.int64).view(np.uint64)
+            if is_str:
+                with np.errstate(over="ignore"):
+                    keys = _hash_str_array(pdf[key_col].tolist())
+            else:
+                keys = pdf[key_col].to_numpy(np.int64).view(np.uint64)
             h = _splitmix(keys)
             bucket = (h >> np.uint64(low_bits)).astype(np.int32)
             w = h & ((np.uint64(1) << np.uint64(low_bits)) - np.uint64(1))
@@ -98,9 +117,12 @@ def hll_registers(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.select(*group_cols).schema.fields
     )
-    pre = df.filter(F.col(key_col).isNotNull()).select(
-        *group_cols, F.col(key_col).cast("long").alias(key_col)
+    key_expr = (
+        F.col(key_col)
+        if is_str
+        else F.col(key_col).cast("long").alias(key_col)
     )
+    pre = df.filter(F.col(key_col).isNotNull()).select(*group_cols, key_expr)
     return (
         _spread(pre)
         .mapInPandas(kernel, f"{schema}, bucket int, rho int")
@@ -163,18 +185,25 @@ def registers_to_estimates(
 
 
 def hll_sql(
-    table: str, key_col: str, group_cols: list[str], p: int = 10
+    table: str, key_col: str, group_cols: list[str], p: int = 10,
+    key_kind: str = "integral",
 ) -> str:
     """DuckDB oracle reproducing hll_distinct bit-for-bit: same
-    splitmix64 on the key, same integer register sum (UHUGEINT), same
-    correction, same 4 dp rounding.  Exposed here so the driver oracle
-    and any shard-merge test share one definition."""
+    splitmix64 on the key (string keys pre-folded through the same
+    FNV-1a the engine kernel uses), same integer register sum
+    (UHUGEINT), same correction, same 4 dp rounding.  Exposed here so
+    the driver oracle and any shard-merge test share one definition."""
     m = 1 << p
     low = 64 - p
     rho_max = low + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)
     gcols = ", ".join(group_cols)
-    sm = _splitmix_sql_fragment(f"CAST({key_col} AS UBIGINT)::UHUGEINT")
+    if key_kind == "string":
+        sm = _splitmix_sql_fragment(fnv_sql(key_col))
+    elif key_kind == "integral":
+        sm = _splitmix_sql_fragment(f"CAST({key_col} AS UBIGINT)::UHUGEINT")
+    else:
+        raise ValueError(key_kind)
     return f"""
 WITH hashed AS (
   -- NULL keys are dropped, mirroring hll_registers' isNotNull filter

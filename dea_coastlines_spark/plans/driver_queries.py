@@ -2778,11 +2778,13 @@ def q_tile_pyramid(spark, sf_dir):
     return build_pyramid(comps, levels=2).orderBy("year", "level", "x", "y")
 
 
-def tile_pyramid_oracle_sql() -> str:
-    """Hash-verified oracle for q_tile_pyramid: sequential composite
+def pyramid_oracle_rows(spec):
+    """Sequential pyramid replay for a given CorpusSpec, shared by
+    tile_pyramid_oracle_sql and the multi-seed parity pytest: composite
     recompute (shared with the shoreline oracles), then the pyramid as
     plain dict loops — one big in-memory mosaic per level in place of
-    the quadrant shuffle and the grouped map."""
+    the quadrant shuffle and the grouped map.  Returns the summary-row
+    DataFrame in (year, level, x, y) order."""
     import pandas as pd
 
     from ..operators.pyramid import (
@@ -2790,8 +2792,7 @@ def tile_pyramid_oracle_sql() -> str:
         assemble_parent,
     )
 
-    comps, _ = _sequential_composites(_pyramid_spec(), apply_tide_filter=True)
-    spec = _pyramid_spec()
+    comps, _ = _sequential_composites(spec, apply_tide_filter=True)
     rows = []
     # level 0: halo-cropped mosaics
     level_px: dict[tuple, dict] = {}
@@ -2811,10 +2812,22 @@ def tile_pyramid_oracle_sql() -> str:
             for (px_, py_), children in sorted(parents.items()):
                 size = next(iter(children.values())).shape[0]
                 parent = assemble_parent(children, size)
-                nxt.setdefault(year, {})[(px_, py_)] = parent
+                # The engine emits each level's summary row from the
+                # float64 parent but hands the NEXT level a float32
+                # re-encode (build_pyramid's encode_f32 on the px
+                # payload) — mirror that round-trip when chaining, or
+                # level-2 px_hash/mean_q diverge for some seeds
+                nxt.setdefault(year, {})[(px_, py_)] = (
+                    parent.astype(np.float32).astype(np.float64)
+                )
                 rows.append(_tile_row(year, level, px_, py_, parent))
         level_px = nxt
     pdf = pd.DataFrame(rows)
+    return pdf.sort_values(["year", "level", "x", "y"]).reset_index(drop=True)
+
+
+def tile_pyramid_oracle_sql() -> str:
+    pdf = pyramid_oracle_rows(_pyramid_spec())
     path = _write_oracle_parquet(pdf, "tile_pyramid_oracle")
     return f"""
 SELECT year, level, x, y, w, h, n_valid, mean_q, px_hash

@@ -229,3 +229,26 @@ def test_subsecond_boundaries_are_exact(spark):
         ).collect()
     )
     assert got == [2, 4]
+
+
+def test_overlap_floor_semantics_pre_1970(spark):
+    """overlap_s floors each endpoint to seconds (FLOOR(epoch(..)))
+    BEFORE subtracting.  For negative epoch micros (pre-1970
+    timestamps with sub-second parts) a truncating `div` disagrees
+    with FLOOR by 1 — pin the floor semantics on both sides of 1970."""
+    a = pd.DataFrame({
+        "aid": [0],
+        "as_": [pd.Timestamp("1969-12-31 23:59:58.700")],
+        "ae": [pd.Timestamp("1970-01-01 00:00:02.300")],
+    })
+    b = pd.DataFrame({
+        "bid": [0],
+        "bs": [pd.Timestamp("1969-12-31 23:59:59.400")],
+        "be": [pd.Timestamp("1970-01-01 00:00:01.100")],
+    })
+    got = interval_overlap_join(
+        spark.createDataFrame(a), spark.createDataFrame(b),
+        "as_", "ae", "bs", "be", bucket_s=2,
+    ).select("overlap_s").toPandas()
+    # FLOOR(-0.6s) = -1, FLOOR(1.1s) = 1 -> 2  (truncation would say 1)
+    assert got["overlap_s"].tolist() == [2]

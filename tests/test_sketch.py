@@ -134,3 +134,38 @@ def test_streaming_hll_replay_idempotent(spark, events, tmp_path):
     again = _merge_registers(store, regs)  # same batch re-applied
     assert again.exceptAll(once).count() == 0
     assert once.exceptAll(again).count() == 0
+
+
+def test_hll_rejects_non_integral_non_string_key(spark):
+    df = spark.createDataFrame([(1.5, "g")], "k double, grp string")
+    with pytest.raises(ValueError, match="integral or string"):
+        sketch.hll_registers(df, "k", ["grp"])
+    with pytest.raises(ValueError, match="no column"):
+        sketch.hll_registers(df, "nope", ["grp"])
+
+
+def test_hll_string_keys_match_duckdb_replica(spark, docs):
+    """String keys pre-fold through FNV-1a before splitmix; the DuckDB
+    replica (hll_sql key_kind='string') must agree bit-for-bit on the
+    estimates — same gate discipline as the integral driver query."""
+    import duckdb
+
+    got = {
+        r["lang"]: (r["n_registers"], r["estimate"])
+        for r in sketch.hll_distinct(
+            docs.withColumn("doc_id_str", F.col("doc_id").cast("string")),
+            "doc_id_str", ["lang"], p=8,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT *, CAST(doc_id AS VARCHAR) "
+        f"AS doc_id_str FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sql = sketch.hll_sql(
+        "documents", "doc_id_str", ["lang"], p=8, key_kind="string"
+    )
+    want = {
+        r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()
+    }
+    assert got == want
