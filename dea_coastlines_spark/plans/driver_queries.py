@@ -6120,14 +6120,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # Full key order for __spark_entry__.queries(), including the
-# entry-module-registered "shorelines_annual" (end of block C, so the
-# flagship's driver row refreshes this round too). Keys 1..50 are the
-# r4 driver-snapshot head.
+# entry-module-registered "shorelines_annual" (end of block C).
+# r5 rotation (VERDICT r4 item 2): the r4 snapshot head was exactly
+# blocks A+B+C+shorelines_annual (keys 1..50), leaving blocks D+E (the
+# other 50) with r1–r3 rows only — so the r5 head is the clean half
+# swap: D+E first (all 50 get fresh driver rows, max staleness one
+# round across r04 ∪ r05), then A+B+C+shorelines_annual (fresh in
+# r04). New-in-r5 queries, if any, must displace tail-of-E keys into
+# position 51+ and be noted here.
 _BLOCK_C_END = list(QUERIES).index("shuffle_shards") + 1
+_D_START = list(QUERIES).index("shorelines_in_aoi")
 QUERY_ORDER: list[str] = (
-    list(QUERIES)[:_BLOCK_C_END]
+    list(QUERIES)[_D_START:]
+    + list(QUERIES)[:_BLOCK_C_END]
     + ["shorelines_annual"]
-    + list(QUERIES)[_BLOCK_C_END:]
+    + list(QUERIES)[_BLOCK_C_END:_D_START]
 )
 
 ORACLES: dict[str, str] = {
