@@ -142,47 +142,24 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
     Deterministic w.r.t. retries: every attempt runs the same warmup +
     best-of-2 protocol (later attempts benefit from warm scan caches,
     which is exactly what the warmup pass already grants the first)."""
-    from dea_coastlines_spark.plans import driver_queries
+    import __spark_entry__ as _entry
     from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
     from dea_coastlines_spark.synth import corpus
 
     times: dict[str, float] = {}
 
-    # ---- relational headline queries on the driver's parquet tables
-    names = [
-        "pricing_summary", "join_star", "semi_anti_join", "window_running",
-        "topk_per_group", "set_ops", "error_stats", "regr_slope",
-        "mode_median", "certainty_cascade", "conditional_coalesce",
-        "asof_nearest", "scalar_funcs", "dms2dd", "top1_crs_vote", "salted_agg",
-        "spatial_pip_join", "knn_anchor_join", "overlay_clip",
-        # training-data operators (dedup / text / ANN / sampling)
-        "dedup_exact", "ngram_jaccard", "phash_neardup", "image_quality",
-        "corpus_integrity", "keep_best_images", "repetition_signals",
-        "decontaminate", "dedup_passages",
-        "langid", "token_counts", "corpus_profile", "ann_topk",
-        "embedding_neardup", "semdedup", "crosscorpus_dedup",
-        "dedup_clusters", "stratified_sample", "pii_scrub", "dedup_lines",
-        "asof_join", "sessionize", "tfidf_topk", "ar_bucket_shards",
-        "pack_sequences", "url_domain_caps", "bloom_screen",
-        "temperature_mix", "ngram_lm_ppl", "dsir_weights", "jsonl_ingest",
-        "interval_join", "interval_overlap", "quality_classifier",
-        "caption_alignment", "hard_negatives", "chunk_documents",
-        "hll_distinct", "heavy_hitters", "pagerank", "ivfpq_ann_topk",
-        "triangle_counts", "streaming_hll_parity", "tile_pyramid",
-        "weighted_sample", "cooccurrence_pmi", "resample_interpolate",
-        # geospatial aggregation operators
-        "rates_regression", "dissolve", "crs_project",
-        "coastal_transects", "cell_rollup",
-        # r4 rotation-head additions: zonal burn, transect chainage,
-        # exact group percentiles, snapshot-table read (the CoW write
-        # path executes once at build time — the timing is the read)
-        "zonal_stats", "transect_rates", "group_percentiles",
-        "merge_upsert", "table_evolution",
-    ]
+    # ---- the FULL query registry (VERDICT r4 item 1: a regression in
+    # any query — the heavyweight pipelines included — must show up in
+    # the round artifact). Iterating the registry keeps bench coverage
+    # in lockstep with queries(); SPARK_GRAFT_BENCH_QUERIES=a,b,c
+    # narrows the set for local iteration.
+    registry = _entry.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [n for n in only.split(",") if n] if only else list(registry)
     # best-of-2 after a warmup pass: this sandbox host shows bursty
     # vCPU steal; a single timed run can read 2-3x high across the board
     for name in names:
-        fn = driver_queries.QUERIES[name]
+        fn = registry[name]
         fn(spark, sf_dir).count()  # warm (plan + scan caches)
         best = float("inf")
         for _ in range(2):
