@@ -239,10 +239,13 @@ def _points_in_polygons_dist(
     pts = points.withColumn("cell_id", cell_id_expr(F.col(x_col), F.col(y_col), res))
     cand = pts.select(point_id, x_col, y_col, "cell_id").join(poly_cells, "cell_id")
 
-    out_fields = f"{point_id} long, " + ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in polys.schema.fields
-        if f.name != "geometry"
+    out_fields = ", ".join(
+        [f"{point_id} long"]
+        + [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in polys.schema.fields
+            if f.name != "geometry"
+        ]
     )
 
     def refine(batches):

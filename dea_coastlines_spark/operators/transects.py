@@ -176,6 +176,7 @@ def orient_transects(
     transects: DataFrame,
     land_polys: DataFrame,
     geom_col: str = "geometry",
+    broadcast_land: bool | str = "auto",
 ) -> DataFrame:
     """Orient transects away from land and drop invalid ones
     (reference ``coastal_transects``, validation.py:440-455).
@@ -185,10 +186,22 @@ def orient_transects(
     water-water) are dropped; those starting in water are reversed so
     every surviving transect runs land → water.
 
-    land_polys is a small dimension (WKB polygon rows) — collected and
-    closure-broadcast into one mapInPandas pass over the transects;
-    the big side never shuffles.
+    broadcast_land: True / False / "auto" — "auto" probes the land
+    table's row count (bounded LIMIT scan, spatial_join.
+    resolve_broadcast). Small dimensions (study-area land masks) are
+    collected and closure-broadcast into one mapInPandas pass over the
+    transects — the big side never shuffles. A continental land-polygon
+    table takes the distributed path instead: endpoints fan out to the
+    cell-cover PIP join (points_in_polygons broadcast_polys=False), so
+    neither side ever lands on the driver. The distributed path
+    inherits the cell index's planar world-frame domain
+    (|coord| < 2^22 m, see transect_chainages_dist) — out-of-frame
+    CRSs must use the broadcast form or reproject first.
     """
+    from .spatial_join import resolve_broadcast
+
+    if not resolve_broadcast(land_polys, broadcast_land):
+        return _orient_transects_dist(transects, land_polys, geom_col)
     polys = [
         wkb.polygon_rings(bytes(r[0]))
         for r in land_polys.select(geom_col).collect()
@@ -236,6 +249,109 @@ def orient_transects(
             yield pdf
 
     return transects.mapInPandas(kernel, fields)
+
+
+def _orient_transects_dist(
+    transects: DataFrame,
+    land_polys: DataFrame,
+    geom_col: str,
+) -> DataFrame:
+    """Distributed orient_transects: no driver-side land collect.
+
+    Each transect's two endpoints fan out as point rows into the
+    cell-cover PIP join (points_in_polygons broadcast_polys=False —
+    the land geometry replicates per covering cell, candidates come
+    from one equi join, the refine is exact). An endpoint is "in land"
+    iff it matches ≥ 1 land polygon, which reproduces the broadcast
+    closure's union-over-polygons OR exactly (each polygon's holes
+    subtract only from that polygon). The keep/flip decision then runs
+    in one final kernel over the transect rows.
+
+    Row identity for the fan-out is monotonically_increasing_id pinned
+    by an eager localCheckpoint: the id column is referenced by two
+    plan branches (endpoint rows and the final join-back) and must not
+    shift under recomputation. The checkpoint holds only the transect
+    table — always orders of magnitude smaller than the raster corpus
+    upstream of it."""
+    from .spatial_join import points_in_polygons
+
+    base = transects.withColumn(
+        "_tid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+
+    # MultiPolygon rows explode to simple polygons first (the PIP
+    # refine kernels are Polygon-only); holes stay attached to their
+    # own shell, preserving the per-polygon hole-subtraction semantics
+    def _simple(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for g in pdf[geom_col]:
+                for shell, holes in wkb.polygon_rings(bytes(g)):
+                    out.append(wkb.polygon(shell, holes))
+            yield pd.DataFrame({"geometry": pd.Series(out, dtype=object)})
+
+    land_simple = land_polys.select(geom_col).mapInPandas(
+        _simple, "geometry binary"
+    )
+
+    eps = base.select(
+        (F.col("_tid") * 2).alias("_pid"),
+        F.col("x1").alias("x"),
+        F.col("y1").alias("y"),
+    ).unionByName(
+        base.select(
+            (F.col("_tid") * 2 + 1).alias("_pid"),
+            F.col("x2").alias("x"),
+            F.col("y2").alias("y"),
+        )
+    )
+    hits = (
+        points_in_polygons(
+            eps, land_simple, how="inner", point_id="_pid",
+            broadcast_polys=False,
+        )
+        .select("_pid")
+        .distinct()  # an endpoint inside two overlapping polys is one hit
+    )
+    flags = (
+        hits.withColumn("_tid", F.expr("_pid div 2"))
+        .groupBy("_tid")
+        .agg(
+            F.max(F.pmod(F.col("_pid"), F.lit(2)) == 0).alias("_p1"),
+            F.max(F.pmod(F.col("_pid"), F.lit(2)) == 1).alias("_p2"),
+        )
+    )
+    joined = (
+        base.join(flags, "_tid", "left")
+        .fillna({"_p1": False, "_p2": False})
+        .filter(F.col("_p1") != F.col("_p2"))
+    )
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in transects.schema.fields
+    )
+
+    def flip_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flip = (~pdf["_p1"].to_numpy(bool)) & pdf["_p2"].to_numpy(bool)
+            pdf = pdf.drop(columns=["_tid", "_p1", "_p2"])
+            if flip.any():
+                fx1 = pdf.loc[flip, "x1"].copy()
+                fy1 = pdf.loc[flip, "y1"].copy()
+                pdf.loc[flip, "x1"] = pdf.loc[flip, "x2"].to_numpy()
+                pdf.loc[flip, "y1"] = pdf.loc[flip, "y2"].to_numpy()
+                pdf.loc[flip, "x2"] = fx1.to_numpy()
+                pdf.loc[flip, "y2"] = fy1.to_numpy()
+                pdf.loc[flip, "geometry"] = [
+                    wkb.linestring(
+                        np.array([[r.x1, r.y1], [r.x2, r.y2]], np.float64)
+                    )
+                    for r in pdf.loc[flip].itertuples()
+                ]
+            yield pdf
+
+    return joined.mapInPandas(flip_kernel, fields)
 
 
 def lines_from_vertices(

@@ -185,7 +185,7 @@ def transect_rates(
     transects: DataFrame,
     shorelines: DataFrame,
     initial_year: int,
-    distributed: bool = False,
+    distributed: bool | str = "auto",
     cell_res: int = 12,
 ) -> DataFrame:
     """End-to-end validation-network rates: generated transects
@@ -201,11 +201,22 @@ def transect_rates(
     key is joined back onto the result (broadcast — the key map is one
     row per transect).
 
-    distributed=True swaps the broadcast chainage join for the
-    cell-cover equi join (transect_chainages_dist) — same output, no
-    driver-side transect collect — for networks past ~10^6 transects.
+    distributed: True / False / "auto" (default). True swaps the
+    broadcast chainage join for the cell-cover equi join
+    (transect_chainages_dist) — same output, no driver-side transect
+    collect — for networks past ~10^6 transects. "auto" probes the
+    transect table's row count (bounded LIMIT scan, the same
+    resolve_broadcast every other dual-path operator uses) and picks
+    the path; the probe threshold is well under the broadcast form's
+    ~10^6 comfort zone, so "auto" errs toward the always-safe plan.
     """
     from .rates import rates_of_change
+    from .spatial_join import resolve_broadcast
+
+    if distributed == "auto":
+        distributed = not resolve_broadcast(
+            transects, "auto", probe_rows=200_000
+        )
 
     t = transects.select(
         F.concat_ws(

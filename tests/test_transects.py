@@ -341,3 +341,55 @@ def test_transect_rates_distributed_parity(spark):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_orient_transects_distributed_parity(spark):
+    """broadcast_land=False (cell-cover endpoint PIP fan-out) must
+    produce exactly the broadcast closure's rows — keep set, flip set,
+    rebuilt geometries — on a land table exercising MultiPolygon
+    explode, hole subtraction, and dropped land-land / water-water
+    transects."""
+    coords = np.stack([np.linspace(0, 200, 41),
+                       10 * np.sin(np.linspace(0, 6, 41))], axis=1)
+    df = spark.createDataFrame(
+        pd.DataFrame({"line_id": ["a"], "geometry": [wkb.linestring(coords)]})
+    )
+    t = generate_transects(df, length=30.0, interval=7.0, buffer=2.0)
+    # land: mainland south of the sine coast (with a lake hole that
+    # flips some "land" endpoints back to water) + an island strip
+    # north of it, packed as ONE MultiPolygon row plus a second plain
+    # Polygon row — both WKB container kinds go through the explode
+    mainland = wkb.polygon(
+        np.array([[-20, -60], [220, -60], [220, 8], [-20, 8], [-20, -60]],
+                 float),
+        holes=[np.array([[40, -20], [80, -20], [80, -5], [40, -5],
+                         [40, -20]], float)],
+    )
+    island = wkb.polygon(
+        np.array([[100, 18], [140, 18], [140, 30], [100, 30], [100, 18]],
+                 float)
+    )
+    far_box = wkb.polygon(
+        np.array([[500, 500], [510, 500], [510, 510], [500, 510],
+                  [500, 500]], float)
+    )
+    land = spark.createDataFrame(
+        pd.DataFrame({
+            "geometry": [wkb.multipolygon([mainland, island]), far_box]
+        })
+    )
+    cols = ["line_id", "transect_id", "dist_along", "x1", "y1", "x2", "y2"]
+    bc = orient_transects(t, land, broadcast_land=True).toPandas()
+    dist = orient_transects(t, land, broadcast_land=False).toPandas()
+    key = ["line_id", "transect_id"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert len(bc) > 0 and len(bc) < t.count()  # some rows really drop
+    assert bc[cols].values.tolist() == dist[cols].values.tolist()
+    assert [bytes(g) for g in bc["geometry"]] == [
+        bytes(g) for g in dist["geometry"]
+    ]
+    # "auto" on a 2-row land table must resolve to the broadcast path's
+    # output too (and trivially: same rows either way)
+    auto = orient_transects(t, land).toPandas().sort_values(key)
+    assert auto[cols].values.tolist() == bc[cols].values.tolist()
