@@ -168,28 +168,53 @@ def _verify_jaccard(pairs: DataFrame, shingle_k: int, a_id: str, b_id: str) -> D
     spot, so (a) pairs are explicitly hash-repartitioned first — AQE
     coalesces post-join exchanges by BYTES and would funnel a small-
     bytes/heavy-CPU candidate set into one task (the explicit partition
-    count opts this exchange out of coalescing) — and (b) shingle sets
-    are memoized per text within a batch (every doc appears in many
-    candidate pairs)."""
+    count opts this exchange out of coalescing) — and (b) each text is
+    shingled + FNV-hashed into a sorted-unique uint64 array ONCE per
+    partition (memoized; every doc appears in many candidate pairs),
+    and the per-pair intersection is a numpy searchsorted membership
+    probe on the smaller array against the larger — C-speed merges in
+    place of Python frozenset set-algebra (~3x on the 6M-candidate
+    sf0.1 verify). "Exact" means exact up to 64-bit shingle-hash
+    equality — the same stance (and the same FNV fold) as
+    _pairwise_set_jaccard; the driver oracle compares the STRING-set
+    ground truth, so a collision would surface as a hash-gate mismatch
+    rather than hide."""
     want = pairs.sparkSession.sparkContext.defaultParallelism
 
     def verify(batches):
-        memo: dict[str, frozenset] = {}
+        memo: dict[str, np.ndarray] = {}
 
         def sh(t):
-            s = memo.get(t)
-            if s is None:
-                s = memo[t] = frozenset(char_shingles(t, shingle_k))
-            return s
+            a = memo.get(t)
+            if a is None:
+                with np.errstate(over="ignore"):
+                    a = np.unique(
+                        _hash_str_array(char_shingles(t, shingle_k))
+                    )
+                memo[t] = a
+            return a
 
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                sa, sb = sh(r.text_a or ""), sh(r.text_b or "")
-                union = len(sa | sb)
-                j = len(sa & sb) / union if union else 0.0
-                out.append({a_id: getattr(r, a_id), b_id: getattr(r, b_id), "jaccard": j})
-            yield pd.DataFrame(out, columns=[a_id, b_id, "jaccard"])
+            n = len(pdf)
+            ta, tb = pdf["text_a"], pdf["text_b"]
+            jac = np.zeros(n, np.float64)
+            for i in range(n):
+                sa, sb = sh(ta.iloc[i] or ""), sh(tb.iloc[i] or "")
+                if sa.size > sb.size:
+                    sa, sb = sb, sa
+                idx = np.searchsorted(sb, sa)
+                idx[idx == sb.size] = 0  # out-of-range probes can't match
+                inter = int(np.count_nonzero(sb[idx] == sa))
+                union = sa.size + sb.size - inter
+                if union:
+                    jac[i] = inter / union
+            yield pd.DataFrame(
+                {
+                    a_id: pdf[a_id].to_numpy(),
+                    b_id: pdf[b_id].to_numpy(),
+                    "jaccard": jac,
+                }
+            )
 
     return pairs.repartition(want, a_id, b_id).mapInPandas(
         verify, f"{a_id} long, {b_id} long, jaccard double"
