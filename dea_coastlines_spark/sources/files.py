@@ -44,6 +44,59 @@ def read_csv_survey(
     return df
 
 
+SURVEY_DMS_SCHEMA = (
+    "site string, obs_time string, chainage_m double, elevation double, "
+    "profile_id string, lat_dms string, lon_dms string"
+)
+
+
+def read_csv_survey_dms(
+    spark: SparkSession,
+    path: str,
+    tz: str | None = None,
+) -> DataFrame:
+    """Second survey CSV layout — the multi-source validation fan-out
+    (reference validation.py:2525 preprocessor family: every agency
+    ships a different spreadsheet). This one carries ISO-8601
+    timestamps WITH UTC offsets (field crews log local time),
+    chainage/elevation column names, and site coordinates as DMS
+    strings. Normalized here to the read_csv_survey frame (site, date,
+    distance, z, id) plus decimal-degree lat/lon columns, so every
+    downstream operator is layout-agnostic.
+
+    tz: IANA timezone for YEAR ATTRIBUTION. The offset-aware parse
+    yields an absolute instant; a survey logged 2001-01-01 08:00+10:30
+    is 2000-12-31 21:30 UTC, and attributing it to 2000 would join it
+    against the wrong annual shoreline. Passing the survey programme's
+    timezone shifts the wall-clock before year extraction (the same
+    tz_localize/tz_convert step the reference applies to tide-gauge
+    records). None keeps the session-timezone (UTC) attribution."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.schema(SURVEY_DMS_SCHEMA)
+        .option("header", "true")
+        # RFC-4180 doubled-quote escaping ("" inside a quoted field),
+        # the convention every spreadsheet export uses — Spark's
+        # default escape is backslash, which would hand back the DMS
+        # seconds mark with its wrapping quotes intact
+        .option("escape", '"')
+        .csv(path)
+    )
+    ts = F.to_timestamp("obs_time")
+    if tz:
+        ts = F.from_utc_timestamp(ts, tz)
+    return df.select(
+        F.col("site"),
+        ts.alias("date"),
+        F.col("chainage_m").alias("distance"),
+        F.col("elevation").alias("z"),
+        F.col("profile_id").alias("id"),
+        dms2dd("lat_dms").alias("lat"),
+        dms2dd("lon_dms").alias("lon"),
+    )
+
+
 def dms2dd(col) -> "F.Column":
     """Degrees-minutes-seconds coordinate string -> decimal degrees,
     JVM-only (regex + array expressions, codegen-friendly, no Python).

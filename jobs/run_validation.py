@@ -23,6 +23,18 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--shorelines-table", required=True)
     p.add_argument("--survey-csv", required=True)
+    p.add_argument(
+        "--survey-format", choices=["plain", "dms"], default="plain",
+        help="survey CSV layout: 'plain' = SURVEY_SCHEMA; 'dms' = "
+        "offset timestamps + chainage/elevation names + DMS site "
+        "coordinates (the multi-source fan-out, reference "
+        "validation.py:2525 preprocessor family)",
+    )
+    p.add_argument(
+        "--survey-tz", default=None,
+        help="IANA timezone for year attribution of the dms format's "
+        "offset-aware timestamps (e.g. Australia/Adelaide)",
+    )
     p.add_argument("--transects-geojson", required=True)
     p.add_argument("--output", required=True, help="JSON stats file")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
@@ -39,10 +51,35 @@ def main(argv=None) -> int:
         validation_errors,
         validation_stats,
     )
-    from dea_coastlines_spark.sources import read_csv_survey
+    from dea_coastlines_spark.sources import (
+        read_csv_survey,
+        read_csv_survey_dms,
+    )
     from dea_coastlines_spark.sources.table import SnapshotTable
 
-    survey = read_csv_survey(spark, args.survey_csv)
+    sites = None
+    if args.survey_format == "dms":
+        survey = read_csv_survey_dms(
+            spark, args.survey_csv, tz=args.survey_tz
+        )
+        # per-site mean position from the parsed DMS coordinates —
+        # surfaces the conversion in the job output so a mis-parse is
+        # visible, and gives the report a map anchor per site
+        from pyspark.sql import functions as F
+
+        sites = [
+            r.asDict()
+            for r in survey.groupBy("site")
+            .agg(
+                F.round(F.avg("lat"), 6).alias("lat"),
+                F.round(F.avg("lon"), 6).alias("lon"),
+            )
+            .orderBy("site")
+            .collect()
+        ]
+        survey = survey.drop("lat", "lon")
+    else:
+        survey = read_csv_survey(spark, args.survey_csv)
     if os.path.isdir(args.transects_geojson):
         # GeoJSONSeq directory as written by jobs/run_transects.py /
         # write_geojsonseq: newline-delimited features across part files
@@ -71,6 +108,8 @@ def main(argv=None) -> int:
     overall = validation_stats(errs).collect()[0].asDict()
     per_transect = [r.asDict() for r in validation_stats(errs, by=["id"]).collect()]
     out = {"job": "validation", "overall": overall, "per_transect": per_transect}
+    if sites is not None:
+        out["sites"] = sites
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2, default=str)
     print(json.dumps({"job": "validation", **{k: overall[k] for k in ("n", "bias", "mae", "rmse")}}))

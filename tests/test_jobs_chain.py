@@ -690,3 +690,90 @@ def test_corpus_prep_pack_sequences(spark, tmp_path, capsys):
             assert r.pack_id == r.offset // 64
             assert r.pack_offset == r.offset % 64
             run += ntok[r.doc_id]
+
+
+def test_validation_dms_survey_format(spark, tmp_path):
+    """Second survey layout through run_validation end to end
+    (--survey-format dms): offset-aware timestamps + DMS coordinates
+    must yield IDENTICAL stats to the plain layout for the same
+    observations — including a new-year's-morning survey whose UTC
+    instant falls in the previous year (attributed correctly only via
+    --survey-tz), exercising the dms2dd and tz paths inside a job."""
+    import run_validation as rv
+
+    from dea_coastlines_spark.geometry import wkb as _wkb
+    from dea_coastlines_spark.sources.table import SnapshotTable
+
+    years = [2000, 2001]
+    sl = spark.createDataFrame(pd.DataFrame({
+        "year": years,
+        "geometry": [
+            _wkb.linestring(np.stack(
+                [np.linspace(-10, 110, 13), np.full(13, 10.3)], axis=1))
+            for _ in years
+        ],
+    }))
+    SnapshotTable(spark, str(tmp_path / "sl")).create(sl)
+    feats = [{
+        "type": "Feature", "properties": {"id": f"t{i}"},
+        "geometry": {"type": "LineString",
+                     "coordinates": [[x, -40.0], [x, 40.0]]},
+    } for i, x in enumerate([20.0, 60.0])]
+    (tmp_path / "transects.json").write_text(json.dumps(
+        {"type": "FeatureCollection", "features": feats}))
+
+    # one mid-year survey per transect per year, plus a 2001-01-01
+    # 08:00 local observation (= 2000-12-31 21:30 UTC) on t0
+    plain = [
+        ("t0", "2000-06-15", 50.0, 0.0, "t0"),
+        ("t1", "2000-06-15", 50.6, 0.0, "t1"),
+        ("t0", "2001-01-01", 50.0, 0.0, "t0"),
+        ("t1", "2001-07-02", 50.6, 0.0, "t1"),
+    ]
+    pd.DataFrame(
+        plain, columns=["site", "date", "distance", "z", "id"]
+    ).to_csv(tmp_path / "survey_plain.csv", index=False)
+    lat, lon = "33°42'12\"S", "151°12'E"
+    dms = [
+        ("t0", "2000-06-15T10:00:00+09:30", 50.0, 0.0, "t0", lat, lon),
+        ("t1", "2000-06-15T11:00:00+09:30", 50.6, 0.0, "t1", lat, lon),
+        ("t0", "2001-01-01T08:00:00+10:30", 50.0, 0.0, "t0", lat, lon),
+        ("t1", "2001-07-02T09:00:00+09:30", 50.6, 0.0, "t1", lat, lon),
+    ]
+    pd.DataFrame(
+        dms, columns=["site", "obs_time", "chainage_m", "elevation",
+                      "profile_id", "lat_dms", "lon_dms"]
+    ).to_csv(tmp_path / "survey_dms.csv", index=False)
+
+    common = [
+        "--shorelines-table", str(tmp_path / "sl"),
+        "--transects-geojson", str(tmp_path / "transects.json"),
+    ]
+    assert rv.main(common + [
+        "--survey-csv", str(tmp_path / "survey_plain.csv"),
+        "--output", str(tmp_path / "stats_plain.json"),
+    ]) == 0
+    assert rv.main(common + [
+        "--survey-csv", str(tmp_path / "survey_dms.csv"),
+        "--survey-format", "dms", "--survey-tz", "Australia/Adelaide",
+        "--output", str(tmp_path / "stats_dms.json"),
+    ]) == 0
+    a = json.load(open(tmp_path / "stats_plain.json"))
+    b = json.load(open(tmp_path / "stats_dms.json"))
+    assert a["overall"] == b["overall"]
+    assert a["per_transect"] == b["per_transect"]
+    assert a["overall"]["n"] == 4  # the NYE row stayed in year 2001
+    # parsed DMS coordinates surface in the dms job output
+    assert b["sites"] == [
+        {"site": "t0", "lat": -33.703333, "lon": 151.2},
+        {"site": "t1", "lat": -33.703333, "lon": 151.2},
+    ]
+    # WITHOUT --survey-tz the NYE instant lands in 2000 (UTC year),
+    # collapsing t0's 2001 group — the tz argument is load-bearing
+    assert rv.main(common + [
+        "--survey-csv", str(tmp_path / "survey_dms.csv"),
+        "--survey-format", "dms",
+        "--output", str(tmp_path / "stats_dms_utc.json"),
+    ]) == 0
+    c = json.load(open(tmp_path / "stats_dms_utc.json"))
+    assert c["overall"]["n"] == 3
