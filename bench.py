@@ -155,7 +155,16 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
     # narrows the set for local iteration.
     registry = _entry.queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    names = [n for n in only.split(",") if n] if only else list(registry)
+    names = (
+        [n.strip() for n in only.split(",") if n.strip()]
+        if only
+        else list(registry)
+    )
+    unknown = [n for n in names if n not in registry]
+    if unknown:  # fail fast, before the quiet-window wait + warmups
+        raise SystemExit(
+            f"bench: unknown queries {unknown}; valid: {sorted(registry)}"
+        )
     # best-of-2 after a warmup pass: this sandbox host shows bursty
     # vCPU steal; a single timed run can read 2-3x high across the board
     for name in names:

@@ -151,14 +151,23 @@ def polyfill_bbox(
     xmin: float, ymin: float, xmax: float, ymax: float, res: int
 ) -> np.ndarray:
     """All cells at `res` whose extent intersects the bbox (H3 polyfill
-    analog, coarse stage of the cover join)."""
+    analog, coarse stage of the cover join).
+
+    Out-of-frame bboxes CLAMP to the nearest edge cell — the same rule
+    xy_to_cell / cell_id_expr apply to points — never an empty cover.
+    The clamp keeps the distributed cover joins semantically identical
+    to their broadcast twins even for out-of-frame geometry: both
+    sides of a candidate pair land in the same edge cell and the exact
+    refine decides, instead of the polygon side silently vanishing
+    while the point side clamps (which made the distributed
+    orient_transects classify out-of-frame land as open water)."""
+    if xmax < xmin or ymax < ymin:
+        return np.array([], dtype=np.int64)
     n = 1 << res
     size = WORLD_SPAN / n
-    i0 = max(0, int((xmin - WORLD_X0) // size))
-    i1 = min(n - 1, int((xmax - WORLD_X0) // size))
-    j0 = max(0, int((ymin - WORLD_Y0) // size))
-    j1 = min(n - 1, int((ymax - WORLD_Y0) // size))
-    if i1 < i0 or j1 < j0:
-        return np.array([], dtype=np.int64)
+    i0 = min(n - 1, max(0, int((xmin - WORLD_X0) // size)))
+    i1 = min(n - 1, max(0, int((xmax - WORLD_X0) // size)))
+    j0 = min(n - 1, max(0, int((ymin - WORLD_Y0) // size)))
+    j1 = min(n - 1, max(0, int((ymax - WORLD_Y0) // size)))
     ii, jj = np.meshgrid(np.arange(i0, i1 + 1), np.arange(j0, j1 + 1))
     return ij_to_cell(ii.ravel(), jj.ravel(), res)

@@ -119,6 +119,10 @@ def explode_polygons_to_cells(
             covers = []
             for g, p in zip(pdf["geometry"], pads):
                 x0, y0, x1, y1 = wkb.bbox(bytes(g))
+                # out-of-frame bboxes clamp to edge cells inside
+                # polyfill_bbox (same rule the point encoders apply),
+                # so the cover is never empty and broadcast-vs-
+                # distributed parity holds even for out-of-frame CRSs
                 covers.append(
                     cells.polyfill_bbox(x0 - p, y0 - p, x1 + p, y1 + p, res)
                 )

@@ -195,8 +195,11 @@ def orient_transects(
     cell-cover PIP join (points_in_polygons broadcast_polys=False), so
     neither side ever lands on the driver. The distributed path
     inherits the cell index's planar world-frame domain
-    (|coord| < 2^22 m, see transect_chainages_dist) — out-of-frame
-    CRSs must use the broadcast form or reproject first.
+    (|coord| < 2^22 m, see transect_chainages_dist); out-of-frame
+    geometry CLAMPS to edge cells on both sides of the cover join —
+    the same rule the point encoders apply — so the exact PIP refine
+    still decides and the distributed result stays identical to the
+    broadcast one even for out-of-frame CRSs.
     """
     from .spatial_join import resolve_broadcast
 

@@ -292,11 +292,13 @@ def transect_chainages_dist(
     duplicated candidates cost a little recompute, never a wrong count.
 
     Output contract identical to transect_chainages:
-    (id, year, chainage_m, n_crossings) — with one domain caveat: the
+    (id, year, chainage_m, n_crossings) — with one domain note: the
     cell index covers the EPSG:3577-scale planar world frame
-    (|coord| < 2^22 m); geometries outside it get an empty cell cover
-    and silently drop, so out-of-frame CRSs must use the broadcast
-    form (or reproject first).
+    (|coord| < 2^22 m); geometry outside it CLAMPS to the nearest edge
+    cell on both sides of the cover join (it used to drop silently —
+    wrong-empty output — until the r5 auto-probe made this path
+    reachable without an explicit opt-in), so the exact crossing
+    refine still decides and out-of-frame CRSs keep broadcast parity.
     """
     from .spatial_join import _rebatched, explode_polygons_to_cells
 

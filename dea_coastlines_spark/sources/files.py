@@ -85,7 +85,17 @@ def read_csv_survey_dms(
     )
     ts = F.to_timestamp("obs_time")
     if tz:
-        ts = F.from_utc_timestamp(ts, tz)
+        # shift ONLY offset-bearing strings: to_timestamp reads them as
+        # absolute instants (UTC under the pinned session tz), which
+        # from_utc_timestamp converts to the survey programme's wall
+        # clock. A NAIVE string in the same file already IS local wall
+        # clock — to_timestamp keeps its digits verbatim under the UTC
+        # session, and shifting it again would move a 20:00 New Year's
+        # Eve survey into the next year.
+        has_offset = F.col("obs_time").rlike(
+            r"(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})\s*$"
+        )
+        ts = F.when(has_offset, F.from_utc_timestamp(ts, tz)).otherwise(ts)
     return df.select(
         F.col("site"),
         ts.alias("date"),

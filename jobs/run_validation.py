@@ -59,9 +59,11 @@ def main(argv=None) -> int:
 
     sites = None
     if args.survey_format == "dms":
+        # persisted: the sites aggregation below and the validation
+        # chain would otherwise each re-scan + re-parse the CSV
         survey = read_csv_survey_dms(
             spark, args.survey_csv, tz=args.survey_tz
-        )
+        ).persist()
         # per-site mean position from the parsed DMS coordinates —
         # surfaces the conversion in the job output so a mis-parse is
         # visible, and gives the report a map anchor per site

@@ -973,3 +973,36 @@ def test_partition_evolution_merge_and_overwrite(spark, tmp_path):
     # delete scoped to a partition stays exact across mixed layout
     t.delete_where("id >= 1000", where={"year": 1})
     assert t.read().filter("year = 1").count() == 0
+
+
+def test_dms_survey_naive_timestamps_not_double_shifted(spark, tmp_path):
+    """Mixed agency exports carry both offset-aware and naive local
+    timestamps. With a survey tz, only offset-bearing rows convert;
+    a naive 20:00 New Year's Eve entry must stay in its local year."""
+    import pandas as pd
+
+    from dea_coastlines_spark.sources import read_csv_survey_dms
+
+    p = tmp_path / "s.csv"
+    pd.DataFrame({
+        "site": ["a", "b", "c"],
+        "obs_time": [
+            "2001-01-01T08:00:00+10:30",  # instant: 2000-12-31 21:30 UTC
+            "2000-12-31T20:00:00",        # naive local wall clock
+            "2000-12-31T11:00:00Z",       # Zulu = 2000-12-31 21:30 ACDT
+        ],
+        "chainage_m": [1.0, 2.0, 3.0],
+        "elevation": [0.0, 0.0, 0.0],
+        "profile_id": ["a", "b", "c"],
+        "lat_dms": ["33°S"] * 3,
+        "lon_dms": ["151°E"] * 3,
+    }).to_csv(p, index=False)
+    out = {
+        r["site"]: str(r["date"])
+        for r in read_csv_survey_dms(
+            spark, str(p), tz="Australia/Adelaide"
+        ).collect()
+    }
+    assert out["a"].startswith("2001-01-01 08:00")  # offset honored
+    assert out["b"].startswith("2000-12-31 20:00")  # naive: verbatim
+    assert out["c"].startswith("2000-12-31 21:30")  # Z suffix honored

@@ -393,3 +393,39 @@ def test_orient_transects_distributed_parity(spark):
     # output too (and trivially: same rows either way)
     auto = orient_transects(t, land).toPandas().sort_values(key)
     assert auto[cols].values.tolist() == bc[cols].values.tolist()
+
+
+def test_orient_distributed_out_of_frame_clamps_to_parity(spark):
+    """Geometry wholly outside the cell index's world frame must CLAMP
+    to edge cells on both sides of the cover join (the rule the point
+    encoders already apply), so the distributed path still forms the
+    candidate pair and the exact PIP refine decides — identical output
+    to the broadcast path, never a silent empty-cover drop (which
+    would classify out-of-frame land endpoints as water and drop the
+    transect)."""
+    far = 9e6  # well beyond WORLD_X0 + WORLD_SPAN (~4.19e6)
+    t = spark.createDataFrame(pd.DataFrame({
+        "line_id": ["in", "out"], "transect_id": [0, 0],
+        "dist_along": [0.0, 0.0],
+        # "in": both endpoints in-frame open water (drops either way);
+        # "out": land-side endpoint INSIDE the out-of-frame land box
+        "x1": [0.0, far + 5e4], "y1": [-5.0, far + 5e4],
+        "x2": [0.0, far + 3e5], "y2": [5.0, far + 3e5],
+        "geometry": [
+            wkb.linestring(np.array([[0.0, -5.0], [0.0, 5.0]])),
+            wkb.linestring(np.array(
+                [[far + 5e4, far + 5e4], [far + 3e5, far + 3e5]])),
+        ],
+    }))
+    land = spark.createDataFrame(pd.DataFrame({
+        "geometry": [wkb.polygon(np.array(
+            [[far, far], [far + 1e5, far], [far + 1e5, far + 1e5],
+             [far, far + 1e5], [far, far]], float))],
+    }))
+    cols = ["line_id", "transect_id", "x1", "y1", "x2", "y2"]
+    bc = (orient_transects(t, land, broadcast_land=True)
+          .toPandas().sort_values("line_id").reset_index(drop=True))
+    dist = (orient_transects(t, land, broadcast_land=False)
+            .toPandas().sort_values("line_id").reset_index(drop=True))
+    assert bc["line_id"].tolist() == ["out"]  # land/water keeps it
+    assert bc[cols].values.tolist() == dist[cols].values.tolist()
