@@ -131,10 +131,45 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(json.dumps(chosen))
+    print(json.dumps(_fit_tail(chosen)))
     if os.environ.get("SPARK_GRAFT_NO_TREND", "0") != "1":
         _append_trend(chosen)
+        _write_full(chosen)
     spark.stop()
+
+
+def _fit_tail(out: dict, budget: int = 1800) -> dict:
+    """The round driver parses the JSON line out of the LAST 2000 chars
+    of bench output; the r4 line (78 queries, ~2.3KB) overflowed that
+    window and the round artifact recorded parsed: null. Keep the full
+    per-query map in BENCH/bench_full.json (committed) and print a line
+    that always fits: all fields, but `queries` truncated to the
+    slowest K that keeps the serialized line under `budget` chars, plus
+    n_queries / queries_file so the truncation is self-describing."""
+    line = dict(out)
+    line["n_queries"] = len(out["queries"])
+    line["queries_file"] = "BENCH/bench_full.json"
+    ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    k = len(ranked)
+    while k > 0:
+        line["queries"] = dict(ranked[:k])
+        if len(json.dumps(line)) <= budget:
+            break
+        k -= 1
+    return line
+
+
+def _write_full(out: dict) -> None:
+    """Full per-query detail for the round artifact (the printed line
+    truncates to fit the driver's tail window — see _fit_tail)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "bench_full.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout
 
 
 def _measure(spark, sf_dir: str, bench_tiles: bool):
