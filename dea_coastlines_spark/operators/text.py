@@ -102,39 +102,55 @@ def with_fingerprint(
 ) -> DataFrame:
     """Winnowing document fingerprint: min rolling hash over each window
     of token hashes -> compact int64 (robust to small edits; the
-    candidate key for fuzzy dedup). Arrow kernel (not SQL-expressible)."""
+    candidate key for fuzzy dedup). Arrow kernel (not SQL-expressible).
+
+    Vectorized: the whole batch's tokens go through ONE
+    _hash_str_array call (the length-bucketed FNV fold shared with the
+    minhash kernels — bit-identical to the per-byte loop it replaced),
+    window mins come from np.minimum.reduce over `window` shifted
+    views, and the fingerprint column is appended in the kernel itself
+    (columns pass through — appending a column to every row must not
+    cost an id-shuffle join at corpus scale) instead of re-joining on
+    the id. Raw rows are _spread first: a one-file corpus would
+    otherwise run the whole kernel in one task."""
+    from .dedup import _hash_str_array, _spread
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
 
     def kernel(batches):
         _M = np.uint64(0xFFFFFFFFFFFFFFFF)
         np.seterr(over="ignore")  # intentional uint64 wraparound hashing
         for pdf in batches:
+            tok_lists = [(t or "").lower().split() for t in pdf[text_col]]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), np.int64, len(tok_lists)
+            )
+            flat_hs = _hash_str_array(
+                [s for toks in tok_lists for s in toks]
+            )
+            offs = np.concatenate([[0], np.cumsum(lens)])
             out = []
-            for text in pdf[text_col]:
-                toks = (text or "").lower().split()
-                if not toks:
+            for d in range(len(tok_lists)):
+                hs = flat_hs[offs[d]:offs[d + 1]]
+                if hs.size == 0:
                     out.append(0)
                     continue
-                hs = np.empty(len(toks), np.uint64)
-                for i, s in enumerate(toks):
-                    h = np.uint64(0xCBF29CE484222325)
-                    for b in s.encode("utf-8"):
-                        h = ((h ^ np.uint64(b)) * np.uint64(0x100000001B3)) & _M
-                    hs[i] = h
-                if len(hs) < window:
-                    mins = np.array([hs.min()], np.uint64)
+                if hs.size < window:
+                    mins = hs.min(keepdims=True)
                 else:
-                    mins = np.array(
-                        [hs[i : i + window].min() for i in range(len(hs) - window + 1)],
-                        np.uint64,
+                    w = hs.size - window + 1
+                    mins = np.minimum.reduce(
+                        [hs[i:i + w] for i in range(window)]
                     )
                 fp = np.uint64(0xCBF29CE484222325)
                 for m in np.unique(mins):
                     fp = ((fp ^ m) * np.uint64(0x100000001B3)) & _M
                 out.append(int(np.int64(fp)))
-            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
+            yield pdf.assign(fingerprint=np.array(out, np.int64))
 
-    fps = df.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, fingerprint long")
-    return df.join(fps, id_col)
+    return _spread(df).mapInPandas(kernel, f"{out_fields}, fingerprint long")
 
 
 # GPT-2-style pretokenizer, simplified to the RE2-compatible subset
