@@ -136,6 +136,20 @@ def _hotspots_impl(
     # reads the persisted slim pairs and plans its own (hotspot-keyed)
     # exchange; the join below re-clusters on point_id regardless, so
     # sharing one repartition between the two branches is impossible.
+    #
+    # Evaluated and rejected (r5): folding this branch into the median
+    # pipeline by LEFT-joining pairs->signed_dists and recounting
+    # distinct point_ids after the (radius, hotspot) repartition. The
+    # point_id equi-join needs point_id clustering on both sides no
+    # matter how pairs were pre-partitioned, so the restructure can
+    # only ever share THIS one exchange (-1, not the -3 that would
+    # justify it), while switching the join to LEFT so zero-dist
+    # members still count — a null-semantics change on the verified
+    # n — and growing the persisted frame by the year multiplicity.
+    # Measured: the whole query runs 1.8 s at sf0.1 and this branch
+    # aggregates the already-persisted slim pairs (3 int columns), a
+    # few percent of that; the re-cluster on point_id is load-bearing
+    # (it is the join key), not an avoidable extra shuffle.
     n_points = pairs.groupBy("radius_m", "hotspot_id").agg(
         F.count("*").alias("n")
     )
