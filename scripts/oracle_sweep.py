@@ -151,6 +151,22 @@ def main() -> int:
                     row = {"status": "ok", "rows": len(gr)}
             row["spark_s"] = round(t1 - t0, 2)
             row["duckdb_s"] = round(t2 - t1, 2)
+            # spark_s above is COLD + toPandas: it includes plan
+            # compile, first-scan cache fill, Python-worker spin-up
+            # and the Arrow collect of up-to-millions of result rows
+            # (charset_jaccard: 24.7 s cold+collect vs 6.2 s warm
+            # noop-write at sf0.1) — per-session constants plus
+            # harness transfer, not engine throughput. Keep it for
+            # round-over-round comparability, and ALSO record the
+            # bench-methodology figure: best-of-2 warm noop sink.
+            best = float("inf")
+            for _ in range(2):
+                tw = time.time()
+                queries[name](spark, args.sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                best = min(best, time.time() - tw)
+            row["spark_noop_s"] = round(best, 2)
         except Exception as exc:  # noqa: BLE001 — record and continue
             row = {
                 "status": "error",
