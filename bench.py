@@ -178,10 +178,17 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
     best-of-2 protocol (later attempts benefit from warm scan caches,
     which is exactly what the warmup pass already grants the first)."""
     import __spark_entry__ as _entry
-    from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
-    from dea_coastlines_spark.synth import corpus
 
     times: dict[str, float] = {}
+
+    # ---- tile pipeline FIRST: tiles/sec is BASELINE.json's headline
+    # metric, and measuring it after the 102-query registry pass reads
+    # ~10% low from JVM session aging (heap/GC accumulated by
+    # unrelated queries) — 1500 vs 1675 tiles/s in back-to-back quiet
+    # recordings. Fresh-session ordering isolates the metric.
+    tiles_per_sec = None
+    if bench_tiles:
+        tiles_per_sec = _measure_tiles(spark, times)
 
     # ---- the FULL query registry (VERDICT r4 item 1: a regression in
     # any query — the heavyweight pipelines included — must show up in
@@ -212,47 +219,50 @@ def _measure(spark, sf_dir: str, bench_tiles: bool):
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
-    tiles_per_sec = None
-    if bench_tiles:
-        # ---- tile pipeline: synth -> parquet (setup), then timed run
-        spec = corpus.CorpusSpec(
-            tile_px=128, halo_px=8, tiles_x=16, tiles_y=4,
-            year0=2000, year1=2005, obs_per_year=5, cloud_frac=0.05, seed=11,
-        )
-        n_tiles = spec.tiles_x * spec.tiles_y * len(spec.years) * spec.obs_per_year
-        tmp = tempfile.mkdtemp(prefix="bench_tiles_")
-        try:
-            corpus.generate_spark(spark, spec).write.mode("overwrite").parquet(f"{tmp}/tiles")
-            tiles = spark.read.parquet(f"{tmp}/tiles")
-
-            from dea_coastlines_spark.operators.contours import shorelines_fused
-
-            # Two physical strategies for the same query (byte-equal
-            # output, pinned by test_pipeline.py::test_fused_equals_staged):
-            # staged materializes the composite table (wanted when masking/
-            # gapfill consume it); fused is the plan the engine picks for
-            # the straight tiles->vectors query. Headline tiles/sec = fused.
-            variants = {
-                "shoreline_pipeline": lambda: shoreline_pipeline(
-                    tiles, apply_tide_filter=True
-                ),
-                "shoreline_pipeline_fused": lambda: shorelines_fused(
-                    tiles, apply_tide_filter=True
-                ),
-            }
-            for vname, build in variants.items():
-                build().write.mode("overwrite").format("noop").save()  # warmup
-                dt = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    build().write.mode("overwrite").format("noop").save()
-                    dt = min(dt, time.perf_counter() - t0)
-                times[vname] = round(dt, 3)
-            tiles_per_sec = round(n_tiles / times["shoreline_pipeline_fused"], 2)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-
     return times, tiles_per_sec
+
+
+def _measure_tiles(spark, times: dict) -> float:
+    """Tile pipeline: synth -> parquet (setup), then timed run."""
+    from dea_coastlines_spark.plans.pipeline import shoreline_pipeline
+    from dea_coastlines_spark.synth import corpus
+
+    spec = corpus.CorpusSpec(
+        tile_px=128, halo_px=8, tiles_x=16, tiles_y=4,
+        year0=2000, year1=2005, obs_per_year=5, cloud_frac=0.05, seed=11,
+    )
+    n_tiles = spec.tiles_x * spec.tiles_y * len(spec.years) * spec.obs_per_year
+    tmp = tempfile.mkdtemp(prefix="bench_tiles_")
+    try:
+        corpus.generate_spark(spark, spec).write.mode("overwrite").parquet(f"{tmp}/tiles")
+        tiles = spark.read.parquet(f"{tmp}/tiles")
+
+        from dea_coastlines_spark.operators.contours import shorelines_fused
+
+        # Two physical strategies for the same query (byte-equal
+        # output, pinned by test_pipeline.py::test_fused_equals_staged):
+        # staged materializes the composite table (wanted when masking/
+        # gapfill consume it); fused is the plan the engine picks for
+        # the straight tiles->vectors query. Headline tiles/sec = fused.
+        variants = {
+            "shoreline_pipeline": lambda: shoreline_pipeline(
+                tiles, apply_tide_filter=True
+            ),
+            "shoreline_pipeline_fused": lambda: shorelines_fused(
+                tiles, apply_tide_filter=True
+            ),
+        }
+        for vname, build in variants.items():
+            build().write.mode("overwrite").format("noop").save()  # warmup
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build().write.mode("overwrite").format("noop").save()
+                dt = min(dt, time.perf_counter() - t0)
+            times[vname] = round(dt, 3)
+        return round(n_tiles / times["shoreline_pipeline_fused"], 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _append_trend(out: dict) -> None:
