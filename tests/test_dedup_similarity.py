@@ -684,3 +684,24 @@ def test_hard_negatives_matches_bruteforce(spark):
                    key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s))[:3]
         ) - {iid}
         assert (iid in recv) == bool(cap_set)
+
+
+def test_verify_jaccard_bitset_budget_fallback(spark, docs_df, monkeypatch):
+    """The vectorized bitset verify degrades to the per-pair probe loop
+    when a batch's (docs x vocab) bitset would exceed the memory
+    budget. Force the budget to zero and pin that the fallback returns
+    the exact same pairs and jaccard values as the vectorized path —
+    the 100 TB wide-vocab story relies on these two kernels being
+    interchangeable."""
+    df, pdf = docs_df
+    fast = (
+        dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.6)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(dedup, "_BITSET_BUDGET_BYTES", 0)
+    slow = (
+        dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.6)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert fast[["id_a", "id_b"]].values.tolist() == slow[["id_a", "id_b"]].values.tolist()
+    assert np.allclose(fast["jaccard"], slow["jaccard"], rtol=0, atol=0)
