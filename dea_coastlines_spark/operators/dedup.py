@@ -166,12 +166,34 @@ def _banded_buckets(
 _POP8 = np.array(
     [bin(i).count("1") for i in range(256)], dtype=np.uint16
 )
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array (numpy < 2.0 has no
+    bitwise_count ufunc). Replaces the _POP8 byte-gather: the gather
+    did one table lookup PER BYTE (8 per word — the dominant cost of
+    the bitset verify at millions of pairs x hundreds of words), while
+    this is 12 elementwise vector ops per word, no gathers. Exact for
+    all 2^64 inputs (the standard Hacker's Delight reduction)."""
+    with np.errstate(over="ignore"):
+        x = a - ((a >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 # cap on the per-batch (docs x vocab-words) bitset matrix; above it the
 # kernel degrades to the per-pair probe loop instead of blowing memory
 _BITSET_BUDGET_BYTES = 256 << 20
 
 
-def _verify_jaccard(pairs: DataFrame, shingle_k: int, a_id: str, b_id: str) -> DataFrame:
+def _verify_jaccard(
+    pairs: DataFrame,
+    shingle_k: int,
+    a_id: str,
+    b_id: str,
+    spread: bool = True,
+) -> DataFrame:
     """Exact shingle-Jaccard over candidate pairs carrying text_a/text_b
     columns; returns (a_id, b_id, jaccard). Arrow-batched; runs only on
     LSH candidates, never all-pairs. The kernel is the per-row CPU hot
@@ -264,7 +286,7 @@ def _verify_jaccard(pairs: DataFrame, shingle_k: int, a_id: str, b_id: str) -> D
                 for s in range(0, n, step):
                     e = min(n, s + step)
                     both = bits[ca[s:e]] & bits[cb[s:e]]
-                    inter[s:e] = _POP8[both.view(np.uint8)].sum(
+                    inter[s:e] = _popcount64(both).sum(
                         axis=1, dtype=np.int64
                     )
                 union = lens[ca] + lens[cb] - inter
@@ -278,7 +300,8 @@ def _verify_jaccard(pairs: DataFrame, shingle_k: int, a_id: str, b_id: str) -> D
                 }
             )
 
-    return pairs.repartition(want, a_id, b_id).mapInPandas(
+    src = pairs.repartition(want, a_id, b_id) if spread else pairs
+    return src.mapInPandas(
         verify, f"{a_id} long, {b_id} long, jaccard double"
     )
 
@@ -313,10 +336,23 @@ def minhash_lsh_pairs(
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # repartition the SLIM (id, id) candidates BEFORE dedup and text
+    # attach (guide §2.3 "shuffle keys, not payloads" / §8): the
+    # explicit exchange both opts the CPU-heavy verify out of AQE's
+    # by-bytes coalescing AND satisfies the distinct aggregate's
+    # clustering requirement, so the dedup runs partition-local with no
+    # second exchange. The texts join in AFTER the shuffle (broadcast
+    # when the corpus side fits; the join re-clusters only above
+    # broadcast size, where its own exchange is load-bearing anyway) —
+    # the prior shape attached texts first and then repartitioned,
+    # shuffling every candidate's two document payloads (~GBs at sf0.1
+    # candidate volume) to move a 16-byte id pair.
+    want = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(want, "id_a", "id_b")
         .distinct()
     )
 
@@ -326,7 +362,7 @@ def minhash_lsh_pairs(
         .join(docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
     )
 
-    return _verify_jaccard(pairs, shingle_k, "id_a", "id_b").filter(
+    return _verify_jaccard(pairs, shingle_k, "id_a", "id_b", spread=False).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -377,7 +413,15 @@ def cross_corpus_neardup(
     b_ref = _banded_buckets(sig_ref, id_col, num_perm, bands).select(
         F.col(id_col).alias("ref_id"), "band", "bucket"
     )
-    cand = b_new.join(b_ref, ["band", "bucket"]).select("new_id", "ref_id").distinct()
+    # same shape as minhash_lsh_pairs: shuffle the slim id pairs, fold
+    # the dedup into the explicit exchange, attach texts after
+    want = new_df.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        b_new.join(b_ref, ["band", "bucket"])
+        .select("new_id", "ref_id")
+        .repartition(want, "new_id", "ref_id")
+        .distinct()
+    )
     pairs = (
         cand.join(
             new_df.select(F.col(id_col).alias("new_id"), F.col(text_col).alias("text_a")),
@@ -388,7 +432,7 @@ def cross_corpus_neardup(
         )
     )
     matches = (
-        _verify_jaccard(pairs, shingle_k, "new_id", "ref_id")
+        _verify_jaccard(pairs, shingle_k, "new_id", "ref_id", spread=False)
         .filter(F.col("jaccard") >= threshold)
         .groupBy("new_id")
         .agg(

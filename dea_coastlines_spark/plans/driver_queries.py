@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _ck_sorted(df: DataFrame, *cols) -> DataFrame:
+    """Deterministic final sort behind a materialization barrier.
+
+    A global orderBy computes range-partition boundaries by SAMPLING
+    its child — a separate job that re-executes every operator above
+    the last materialized exchange, then the sort shuffle executes the
+    same subtree AGAIN. For queries whose final stage carries the
+    expensive work (pair-verify kernels, array_intersect cascades), the
+    whole verify ran twice: minhash_pairs measured 5.0 s unsorted vs
+    8.6 s sorted at sf0.1. The lazy localCheckpoint materializes the
+    result rows once (first touched by the sample job), so both the
+    sampling and the sort read cached partitions. Applied only where
+    the final stage is expensive — for cheap tails the recompute costs
+    less than the cache write."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the session timezone: timestamp rendering (date_format,
     # epoch casts) follows spark.sql.session.timeZone, which defaults
@@ -780,8 +797,9 @@ def q_charset_jaccard(spark, sf_dir):
     from ..operators.dedup import charset_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    return charset_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.82).orderBy(
-        "id_a", "id_b"
+    return _ck_sorted(
+        charset_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.82),
+        "id_a", "id_b",
     )
 
 
@@ -804,9 +822,10 @@ def q_ngram_jaccard(spark, sf_dir):
     # full-table corpus: every true near-dup pair scores >= 0.909, so
     # t=0.8 returns the complete non-trivial set with ~2.5x shorter
     # prefixes (candidate volume falls ~6x vs t=0.5)
-    return word_ngram_jaccard_pairs(
-        d, "text", "doc_id", n=2, threshold=0.8
-    ).orderBy("id_a", "id_b")
+    return _ck_sorted(
+        word_ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.8),
+        "id_a", "id_b",
+    )
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -2296,7 +2315,7 @@ def q_minhash_pairs(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.6).orderBy("id_a", "id_b")
+    return _ck_sorted(minhash_lsh_pairs(d, "text", "doc_id", threshold=0.6), "id_a", "id_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
