@@ -37,13 +37,16 @@ from .dedup import _splitmix, _spread
 
 
 def synth_citation_edges(
-    docs: DataFrame, id_col: str = "doc_id", out_degree: int = 3
+    docs: DataFrame, id_col: str = "doc_id", out_degree: int = 3,
+    n: int | None = None,
 ) -> DataFrame:
     """Deterministic citation graph over contiguous node ids 0..N-1:
     node i links to splitmix64(i*31 + k) mod N for k = 1..out_degree
     (multi-edges and self-loops kept — both engines treat them
-    identically).  One map-only Arrow kernel; no shuffle."""
-    n = docs.count()  # driver scalar (a count, not a collect)
+    identically).  One map-only Arrow kernel; no shuffle.  Callers that
+    already know the node count pass `n` to skip the count job."""
+    if n is None:
+        n = docs.count()  # driver scalar (a count, not a collect)
 
     def kernel(batches):
         for pdf in batches:
@@ -71,6 +74,7 @@ def pagerank_fixed_point(
     total: int = 10**12,
     damp_num: int = 17,
     damp_den: int = 20,
+    n: int | None = None,
 ) -> DataFrame:
     """PageRank after `iters` synchronous iterations, exact fixed-point:
 
@@ -86,17 +90,22 @@ def pagerank_fixed_point(
     then <= `total` but the recurrence stays exact.
 
     Returns (id_col, rank_fp) — ranks in units of total^-1."""
-    n = nodes.count()
+    if n is None:
+        n = nodes.count()
     base = (total * (damp_den - damp_num)) // damp_den // n
     deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
     # loop invariant: edges with degree attached, pre-shuffled on src so
-    # each iteration's rank join reuses the exchange
-    edeg = (
-        edges.join(deg, src)
-        .repartition(F.col(src))
-        .persist()
+    # each iteration's rank join reuses the exchange. A LAZY
+    # localCheckpoint (not persist + count): it caches identically on
+    # first compute and is reclaimed when the plan is GC'd, but issues
+    # no synchronous materialization job — the whole 8-iteration
+    # recurrence now executes as ONE job at action time instead of
+    # 10 driver-blocking jobs at plan-build time (each job round-trip
+    # costs ~100 ms at local[32]; on a cluster, a scheduler barrier).
+    edeg = edges.join(deg, src).repartition(F.col(src)).localCheckpoint(
+        eager=False
     )
-    edeg.count()  # materialize before the loop
+    nodes = nodes.localCheckpoint(eager=False)  # read once, joined 9x
 
     # pin LongType: total//n can fit int32, and int32 * damp_num would
     # then overflow under ANSI
@@ -111,6 +120,9 @@ def pagerank_fixed_point(
             .groupBy(id_col)
             .agg(F.sum("c").alias("s"))
         )
+        # lazy checkpoint: still truncates lineage (each iteration's
+        # plan reads the previous one as a materialized-on-first-use
+        # leaf) without forcing a per-iteration job
         ranks = (
             nodes.join(sums, id_col, "left")
             .select(
@@ -120,9 +132,8 @@ def pagerank_fixed_point(
                     + F.coalesce(F.col("s"), F.lit(0).cast("long"))
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    edeg.unpersist()
     return ranks
 
 

