@@ -194,7 +194,7 @@ def global_components(
     # undirected
     edges = edges.unionByName(
         edges.select(F.col("nb").alias("na"), F.col("na").alias("nb"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
 
     if small_graph_edges and edges.count() <= small_graph_edges:
         import pandas as pd

@@ -94,7 +94,7 @@ def connected_components_pairs(
         )
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
     if small_graph_edges and sym.count() <= small_graph_edges:
         import pandas as pd
 

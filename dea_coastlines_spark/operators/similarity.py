@@ -454,7 +454,7 @@ def semdedup(
     m = (
         assign.join(base, assign[id_col] == base["_vid"])
         .select(id_col, "cluster", "c_sim", "_v", "_n")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     left = m.select(
         F.col(id_col).alias("id_a"), "cluster",

@@ -328,7 +328,7 @@ def cms_heavy_hitters(
     # localCheckpoint: the grid fold and the top-k probe both consume
     # `bucketed`; without it the tokenize+count+kernel lineage runs
     # twice (and the kernel must not re-run per consumer anyway).
-    bucketed = bucketed.localCheckpoint(eager=True)
+    bucketed = bucketed.localCheckpoint(eager=False)
 
     # counter grid: depth*width rows, folded from distinct tokens
     melted = bucketed.select(

@@ -758,13 +758,13 @@ def cooccurrence_pmi(
     pair_counts = (
         pairs.groupBy("a", "b")
         .agg(F.count("*").alias("pair_count"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tok_counts = (
         toks.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = pair_counts.agg(
         F.sum("pair_count").cast("double").alias("P")

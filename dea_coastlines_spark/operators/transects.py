@@ -271,7 +271,8 @@ def _orient_transects_dist(
     in one final kernel over the transect rows.
 
     Row identity for the fan-out is monotonically_increasing_id pinned
-    by an eager localCheckpoint: the id column is referenced by two
+    by a localCheckpoint (lazy: the ids are assigned once on first
+    materialization and cached): the id column is referenced by two
     plan branches (endpoint rows and the final join-back) and must not
     shift under recomputation. The checkpoint holds only the transect
     table — always orders of magnitude smaller than the raster corpus
@@ -280,7 +281,7 @@ def _orient_transects_dist(
 
     base = transects.withColumn(
         "_tid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # MultiPolygon rows explode to simple polygons first (the PIP
     # refine kernels are Polygon-only); holes stay attached to their
