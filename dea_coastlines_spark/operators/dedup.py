@@ -95,10 +95,18 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_perm: int = 64, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    with_shingles: bool = False,
 ) -> DataFrame:
     """MinHash signatures via one permutation-free scheme: h_i(s) =
-    splitmix64(fnv(s) ^ seed_i); signature[i] = min over shingles."""
+    splitmix64(fnv(s) ^ seed_i); signature[i] = min over shingles.
+    with_shingles=True additionally emits each doc's sorted unique
+    shingle-hash array (already computed for the signature) so a
+    broadcast-verify caller needs no second shingling pass."""
     with np.errstate(over="ignore"):
         seeds = _splitmix(
             np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -107,22 +115,31 @@ def minhash_signatures(
     def kernel(batches):
         for pdf in batches:
             sigs = []
+            shs = []
             for text in pdf[text_col]:
                 sh = char_shingles(text or "", shingle_k)
                 if not sh:
                     sigs.append([int(0x7FFFFFFFFFFFFFFF)] * num_perm)
+                    if with_shingles:
+                        shs.append(np.empty(0, np.int64))
                     continue
                 base = _hash_str_array(sh)  # (n_shingles,)
                 mat = _splitmix(base[:, None] ^ seeds[None, :])  # (n, num_perm)
                 sigs.append((mat.min(axis=0) >> np.uint64(1)).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+                if with_shingles:
+                    shs.append(np.unique(base).view(np.int64))
+            out = {id_col: pdf[id_col], "signature": sigs}
+            if with_shingles:
+                out["sh"] = shs
+            yield pd.DataFrame(out)
 
+    schema = f"{id_col} long, signature array<long>"
+    if with_shingles:
+        schema += ", sh array<long>"
     # single-split corpora (one parquet row-group) would run the whole
     # signature pass in ONE task; spread raw rows first (same fix as
     # the heavy text queries — results are per-row, partition-invariant)
-    return _spread(df.select(id_col, text_col)).mapInPandas(
-        kernel, f"{id_col} long, signature array<long>"
-    )
+    return _spread(df.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
 def _banded_buckets(
@@ -186,6 +203,113 @@ def _popcount64(a: np.ndarray) -> np.ndarray:
 # kernel degrades to the per-pair probe loop instead of blowing memory
 _BITSET_BUDGET_BYTES = 256 << 20
 
+# broadcast-verify gate: corpora at or below this row count ship their
+# per-doc shingle-hash arrays to every task as ONE broadcast instead of
+# join-attaching text payloads to every candidate pair (guide §8:
+# decide with small rows, move heavy bytes once — here the heavy bytes
+# never move at all). Byte-capped too, since row count alone does not
+# bound the arrays.
+_BC_VERIFY_ROW_CAP = 100_000
+_BC_VERIFY_BYTES = 256 << 20
+
+
+def _batch_set_jaccard(arrs, lens, ca, cb):
+    """Exact set-Jaccard for pairs (ca[i], cb[i]) over distinct sorted
+    uint64-hash arrays `arrs`: compact-rank bitset pack + SWAR popcount
+    (see _verify_jaccard's docstring for the derivation). Returns None
+    when the (docs x vocab) bitset would exceed _BITSET_BUDGET_BYTES —
+    the caller falls back to per-pair probes."""
+    n = len(ca)
+    jac = np.zeros(n, np.float64)
+    vocab = (
+        np.unique(np.concatenate(arrs))
+        if len(arrs) and lens.sum()
+        else np.empty(0, np.uint64)
+    )
+    words = (int(vocab.size) + 63) >> 6
+    if len(arrs) * words * 8 > _BITSET_BUDGET_BYTES:
+        return None
+    if not vocab.size:
+        return jac
+    bits = np.zeros((len(arrs), words), np.uint64)
+    doc_rep = np.repeat(np.arange(len(arrs)), lens)
+    rank = np.searchsorted(vocab, np.concatenate([a for a in arrs if a.size]))
+    # flat (doc, word) keys are globally ascending (ranks sorted within
+    # each doc), so OR-pack with reduceat
+    key = doc_rep * words + (rank >> 6)
+    bit = np.left_shift(np.uint64(1), (rank & 63).astype(np.uint64))
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(key)) + 1])
+    bits.reshape(-1)[key[starts]] = np.bitwise_or.reduceat(bit, starts)
+    # chunk the pair dimension so the AND+popcount scratch stays ~64MB
+    step = max(1, (64 << 20) // max(words * 8, 1))
+    inter = np.empty(n, np.int64)
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        both = bits[ca[s:e]] & bits[cb[s:e]]
+        inter[s:e] = _popcount64(both).sum(axis=1, dtype=np.int64)
+    union = lens[ca] + lens[cb] - inter
+    nz = union > 0
+    jac[nz] = inter[nz] / union[nz]
+    return jac
+
+
+def _pair_probe_jaccard(arrs, ca, cb, jac):
+    """Budget fallback: per-pair sorted-array membership probes over the
+    same distinct arrays (bounded memory; parity-pinned vs the bitset
+    path by tests/test_dedup_similarity.py)."""
+    for i in range(len(jac)):
+        sa, sb = arrs[ca[i]], arrs[cb[i]]
+        if sa.size > sb.size:
+            sa, sb = sb, sa
+        idx = np.searchsorted(sb, sa)
+        idx[idx == sb.size] = 0  # out-of-range can't match
+        inter = int(np.count_nonzero(sb[idx] == sa))
+        union = sa.size + sb.size - inter
+        if union:
+            jac[i] = inter / union
+
+
+def _verify_jaccard_bc(
+    pairs: DataFrame, bc_a, bc_b, a_id: str, b_id: str
+) -> DataFrame:
+    """Exact shingle-Jaccard over SLIM (a, b) candidate rows: per-doc
+    arrays come from broadcast maps instead of join-attached texts, so
+    nothing heavier than two longs crosses the shuffle or the Python
+    boundary per pair. Same bitset kernel and budget fallback as the
+    join-attach path — identical jaccard values by construction."""
+    same = bc_a is bc_b
+
+    def verify(batches):
+        amap = bc_a.value
+        bmap = bc_b.value
+        empty = np.empty(0, np.uint64)
+        for pdf in batches:
+            n = len(pdf)
+            ia = pdf[a_id].to_numpy()
+            ib = pdf[b_id].to_numpy()
+            if same:
+                codes, uniq = pd.factorize(np.concatenate([ia, ib]))
+                arrs = [amap.get(i, empty) for i in uniq]
+                ca, cb = codes[:n], codes[n:]
+            else:
+                # distinct id spaces: factorize per side, offset b codes
+                ca, ua = pd.factorize(ia)
+                cb, ub = pd.factorize(ib)
+                arrs = [amap.get(i, empty) for i in ua] + [
+                    bmap.get(i, empty) for i in ub
+                ]
+                cb = cb + len(ua)
+            lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+            jac = _batch_set_jaccard(arrs, lens, ca, cb)
+            if jac is None:
+                jac = np.zeros(n, np.float64)
+                _pair_probe_jaccard(arrs, ca, cb, jac)
+            yield pd.DataFrame({a_id: ia, b_id: ib, "jaccard": jac})
+
+    return pairs.mapInPandas(
+        verify, f"{a_id} long, {b_id} long, jaccard double"
+    )
+
 
 def _verify_jaccard(
     pairs: DataFrame,
@@ -231,67 +355,18 @@ def _verify_jaccard(
                 memo[t] = a
             return a
 
-        def probe_loop(ta, tb, jac):
-            # fallback: per-pair sorted-array membership probes
-            for i in range(len(jac)):
-                sa, sb = sh(ta[i] or ""), sh(tb[i] or "")
-                if sa.size > sb.size:
-                    sa, sb = sb, sa
-                idx = np.searchsorted(sb, sa)
-                idx[idx == sb.size] = 0  # out-of-range can't match
-                inter = int(np.count_nonzero(sb[idx] == sa))
-                union = sa.size + sb.size - inter
-                if union:
-                    jac[i] = inter / union
-
         for pdf in batches:
             n = len(pdf)
             ta = pdf["text_a"].fillna("").to_numpy(object)
             tb = pdf["text_b"].fillna("").to_numpy(object)
-            jac = np.zeros(n, np.float64)
             codes, uniq = pd.factorize(np.concatenate([ta, tb]))
             arrs = [sh(t) for t in uniq]
             lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
-            vocab = (
-                np.unique(np.concatenate(arrs))
-                if lens.sum()
-                else np.empty(0, np.uint64)
-            )
-            words = (int(vocab.size) + 63) >> 6
-            if len(uniq) * words * 8 > _BITSET_BUDGET_BYTES:
-                probe_loop(ta, tb, jac)
-            elif vocab.size:
-                bits = np.zeros((len(uniq), words), np.uint64)
-                doc_rep = np.repeat(np.arange(len(uniq)), lens)
-                rank = np.searchsorted(
-                    vocab, np.concatenate([a for a in arrs if a.size])
-                )
-                # flat (doc, word) keys are globally ascending (ranks
-                # sorted within each doc), so OR-pack with reduceat
-                key = doc_rep * words + (rank >> 6)
-                bit = np.left_shift(
-                    np.uint64(1), (rank & 63).astype(np.uint64)
-                )
-                starts = np.concatenate(
-                    [[0], np.flatnonzero(np.diff(key)) + 1]
-                )
-                bits.reshape(-1)[key[starts]] = np.bitwise_or.reduceat(
-                    bit, starts
-                )
-                ca, cb = codes[:n], codes[n:]
-                # chunk the pair dimension so the AND+popcount scratch
-                # stays ~64MB regardless of batch size
-                step = max(1, (64 << 20) // max(words * 8, 1))
-                inter = np.empty(n, np.int64)
-                for s in range(0, n, step):
-                    e = min(n, s + step)
-                    both = bits[ca[s:e]] & bits[cb[s:e]]
-                    inter[s:e] = _popcount64(both).sum(
-                        axis=1, dtype=np.int64
-                    )
-                union = lens[ca] + lens[cb] - inter
-                nz = union > 0
-                jac[nz] = inter[nz] / union[nz]
+            ca, cb = codes[:n], codes[n:]
+            jac = _batch_set_jaccard(arrs, lens, ca, cb)
+            if jac is None:
+                jac = np.zeros(n, np.float64)
+                _pair_probe_jaccard(arrs, ca, cb, jac)
             yield pd.DataFrame(
                 {
                     a_id: pdf[a_id].to_numpy(),
@@ -330,8 +405,33 @@ def minhash_lsh_pairs(
     frozenset intersection, and the PPJoin-style length filter prunes
     only 10% here (uniform doc lengths). The cost is candidate+output
     volume, not plan shape; on a real web corpus (low ambient
-    similarity) candidates ≈ true pairs and this plan is optimal."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    similarity) candidates ≈ true pairs and this plan is optimal.
+    (r6: below _BC_VERIFY_ROW_CAP the verify consumes the slim id
+    pairs directly with the shingle-hash arrays broadcast from the
+    signature pass — the bitset kernel then beats both options above
+    because no text ever crosses a shuffle or the Python boundary.)"""
+    small = (
+        df.limit(_BC_VERIFY_ROW_CAP + 1).count() <= _BC_VERIFY_ROW_CAP
+    )
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, with_shingles=small
+    )
+    bc = None
+    if small:
+        # one kernel pass serves both consumers: the banded-bucket
+        # branch reads signatures from the cached checkpoint, and the
+        # arrays are collected for the verify broadcast
+        sigs = sigs.localCheckpoint(eager=False)
+        pdf = sigs.select(id_col, "sh").toPandas()
+        amap: dict = {}
+        total = 0
+        for i, a in zip(pdf[id_col].tolist(), pdf["sh"]):
+            arr = np.sort(np.asarray(a, np.int64).view(np.uint64))
+            total += arr.nbytes
+            amap[i] = arr
+        if total <= _BC_VERIFY_BYTES:
+            bc = df.sparkSession.sparkContext.broadcast(amap)
+        sigs = sigs.select(id_col, "signature")
     banded = _banded_buckets(sigs, id_col, num_perm, bands)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -356,15 +456,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    docs = df.select(id_col, text_col)
-    pairs = (
-        cand.join(docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")), "id_a")
-        .join(docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
-    )
+    # broadcast-size corpora: verify over the slim candidate pairs with
+    # the per-doc shingle arrays broadcast once — no text joins, no
+    # text bytes through the Python boundary (measured: the join-attach
+    # verify spent ~2s/6M pairs on Arrow text transfer + per-task
+    # re-shingling at sf0.1). Above the cap, the join-attach path.
+    if bc is not None:
+        ver = _verify_jaccard_bc(cand, bc, bc, "id_a", "id_b")
+    else:
+        docs = df.select(id_col, text_col)
+        pairs = (
+            cand.join(docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")), "id_a")
+            .join(docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), "id_b")
+        )
+        ver = _verify_jaccard(pairs, shingle_k, "id_a", "id_b", spread=False)
 
-    return _verify_jaccard(pairs, shingle_k, "id_a", "id_b", spread=False).filter(
-        F.col("jaccard") >= threshold
-    )
+    return ver.filter(F.col("jaccard") >= threshold)
 
 
 def cross_corpus_neardup(
@@ -422,6 +529,9 @@ def cross_corpus_neardup(
         .repartition(want, "new_id", "ref_id")
         .distinct()
     )
+    # join-attach verify (NOT the minhash broadcast gate: measured at
+    # sf0.1, two extra probe+collect+broadcast rounds cost more than
+    # this operator's smaller candidate volume saves)
     pairs = (
         cand.join(
             new_df.select(F.col(id_col).alias("new_id"), F.col(text_col).alias("text_a")),
