@@ -27,16 +27,24 @@ _FLAGSHIP_SPEC = driver_queries._flagship_spec()
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query; driver checks rows>0 and a stable schema."""
-    tiles = corpus.generate_spark(spark, _FLAGSHIP_SPEC)
+    # lazy checkpoint: the tide-cutoff aggregation and the composite
+    # branch both consume the tiles; without it the Arrow render kernel
+    # (PNG encode per tile) executes once per branch
+    tiles = corpus.generate_spark(spark, _FLAGSHIP_SPEC).localCheckpoint(
+        eager=False
+    )
     sl = shoreline_pipeline(tiles, apply_tide_filter=True)
     # hex-encode geometry for a stable, hashable driver-side schema
     from pyspark.sql import functions as F
 
+    # lazy checkpoint before the deterministic sort: range-boundary
+    # sampling otherwise re-executes the post-shuffle vectorization +
+    # hex projection (see driver_queries._ck_sorted)
     return sl.select(
         "cell_id", "tile_x", "tile_y", "year",
         F.hex(F.col("geometry")).alias("geometry_wkb_hex"),
         "n_vertices", F.round("length_m", 3).alias("length_m"), "certainty",
-    ).orderBy("year", "cell_id", "length_m")
+    ).localCheckpoint(eager=False).orderBy("year", "cell_id", "length_m")
 
 
 def _q_shorelines(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1074,9 +1074,9 @@ def q_embedding_neardup(spark, sf_dir):
         )
     )
     aug = emb.unionByName(copies)
-    return embedding_neardup_pairs(aug, dim=64, threshold=0.95).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_neardup_pairs(
+        aug, dim=64, threshold=0.95
+    ).localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 ORACLE_EMB_NEARDUP = """
@@ -1943,7 +1943,7 @@ def q_rates_of_change(spark, sf_dir):
         F.round("sce", 3).alias("sce"),
         F.round("nsm", 3).alias("nsm"),
         "certainty",
-    ).orderBy("point_id")
+    ).localCheckpoint(eager=False).orderBy("point_id")
 
 
 def q_hotspots(spark, sf_dir):
@@ -1968,7 +1968,7 @@ def q_hotspots(spark, sf_dir):
         F.round("rate_time", 3).alias("rate_time"),
         F.col("n").alias("n_points"),
         "certainty",
-    ).orderBy("hotspot_id")
+    ).localCheckpoint(eager=False).orderBy("hotspot_id")
 
 
 def q_masked_shorelines(spark, sf_dir):
@@ -1983,7 +1983,7 @@ def q_masked_shorelines(spark, sf_dir):
         "cell_id", "tile_x", "tile_y", "year",
         F.hex(F.col("geometry")).alias("geometry_wkb_hex"),
         "n_vertices", F.round("length_m", 3).alias("length_m"), "certainty",
-    ).orderBy("year", "cell_id", "length_m")
+    ).localCheckpoint(eager=False).orderBy("year", "cell_id", "length_m")
 
 
 def q_multilevel_shorelines(spark, sf_dir):
@@ -1996,7 +1996,10 @@ def q_multilevel_shorelines(spark, sf_dir):
     spec = _corpus.CorpusSpec(tile_px=96, halo_px=6, tiles_x=2, tiles_y=1,
                               year0=2000, year1=2001, obs_per_year=5,
                               cloud_frac=0.04, seed=7)
-    tiles = _corpus.generate_spark(spark, spec)
+    # lazy checkpoint: the tide-cutoff aggregation and the composite
+    # branch both consume the synthesized tiles; without it the Arrow
+    # render kernel (PNG encode per tile) executes once PER BRANCH
+    tiles = _corpus.generate_spark(spark, spec).localCheckpoint(eager=False)
     comps = annual_composites(tiles, apply_tide_filter=True)
     return (
         multi_level_shorelines(comps, levels=[-0.2, 0.0, 0.2])
@@ -2102,7 +2105,7 @@ def q_validation_stats(spark, sf_dir):
     errs = validation_errors(survey, transects, sl)
     return validation_stats(errs, by=["id"]).withColumn(
         "mae_under_px", F.col("mae") < 30.0
-    ).orderBy("id")
+    ).localCheckpoint(eager=False).orderBy("id")
 
 
 # ---- exact SQL oracles for the hash-based dedup operators -----------
@@ -2385,7 +2388,9 @@ def q_doc_fingerprint(spark, sf_dir):
     from ..operators.text import with_fingerprint
 
     d = _t(spark, sf_dir, "documents")
-    return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
+    return with_fingerprint(d).select(
+        "doc_id", "fingerprint"
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # DuckDB CAN express the winnowing fingerprint exactly: HUGEINT (128-bit)
@@ -2466,7 +2471,10 @@ def q_shorelines_in_aoi(spark, sf_dir):
     spec = _corpus.CorpusSpec(tile_px=96, halo_px=6, tiles_x=3, tiles_y=2,
                               year0=2000, year1=2002, obs_per_year=5,
                               cloud_frac=0.04, seed=7)
-    tiles = _corpus.generate_spark(spark, spec)
+    # lazy checkpoint: the tide-cutoff aggregation and the composite
+    # branch both consume the synthesized tiles; without it the Arrow
+    # render kernel (PNG encode per tile) executes once PER BRANCH
+    tiles = _corpus.generate_spark(spark, spec).localCheckpoint(eager=False)
     sl = shoreline_pipeline(tiles, apply_tide_filter=True)
     rects = {
         "cover": (-10.0, -2000.0, 9000.0, 2000.0),
@@ -2808,7 +2816,10 @@ def q_tile_pyramid(spark, sf_dir):
     from ..operators.pyramid import build_pyramid
     from ..synth import corpus as _corpus
 
-    tiles = _corpus.generate_spark(spark, _pyramid_spec())
+    # lazy checkpoint: the tide-cutoff aggregation and the composite
+    # branch both consume the synthesized tiles; without it the Arrow
+    # render kernel (PNG encode per tile) executes once PER BRANCH
+    tiles = _corpus.generate_spark(spark, _pyramid_spec()).localCheckpoint(eager=False)
     comps = annual_composites(tiles, apply_tide_filter=True)
     return build_pyramid(comps, levels=2).orderBy("year", "level", "x", "y")
 
@@ -3322,6 +3333,7 @@ def q_dissolve(spark, sf_dir):
     return (
         dissolve(polys, ["p_brand"], pixel=1.0)
         .select("p_brand", "area_px")
+        .localCheckpoint(eager=False)
         .orderBy("p_brand")
     )
 
@@ -3393,7 +3405,7 @@ def q_contour_certainty(spark, sf_dir):
         "year", "poly_id", "certainty",
         F.round("piece_len_m", 2).alias("piece_len_m"),
         F.round("cy", 2).alias("cy"),
-    ).orderBy("year", "poly_id", "piece_len_m")
+    ).localCheckpoint(eager=False).orderBy("year", "poly_id", "piece_len_m")
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -4022,7 +4034,7 @@ def q_transect_rates(spark, sf_dir):
         "valid_obs", "valid_span",
         (F.round("sce", 3) + 0.0).alias("sce"),
         "max_year", "min_year",
-    ).orderBy("id")
+    ).localCheckpoint(eager=False).orderBy("id")
 
 
 def q_group_percentiles(spark, sf_dir):
@@ -5185,7 +5197,7 @@ def q_quality_classifier(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return quality_classifier(d).select(
         "doc_id", "n_feats", "score", "keep"
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 ORACLE_QUALITY_CLASSIFIER = """
