@@ -894,8 +894,14 @@ def _pairwise_set_jaccard(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
         )
+        # repartition BEFORE the dedup: the explicit exchange satisfies
+        # the distinct aggregate's clustering requirement, so the dedup
+        # runs partition-local (one shuffle of the raw candidates
+        # instead of distinct's exchange PLUS a re-spread exchange) and
+        # the CPU-bound verify below still inherits full width instead
+        # of an AQE byte-coalesced handful of tasks.
+        .repartition(par, "id_a", "id_b")
         .distinct()
-        .repartition(par, "id_a")
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
