@@ -692,6 +692,69 @@ def phash_neardup_pairs(
     )
 
 
+def _dedup_set_jaccard(
+    base: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Distinct-set collapse around _pairwise_set_jaccard (guide §2.3:
+    shuffle/verify PROXIES, expand payload rows once at the end).
+
+    For small-universe set similarity (character sets: <= a few dozen
+    distinct elements), many rows share EXACTLY the same set — at sf0.1
+    the en-documents corpus has 2,059 rows but only 266 distinct char
+    sets, so the prefix join + verify ran ~60x more pair work than the
+    distinct structure requires. Group rows by (grp, canonical sorted
+    set), run the full PPJoin machinery over one representative per
+    group, then expand each qualifying set pair over both groups' id
+    lists (identical-set pairs score exactly 1.0 and are emitted by the
+    within-group combination branch). Row-for-row identical output:
+    Jaccard is a pure function of the two sets, so every expanded pair
+    carries the same value the direct path would have computed.
+
+    Scale note: the collapse is one extra hash-shuffle keyed by the
+    set itself; it pays for itself whenever rows-per-distinct-set > 1
+    (templated/boilerplate corpora), and the grouped id lists are
+    bounded by group size, not corpus size. Callers with near-unique
+    sets (word n-grams over real text) keep the direct path."""
+    canon = base.select(
+        id_col, "grp", F.array_sort(F.col(set_col)).alias(set_col)
+    )
+    groups = (
+        canon.groupBy("grp", set_col)
+        .agg(
+            F.collect_list(F.col(id_col)).alias("_ids"),
+            F.min(id_col).alias("_rep"),
+        )
+        .localCheckpoint(eager=False)  # reps pipeline + two expansions
+    )
+    reps = groups.select(F.col("_rep").alias(id_col), "grp", set_col)
+    pairs = _pairwise_set_jaccard(reps, id_col, set_col, threshold)
+    ga = groups.select(F.col("_rep").alias("id_a"), F.col("_ids").alias("_ids_a"))
+    gb = groups.select(F.col("_rep").alias("id_b"), F.col("_ids").alias("_ids_b"))
+    cross = (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("_ids_a").alias("_ia"), "_ids_b", "jaccard")
+        .select("_ia", F.explode("_ids_b").alias("_ib"), "jaccard")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if float(threshold) > 1.0:
+        return cross
+    # identical non-empty sets: J = 1.0 exactly (empty sets score 0.0
+    # under the union>0 convention and can never reach a t>0 threshold)
+    within = (
+        groups.filter(F.size(set_col) > 0)
+        .select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(F.lit(1.0), 6).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
 def _pairwise_set_jaccard(
     base: DataFrame, id_col: str, set_col: str, threshold: float
 ) -> DataFrame:
@@ -932,7 +995,9 @@ def charset_jaccard_pairs(
             F.array_distinct(F.split(F.lower(F.col(text_col)), "")), ""
         ).alias("chars"),
     )
-    return _pairwise_set_jaccard(chars, id_col, "chars", threshold)
+    # distinct-set collapse: the char universe is tiny, so rows share
+    # identical sets en masse (266 distinct sets / 2,059 rows at sf0.1)
+    return _dedup_set_jaccard(chars, id_col, "chars", threshold)
 
 
 def word_ngram_jaccard_pairs(

@@ -705,3 +705,40 @@ def test_verify_jaccard_bitset_budget_fallback(spark, docs_df, monkeypatch):
     )
     assert fast[["id_a", "id_b"]].values.tolist() == slow[["id_a", "id_b"]].values.tolist()
     assert np.allclose(fast["jaccard"], slow["jaccard"], rtol=0, atol=0)
+
+
+def test_charset_jaccard_distinct_set_collapse_parity(spark, docs_df):
+    """charset_jaccard_pairs routes through the distinct-set collapse
+    (_dedup_set_jaccard); its output must be row-for-row identical to
+    the direct per-row PPJoin path, including the identical-set 1.0
+    pairs and empty-text exclusion."""
+    df, _ = docs_df
+    charset = df.withColumn("lang", F.lit("en"))
+    # planted degenerates: empty text (empty set), exact charset dup
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002, 9003],
+                "text": ["", "", "zzzz qqqq"],
+                "lang": ["en", "en", "en"],
+            }
+        )
+    )
+    src = charset.select("doc_id", "text", "lang").unionByName(extra)
+    base = src.select(
+        F.col("doc_id"),
+        F.col("lang").alias("grp"),
+        F.array_remove(
+            F.array_distinct(F.split(F.lower(F.col("text")), "")), ""
+        ).alias("chars"),
+    )
+    for t in (0.8, 0.99):
+        fast = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup._dedup_set_jaccard(base, "doc_id", "chars", t).collect()
+        }
+        direct = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup._pairwise_set_jaccard(base, "doc_id", "chars", t).collect()
+        }
+        assert fast == direct and len(fast) > 0

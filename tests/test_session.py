@@ -67,7 +67,9 @@ def test_thin_rows_are_not_throttled(spark):
     tabular kernel and collect."""
     rec_cap = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
     assert rec_cap >= 10_000
-    sizes = _batch_sizes(spark, spark.range(50_000).repartition(2))
+    # each partition must hold MORE than rec_cap rows, or the batch
+    # closes on partition exhaustion instead of the record cap
+    sizes = _batch_sizes(spark, spark.range(2 * 2 * rec_cap).repartition(2))
     assert max(sizes) == rec_cap
 
 
