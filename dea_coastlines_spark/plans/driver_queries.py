@@ -2582,7 +2582,12 @@ def q_keep_best_images(spark, sf_dir):
                               cloud_frac=0.05, seed=9)
     tiles = spark.createDataFrame(_corpus.generate_pandas(spec))
     pairs = phash_neardup_pairs(tiles, max_hamming=6).select("id_a", "id_b")
-    scored = image_quality(tiles).select("image_id", "laplacian_var")
+    # lazy checkpoint: keep_best consumes `docs` in TWO branches (the
+    # cluster-member join and the final anti-join), so the Laplacian
+    # decode kernel executed once per branch without a barrier
+    scored = image_quality(tiles).select(
+        "image_id", "laplacian_var"
+    ).localCheckpoint(eager=False)
     return (
         keep_best(scored, pairs, "laplacian_var", id_col="image_id")
         .orderBy("image_id")
