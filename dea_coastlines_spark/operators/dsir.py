@@ -88,11 +88,18 @@ def dsir_weights(
     # truncation Catalyst re-executes it once per consumer (3x for the
     # raw side), and ReuseExchange can't help because the consumers
     # aggregate on different keys.
-    tgt = _hashed_features(target, text_col, hex_chars).localCheckpoint(
-        eager=False
+    # project the feature STRING away before the barrier (guide §2.3):
+    # every consumer below keys on `bucket` (+ id) only, so the cached
+    # rows carry 3-4 hex chars instead of the ~20-byte gram text
+    tgt = (
+        _hashed_features(target, text_col, hex_chars)
+        .select("bucket")
+        .localCheckpoint(eager=False)
     )
-    rawf = _hashed_features(raw, text_col, hex_chars, id_col).localCheckpoint(
-        eager=False
+    rawf = (
+        _hashed_features(raw, text_col, hex_chars, id_col)
+        .select(id_col, "bucket")
+        .localCheckpoint(eager=False)
     )
     ct = tgt.groupBy("bucket").agg(F.count("*").alias("ct"))
     cr = rawf.groupBy("bucket").agg(F.count("*").alias("cr"))

@@ -512,14 +512,20 @@ def q_conditional_coalesce(spark, sf_dir):
     """The count>5 -> annual else gapfill coalesce (vector.py:557-561) as
     a join + conditional select between two 'tables'."""
     li = _t(spark, sf_dir, "lineitem")
-    annual = li.groupBy("l_partkey").agg(
-        F.count("*").alias("cnt"), F.round(F.avg("l_quantity"), 6).alias("qty_annual")
-    )
-    gapfill = li.groupBy("l_partkey").agg(
-        F.round(F.avg(F.col("l_quantity") * 0.5 + 10.0), 6).alias("qty_gapfill")
-    )
+    # both "tables" aggregate the SAME rows on the SAME key — one
+    # groupBy computes both sides (guide §2.4: two operations keyed the
+    # same way share one exchange; here they share one aggregation),
+    # replacing scan+shuffle x2 + self-join with a single pass. Values
+    # identical: each side's avg/round sees exactly the same rows.
     return (
-        annual.join(gapfill, "l_partkey")
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("l_quantity"), 6).alias("qty_annual"),
+            F.round(F.avg(F.col("l_quantity") * 0.5 + 10.0), 6).alias(
+                "qty_gapfill"
+            ),
+        )
         .select(
             "l_partkey",
             F.when(F.col("cnt") > 5, F.col("qty_annual")).otherwise(F.col("qty_gapfill")).alias("qty"),
