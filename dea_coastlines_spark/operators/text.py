@@ -740,31 +740,43 @@ def cooccurrence_pmi(
             "toks"
         )
     )
-    pairs = toks.select(
-        F.explode(
-            F.expr(
-                f"""flatten(transform(toks, (t, i) ->
-                     transform(slice(toks, i + 2, {window}), u ->
-                       struct(least(t, u) AS a, greatest(t, u) AS b))))"""
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    # localCheckpoint the two REDUCED tables: five consumers below
-    # (top, totals x2, counts_small, and the final joins) would each
-    # otherwise re-tokenize the corpus from the scan — 5 full passes
-    # where 2 suffice (pairs and tokens aggregate on different keys,
-    # so they cannot share one pass without materializing raw tokens,
-    # which at corpus scale costs more than the second scan)
-    pair_counts = (
-        pairs.groupBy("a", "b")
-        .agg(F.count("*").alias("pair_count"))
+    # ONE corpus pass for BOTH reduced tables: the skip-gram pair rows
+    # and the single-token rows ride the same explode (token rows carry
+    # b = NULL, which no pair row can), share one map-side-combinable
+    # groupBy and ONE barrier, and split back out with null filters on
+    # the cached ~V+P-row result. The prior shape tokenized the corpus
+    # twice and materialized two checkpoints; the union costs +1/3 more
+    # exploded rows through the same shuffle but one fewer full pass —
+    # strictly fewer bytes at any scale. explode_OUTER + isNotNull:
+    # a plain explode's inferred size>0 filter would inline the whole
+    # pair-building HOF twice (see operators/lm._doc_grams); elements
+    # are non-null structs, so the null filter only drops empty docs.
+    both = (
+        toks.select(
+            F.explode_outer(
+                F.expr(
+                    f"""concat(
+                      flatten(transform(toks, (t, i) ->
+                        transform(slice(toks, i + 2, {window}), u ->
+                          struct(least(t, u) AS a, greatest(t, u) AS b)))),
+                      transform(toks, t ->
+                        struct(t AS a, CAST(NULL AS STRING) AS b)))"""
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("p.a", "p.b")
+    )
+    counts = (
+        both.groupBy("a", "b")
+        .agg(F.count("*").alias("_n"))
         .localCheckpoint(eager=False)
     )
-    tok_counts = (
-        toks.select(F.explode("toks").alias("t"))
-        .groupBy("t")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+    pair_counts = counts.filter(F.col("b").isNotNull()).select(
+        "a", "b", F.col("_n").alias("pair_count")
+    )
+    tok_counts = counts.filter(F.col("b").isNull()).select(
+        F.col("a").alias("t"), F.col("_n").alias("c")
     )
     totals = pair_counts.agg(
         F.sum("pair_count").cast("double").alias("P")
