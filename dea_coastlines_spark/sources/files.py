@@ -92,8 +92,13 @@ def read_csv_survey_dms(
         # clock — to_timestamp keeps its digits verbatim under the UTC
         # session, and shifting it again would move a 20:00 New Year's
         # Eve survey into the next year.
+        # the offset must FOLLOW a time component: a bare date like
+        # '2001-01-01' ends in '-01', which the unanchored alternative
+        # read as a -01 hour offset and double-shifted — moving a
+        # midnight survey into the previous day (wrong year
+        # attribution) for negative-offset zones (ADVICE r5)
         has_offset = F.col("obs_time").rlike(
-            r"(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})\s*$"
+            r"\d{2}:\d{2}(:\d{2})?(\.\d+)?\s*(Z|[+-]\d{2}:?\d{2}|[+-]\d{2})\s*$"
         )
         ts = F.when(has_offset, F.from_utc_timestamp(ts, tz)).otherwise(ts)
     return df.select(

@@ -159,14 +159,21 @@ def main() -> int:
             # harness transfer, not engine throughput. Keep it for
             # round-over-round comparability, and ALSO record the
             # bench-methodology figure: best-of-2 warm noop sink.
-            best = float("inf")
-            for _ in range(2):
-                tw = time.time()
-                queries[name](spark, args.sf_dir).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-                best = min(best, time.time() - tw)
-            row["spark_noop_s"] = round(best, 2)
+            # Its OWN try/except: a timing failure (e.g. OOM on a
+            # heavy query) must annotate the row, not overwrite an
+            # already-valid oracle verdict with status "error"
+            # (ADVICE r5).
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    tw = time.time()
+                    queries[name](spark, args.sf_dir).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    best = min(best, time.time() - tw)
+                row["spark_noop_s"] = round(best, 2)
+            except Exception:  # noqa: BLE001
+                row["spark_noop_s"] = None
         except Exception as exc:  # noqa: BLE001 — record and continue
             row = {
                 "status": "error",

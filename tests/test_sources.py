@@ -1006,3 +1006,37 @@ def test_dms_survey_naive_timestamps_not_double_shifted(spark, tmp_path):
     assert out["a"].startswith("2001-01-01 08:00")  # offset honored
     assert out["b"].startswith("2000-12-31 20:00")  # naive: verbatim
     assert out["c"].startswith("2000-12-31 21:30")  # Z suffix honored
+
+
+def test_dms_survey_bare_date_not_treated_as_offset(spark, tmp_path):
+    """A date-only obs_time ends in '-01', which an unanchored offset
+    regex read as a -01-hour offset and double-shifted — moving
+    midnight into the previous day (wrong year) for negative-offset
+    zones. The offset must follow a time component (ADVICE r5)."""
+    import pandas as pd
+
+    from dea_coastlines_spark.sources import read_csv_survey_dms
+
+    p = tmp_path / "bare.csv"
+    pd.DataFrame({
+        "site": ["a", "b"],
+        "obs_time": [
+            "2001-01-01",                 # bare date: naive, verbatim
+            "2001-01-01T00:30:00-03:30",  # true negative offset
+        ],
+        "chainage_m": [1.0, 2.0],
+        "elevation": [0.0, 0.0],
+        "profile_id": ["a", "b"],
+        "lat_dms": ["33°S"] * 2,
+        "lon_dms": ["151°E"] * 2,
+    }).to_csv(p, index=False)
+    out = {
+        r["site"]: str(r["date"])
+        for r in read_csv_survey_dms(
+            spark, str(p), tz="America/St_Johns"
+        ).collect()
+    }
+    # bare date stays midnight 2001-01-01 (previously shifted into 2000)
+    assert out["a"].startswith("2001-01-01 00:00")
+    # offset-bearing row still converts: 04:00 UTC -> 00:30 NST
+    assert out["b"].startswith("2001-01-01 00:30")
