@@ -859,7 +859,6 @@ def _pairwise_set_jaccard(
         # t=0 means "every pair qualifies" — the OUTPUT is quadratic, so
         # prefix pruning is meaningless (and would drop empty-set pairs
         # that legitimately score 0.0). Plain within-group pairing.
-        base = base.localCheckpoint(eager=False)  # two join branches
         a = base.select(F.col(id_col).alias("id_a"), "grp", F.col(set_col).alias("_sa"))
         b = base.select(F.col(id_col).alias("id_b"), "grp", F.col(set_col).alias("_sb"))
         inter0 = F.size(F.array_intersect("_sa", "_sb"))
@@ -881,47 +880,35 @@ def _pairwise_set_jaccard(
     # (it does here) or AQE-skew-splittable when it doesn't. Empty
     # sets vanish at the explode — safe for t > 0, where an empty set
     # can never reach the threshold (union > 0 forces j = 0).
-    #
-    # Elements are hashed to xxhash64 INSIDE the explode projection, so
-    # the ~30-char strings never leave the Generate: the df aggregate,
-    # its re-join, the per-set sort, the prefix join keys and the
-    # verify array_intersect all compare longs. LONGS specifically,
-    # not a wider struct: ArrayIntersect only has the OpenHashSet fast
-    # path for atomic types — on struct elements it degrades to
-    # pairwise O(|x|*|y|) equality (measured 620 s CPU vs 5 s at
-    # sf0.1). Trade-off, stated honestly: two distinct elements
-    # colliding in 64 bits would miscount one intersection (and now
-    # also merge their df counts — harmless: ANY total order preserves
-    # exact prefix recall); the probability any collision exists is
-    # ~V^2/2^65 (~3% at a 10^9 vocabulary, negligible below). The
-    # driver oracle brute-forces the STRING sets, so a collision would
-    # surface as a hash mismatch rather than hide.
-    #
-    # ONE barrier, on the hashed explode: elems feeds both the df
-    # aggregate and its re-join, so without it the interpreted gram
-    # build would execute once per consumer; checkpointing elems
-    # (24-byte long rows) instead of the pre-explode string arrays
-    # halves the build-time materializations and shrinks the cache.
-    # explode_OUTER + isNotNull instead of explode: a plain Generate
-    # makes Catalyst infer `size(arr) > 0`, and predicate pushdown
-    # substitutes the FULL gram-building expression into that filter —
-    # re-running the interpreted HOF per row (measured 8.6 s at
-    # sf0.1). Hash elements are never NULL (xxhash64 of a non-null
-    # string), so the null filter drops exactly the empty-array rows a
-    # plain explode would.
-    elems = (
-        base.select(
-            id_col,
-            "grp",
-            F.explode_outer(
-                F.transform(F.col(set_col), lambda e: F.xxhash64(e))
-            ).alias("_h"),
-        )
-        .filter(F.col("_h").isNotNull())
-        .localCheckpoint(eager=False)
+    # Materialize base before fanning out: (1) the elems subtree feeds
+    # both the df-count aggregate and its re-join, so the set-building
+    # expression would execute twice; (2) InferFiltersFromGenerate adds
+    # size(set)>0 under the explode, and predicate pushdown substitutes
+    # the FULL set-building expression into it — re-running the
+    # interpreted gram build once per row (measured 8.6 s at sf0.1).
+    # Behind the checkpoint barrier both touch a materialized attribute.
+    base = base.localCheckpoint(eager=False)
+    elems = base.select(id_col, "grp", F.explode(set_col).alias("_e"))
+    dfreq = elems.groupBy("_e").agg(F.count("*").alias("_df"))
+    # After the df join, each element is replaced by its 64-bit
+    # xxhash64 and the strings never travel further: every downstream
+    # cost center — the per-set sort, the prefix join keys, the verify
+    # array_intersect — compares longs instead of ~30-char strings.
+    # LONGS specifically, not a wider struct: ArrayIntersect only has
+    # the OpenHashSet fast path for atomic types — on struct elements
+    # it degrades to pairwise O(|x|*|y|) equality (measured 620 s CPU
+    # vs 5 s at sf0.1). Trade-off, stated honestly: two distinct
+    # elements colliding in 64 bits would miscount one intersection;
+    # the probability any collision exists is ~V^2/2^65 (~3% at a 10^9
+    # vocabulary, negligible below), and a collision only perturbs
+    # pairs containing both colliding elements. The driver oracle
+    # brute-forces the STRING sets, so a collision would surface as a
+    # hash mismatch rather than hide. Any total order preserves exact
+    # recall; sorting by (df, hash) keeps the rarest-first property
+    # that keeps prefix buckets small.
+    elems = elems.join(dfreq, "_e").select(
+        id_col, "grp", "_df", F.xxhash64("_e").alias("_h")
     )
-    dfreq = elems.groupBy("_h").agg(F.count("*").alias("_df"))
-    elems = elems.join(dfreq, "_h").select(id_col, "grp", "_df", "_h")
     # collect raw structs only; the CPU-heavy array_sort + transform
     # projection is deferred until AFTER the explicit repartition below
     # — inside the agg it would execute in the AQE-coalesced reduce
